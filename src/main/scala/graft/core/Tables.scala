@@ -1,0 +1,79 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table loading + cross-engine determinism helpers.
+  *
+  * The reference pipeline's data surface is "files in a store become named
+  * tables" (reference README.md:104-119: a Glue crawler turns an S3 path into
+  * a catalog table). Here the analogue is a parquet directory per table
+  * (driver layout, /root/repo/TESTDATA.md): `<sfDir>/<name>.parquet`.
+  *
+  * Determinism discipline (SURVEY.md §7.4): every oracle-checked query goes
+  * through [[Tables.dec]] / [[Tables.decSum]] before double aggregation so the
+  * Spark result is bit-identical to the DuckDB oracle regardless of addition
+  * order, and ends in a total ORDER BY.
+  */
+object Tables {
+
+  /** Read one driver table. Path layout per /root/repo/TESTDATA.md. */
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
+  /** events.ts is INT64 TIMESTAMP(NANOS) at rest, which Spark's parquet
+    * reader rejects natively; read it as raw nanos (legacy flag) and
+    * truncate to µs TimestampType — the same floor-division DuckDB applies
+    * when casting TIMESTAMP_NS → TIMESTAMP, so oracles stay aligned
+    * (SURVEY §7.4.3). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Streaming view of the events table (file source), same ts conversion.
+    * The file source wants a directory; stage a symlink dir over the single
+    * driver-generated file. */
+  def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$d/events.parquet").schema // ts: LongType nanos
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_src")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$d/events.parquet"))
+    s.readStream.schema(raw).parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Exact 2-decimal view of a ~2-decimal double (prices, quantities).
+    * Decimal addition is associative, so SUM(dec(x)) is engine- and
+    * partition-order-independent — unlike SUM(double). */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Exact 4-decimal view — for products of two 2-decimal doubles, e.g.
+    * l_extendedprice * (1 - l_discount), whose true value has <= 4 decimals
+    * so the nearest-1e-4 decimal recovers it exactly in both engines. */
+  def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Order-independent exact sum of a ~2-decimal double, surfaced as DOUBLE
+    * (both engines produce the identical IEEE value from the exact decimal). */
+  def decSum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
+  /** Exact sum of a 4-decimal product, surfaced as DOUBLE. */
+  def dec4Sum(c: Column): Column = sum(dec4(c)).cast(DoubleType)
+
+  /** Cross-engine-stable mean: exact decimal sum cast to double, divided by
+    * the bigint count — one IEEE division, identical bits in Spark & DuckDB.
+    * (Never use built-in AVG(double) in an oracle-checked query.) */
+  def decAvg(c: Column): Column = decSum(c) / count(lit(1))
+}

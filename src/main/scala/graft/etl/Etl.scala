@@ -1,0 +1,135 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Tier A — ingest/ETL surface of the reference pipeline (SURVEY.md §2 A1-A9).
+  * Each object maps one configured capability of the AWS guide to its
+  * Spark-native equivalent; citations are to /root/reference/README.md.
+  */
+
+/** A2 — CSV source with OpenCSVSerde semantics (README.md:124-131):
+  * separatorChar=',', quoteChar='"', escapeChar='\'. */
+object CsvSource {
+  val options: Map[String, String] = Map(
+    "sep" -> ",", "quote" -> "\"", "escape" -> "\\", "header" -> "true")
+
+  def read(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.options(options)
+    schema match {
+      case Some(st) => r.schema(st).csv(path)
+      case None     => r.option("inferSchema", "true").csv(path)
+    }
+  }
+
+  def write(df: DataFrame, path: String): Unit =
+    df.write.options(options).mode("overwrite").csv(path)
+}
+
+/** A5 — "Add new columns only" schema-evolution policy (README.md:117):
+  * re-crawls may append fields but never drop or retype existing ones
+  * (Spark's own mergeSchema would widen types — too permissive). */
+object SchemaEvolution {
+  def addOnlyMerge(existing: StructType, incoming: StructType): StructType = {
+    val existingNames = existing.fieldNames.toSet
+    // Existing fields keep their exact type; brand-new fields are appended
+    // in incoming order (nullable — old files lack them).
+    val added = incoming.fields.filterNot(f => existingNames.contains(f.name))
+      .map(_.copy(nullable = true))
+    StructType(existing.fields ++ added)
+  }
+}
+
+/** A3/A4/A5 — crawler: scan a path, infer schema (README.md:104), reconcile
+  * with any previously-registered schema under the add-only policy
+  * (README.md:117), register the result as a named table (README.md:108-119).
+  * Partitioned `key=value` layouts are discovered natively by Spark (A4). */
+class Crawler(spark: SparkSession) {
+  private val registry = scala.collection.mutable.Map[String, StructType]()
+
+  def schemaOf(table: String): Option[StructType] = registry.get(table)
+
+  def crawl(path: String, table: String, format: String = "csv"): DataFrame = {
+    val inferred = format match {
+      case "csv"     => CsvSource.read(spark, path).schema
+      case "parquet" => spark.read.parquet(path).schema
+      case other     => sys.error(s"unsupported crawl format: $other")
+    }
+    val merged = registry.get(table) match {
+      case Some(prev) => SchemaEvolution.addOnlyMerge(prev, inferred)
+      case None       => inferred
+    }
+    registry(table) = merged
+    val df = format match {
+      case "csv"     => CsvSource.read(spark, path, Some(merged))
+      case "parquet" => spark.read.schema(merged).parquet(path)
+    }
+    df.createOrReplaceTempView(table)
+    df
+  }
+}
+
+/** A6 — warehouse sinks ("Create tables in your data target", README.md:150).
+  * JDBC for the Redshift-analogue load (embedded Derby in tests — same
+  * `df.write.format("jdbc")` code path a real warehouse uses), parquet for
+  * the columnar-at-rest lake sink. */
+sealed trait Sink { def write(df: DataFrame): Unit }
+
+case class ParquetSink(path: String, mode: String = "overwrite") extends Sink {
+  def write(df: DataFrame): Unit = df.write.mode(mode).parquet(path)
+}
+
+case class JdbcSink(url: String, table: String,
+    driver: String = "org.apache.derby.jdbc.EmbeddedDriver") extends Sink {
+  def write(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("jdbc")
+      .option("url", url).option("dbtable", table).option("driver", driver)
+      .save()
+
+  def read(spark: SparkSession): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table).option("driver", driver)
+      .load()
+}
+
+/** A7 — workflow DAG (README.md:155-166): on-demand trigger → crawler →
+  * "start after ALL watched events" → job. In-process this is a strict
+  * topological run: crawl, then transform, then load — each stage gated on
+  * every upstream stage having completed (the "ALL watched events" rule). */
+case class Pipeline(crawl: () => DataFrame,
+    transform: DataFrame => DataFrame,
+    load: Sink) {
+  def run(): DataFrame = {
+    val crawled = crawl()          // stage 1: crawler (README.md:162)
+    val shaped = transform(crawled) // stage 2: Glue "Change schema" job (:149)
+    load.write(shaped)             // stage 3: target load (:150)
+    shaped
+  }
+}
+
+/** A8/A9/D6 — incremental file pipeline. Job-Bookmark semantics
+  * (README.md:145, "process only new files since the last run") ==
+  * Structured Streaming file source + checkpoint + Trigger.AvailableNow;
+  * S3 object-create event filters (README.md:196-198) == path prefix
+  * (source dir) + `pathGlobFilter` (suffix). */
+object Incremental {
+  def runAvailableNow(spark: SparkSession, srcDir: String, schema: StructType,
+      checkpoint: String, sinkDir: String, globFilter: Option[String] = None)
+      : Unit = {
+    var reader = spark.readStream.schema(schema)
+      .options(CsvSource.options)
+      .option("maxFilesPerTrigger", "1000")
+    globFilter.foreach(g => reader = reader.option("pathGlobFilter", g))
+    val q = reader.csv(srcDir)
+      .writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

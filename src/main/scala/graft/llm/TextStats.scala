@@ -1,0 +1,147 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+import graft.functions.RollingHash.rolling_hash
+
+/** Tier E text analysis + multimodal plumbing (SURVEY.md §2 E6-E7 and the
+  * builder-mandated language-ID, quality-scoring, token-counting,
+  * fingerprinting and multimodal-column operators).
+  *
+  * Everything is built-in-function arithmetic over `split()` token arrays —
+  * one scan, map-side aggregation, no UDFs except the fingerprint, which is
+  * a native codegen'd Catalyst expression (graft.functions.RollingHash).
+  */
+object TextStats {
+
+  private def tokens(c: Column): Column = split(c, " ")
+
+  /** A tiny per-language marker lexicon for the n-gram/stopword language-ID
+    * heuristic. Deterministic and self-contained (no model files). */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // E6 — corpus stats per (lang, source): doc counts, token counts, exact
+    // char sums, stable mean chars (int sums + one double division).
+    "text_stats" -> ((s, d) => {
+      documents(s, d)
+        .withColumn("n_tokens", size(tokens(col("text"))))
+        .groupBy("lang", "source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("n_tokens").cast("long")).as("sum_tokens"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+        .orderBy("lang", "source")
+    }),
+    // E7 — multimodal equi-join: text table × vector table, predicates on
+    // both modalities. doc_id=vec_id is the co-partitioning key at scale.
+    "multimodal_join" -> ((s, d) => {
+      val doc = documents(s, d); val emb = embeddings(s, d)
+      doc.join(emb, doc("doc_id") === emb("vec_id"))
+        .filter(col("lang").isin("es", "de") && col("label") < 5)
+        .select(doc("doc_id"), col("lang"), col("label"), col("n_chars"),
+          size(col("embedding")).as("dim"))
+        .orderBy("doc_id")
+    }),
+    // Quality scoring (builder mandate): length/punctuation/stopword ratios
+    // + mean token length, all exact-int or single-division arithmetic.
+    "text_quality" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val nTok = size(toks)
+      val charSum = aggregate(
+        transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+      val stop = typedLit(LangMarkers.values.flatten.toSeq)
+      val nStop = size(filter(toks, t => array_contains(stop, t)))
+      val nonAlnum = length(col("text")) -
+        length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
+      documents(s, d).select(
+          col("doc_id"),
+          col("n_chars"),
+          nTok.as("n_tokens"),
+          (charSum.cast("double") / nTok).as("mean_token_len"),
+          (nStop.cast("double") / nTok).as("stopword_ratio"),
+          (nonAlnum.cast("double") / length(col("text"))).as("alnum_ratio"))
+        .orderBy("doc_id")
+    }),
+    // Token counting, whitespace + BPE-ish estimate (~4 chars/subword,
+    // ceil per token — deterministic integer math).
+    "text_tokens_bpe" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val bpe = aggregate(
+        transform(toks, t => ceil(length(t) / lit(4.0)).cast("long")),
+        lit(0L), (a, x) => a + x)
+      documents(s, d).select(
+          col("doc_id"),
+          size(toks).as("ws_tokens"),
+          bpe.as("bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+    // Language-ID heuristic (rows-only; oracle-free because the marker
+    // lexicon is engine-internal): argmax of marker-hit counts, 'und' when
+    // nothing matches.
+    "text_langid" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+        struct(
+          size(filter(toks, t => array_contains(typedLit(markers), t))).as("hits"),
+          lit(lang).as("lang"))
+      }
+      documents(s, d).select(
+          col("doc_id"), col("lang").as("actual_lang"),
+          when(array_max(array(scored: _*)).getField("hits") > 0,
+            array_max(array(scored: _*)).getField("lang"))
+            .otherwise("und").as("predicted_lang"))
+        .orderBy("doc_id")
+    }),
+    // Document fingerprint via the custom codegen'd rolling-hash expression
+    // (rows-only; cross-checked against the interpreted path in a spec).
+    "doc_fingerprint" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"), rolling_hash(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+    // Multimodal binary-column plumbing (builder mandate): payloads as
+    // opaque binary + typed metadata; "decode" is a deterministic stub
+    // (real image/audio libs absent by design) but schema, batching and
+    // partition shape are real. See Multimodal.featurize.
+    "multimodal_meta" -> ((s, d) => Multimodal.pipeline(s, d))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "text_stats" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        |       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "multimodal_join" ->
+      """SELECT doc_id, lang, label, n_chars,
+        |       CAST(len(embedding) AS INT) AS dim
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |WHERE lang IN ('es','de') AND label < 5
+        |ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id, n_chars,
+        |       CAST(len(str_split(text, ' ')) AS INT) AS n_tokens,
+        |       CAST(list_aggregate(list_transform(str_split(text, ' '), t -> length(t)), 'sum') AS DOUBLE)
+        |         / len(str_split(text, ' ')) AS mean_token_len,
+        |       CAST(len(list_filter(str_split(text, ' '),
+        |                t -> list_contains(['the','and','of','to','in','el','la','de','que','y','der','die','und','das','ist','le','et','les','des'], t))) AS DOUBLE)
+        |         / len(str_split(text, ' ')) AS stopword_ratio,
+        |       CAST(length(text) - length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        |         / length(text) AS alnum_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_tokens_bpe" ->
+      """SELECT doc_id,
+        |       CAST(len(str_split(text, ' ')) AS INT) AS ws_tokens,
+        |       CAST(list_aggregate(list_transform(str_split(text, ' '),
+        |                t -> CAST(ceil(length(t) / 4.0) AS BIGINT)), 'sum') AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,128 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+import graft.etl._
+
+/** Tier A — ingest/ETL queries (SURVEY.md §2 A1-A9). Only A1 is
+  * oracle-checkable SQL; the rest exercise real ETL machinery against temp
+  * dirs (driver records a rows>0 check; TierASpec holds the assertions).
+  */
+object TierA {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1 — columnar scan (README.md:113 data-store selection). Projection is
+    // pruned at the parquet footer; at 100 TB the scan reads 4 columns only.
+    "scan_parquet" -> ((s, d) => {
+      lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    // A2 — OpenCSVSerde round-trip (README.md:124-131): write with the serde
+    // dialect, read back with the same options.
+    "scan_csv_serde" -> ((s, d) => {
+      val dir = tmp("graft_csv")
+      CsvSource.write(nation(s, d), dir)
+      CsvSource.read(s, dir).orderBy("n_nationkey")
+    }),
+    // A3 — crawler-style schema inference (README.md:104): types come back
+    // from data, not a declared schema.
+    "infer_schema" -> ((s, d) => {
+      val dir = tmp("graft_crawl")
+      CsvSource.write(region(s, d), dir)
+      new Crawler(s).crawl(dir, s"crawled_region_${System.nanoTime}")
+        .orderBy("r_regionkey")
+    }),
+    // A4 — Hive-style partition discovery (README.md:117): key=value dirs
+    // become a partition column; per-partition counts prove pruning works.
+    "partition_discovery" -> ((s, d) => {
+      val dir = tmp("graft_part")
+      orders(s, d).write.partitionBy("o_orderstatus").mode("overwrite").parquet(dir)
+      s.read.parquet(dir)
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
+        .orderBy("o_orderstatus")
+    }),
+    // A5 — "Add new columns only" evolution across two crawler runs
+    // (README.md:117, re-crawl :132): v2 adds a column; the merged schema
+    // keeps v1 fields untyped-changed and appends the new one.
+    "schema_evolution_add_only" -> ((s, d) => {
+      import s.implicits._
+      val dirV1 = tmp("graft_evo1"); val dirV2 = tmp("graft_evo2")
+      val crawler = new Crawler(s)
+      val table = s"evolving_${System.nanoTime}"
+      CsvSource.write(region(s, d), dirV1)
+      crawler.crawl(dirV1, table)
+      CsvSource.write(
+        region(s, d).withColumn("r_comment", concat(lit("about "), col("r_name"))),
+        dirV2)
+      crawler.crawl(dirV2, table)
+      val merged = crawler.schemaOf(table).get
+      merged.fields.toSeq.map(f => (f.name, f.dataType.simpleString))
+        .toDF("field", "type").orderBy("field")
+    }),
+    // A6 — JDBC warehouse load (README.md:134-138, :150): embedded Derby
+    // stands in for Redshift; write via JDBC, read back via JDBC.
+    "sink_jdbc" -> ((s, d) => {
+      val sink = JdbcSink(s"jdbc:derby:${tmp("graft_derby")}/db;create=true",
+        "NATION_WAREHOUSE")
+      sink.write(nation(s, d))
+      sink.read(s).orderBy("n_nationkey")
+    }),
+    // A7 — workflow DAG (README.md:155-166): trigger → crawl → transform →
+    // load, strictly ordered.
+    "workflow_dag" -> ((s, d) => {
+      val src = tmp("graft_wf_src"); val out = tmp("graft_wf_out")
+      CsvSource.write(supplier(s, d), src)
+      Pipeline(
+        crawl = () => new Crawler(s).crawl(src, s"wf_supplier_${System.nanoTime}"),
+        transform = df => df.select(
+          col("s_suppkey").as("supplier_id"),
+          upper(col("s_name")).as("supplier_name"),
+          col("s_acctbal").cast("double").as("balance")),
+        load = ParquetSink(out)
+      ).run()
+      s.read.parquet(out).orderBy("supplier_id")
+    }),
+    // A8 — Job-Bookmark increments (README.md:145): two AvailableNow runs
+    // over a growing dir; the checkpoint guarantees file-level exactly-once.
+    "bookmark_incremental" -> ((s, d) => {
+      val src = tmp("graft_bm_src"); val ckpt = tmp("graft_bm_ckpt")
+      val sink = tmp("graft_bm_sink")
+      val n = nation(s, d)
+      n.filter(col("n_nationkey") < 10)
+        .write.options(CsvSource.options).mode("append").csv(src)
+      Incremental.runAvailableNow(s, src, n.schema, ckpt, sink)
+      // second batch lands → only it is processed by run 2 (TierASpec
+      // asserts the first batch is not re-emitted)
+      n.filter(col("n_nationkey") >= 10)
+        .write.options(CsvSource.options).mode("append").csv(src)
+      Incremental.runAvailableNow(s, src, n.schema, ckpt, sink)
+      s.read.parquet(sink).orderBy("n_nationkey")
+    }),
+    // A9 — event trigger with prefix/suffix filters (README.md:196-198):
+    // prefix == watched dir, suffix == pathGlobFilter; the .txt decoy must
+    // not be ingested.
+    "event_trigger_filtered" -> ((s, d) => {
+      val src = tmp("graft_ev_src"); val ckpt = tmp("graft_ev_ckpt")
+      val sink = tmp("graft_ev_sink")
+      CsvSource.write(region(s, d), src)
+      Files.writeString(java.nio.file.Paths.get(s"$src/decoy.txt"),
+        "not,a,csv\n1,2,3\n")
+      val schema = region(s, d).schema
+      Incremental.runAvailableNow(s, src, schema, ckpt, sink,
+        globFilter = Some("*.csv"))
+      s.read.parquet(sink).orderBy("r_regionkey")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "scan_parquet" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+  )
+}

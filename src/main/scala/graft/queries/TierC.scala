@@ -1,0 +1,561 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables._
+
+/** Tier C — the relational query surface (SURVEY.md §2 Tier C).
+  *
+  * The reference pipeline's whole purpose is to make data queryable in a SQL
+  * warehouse (reference README.md:79-98, 150); it contains no query text, so
+  * these are standard ANSI semantics validated differentially against DuckDB.
+  *
+  * Scale notes are inline per query: every plan here is a declarative
+  * DataFrame tree, so Catalyst gives pushdown/pruning/join-selection for
+  * free; the only hand-placed hints are `broadcast()` on dimension tables
+  * (star-schema joins must never shuffle the fact table against a 25-row
+  * dimension at 100 TB).
+  */
+object TierCFilters {
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C1 — comparison + boolean predicates. Filter is pushed to the parquet
+    // scan (PushedFilters), so at 100 TB only matching row groups are read.
+    "filter_compare" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(col("l_quantity") > 30 && col("l_discount") <= 0.05 &&
+          !(col("l_returnflag") === "A"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    // C2 — IN / BETWEEN / LIKE.
+    "filter_in_between_like" -> ((s, d) => {
+      orders(s, d)
+        .filter(col("o_orderstatus").isin("F", "O") &&
+          col("o_totalprice").between(1000, 50000) &&
+          col("o_orderpriority").like("1-%"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+    // C3 — IS [NOT] NULL, COALESCE, NULLIF (nulls manufactured via NULLIF
+    // because the generated data is null-free).
+    "filter_null_handling" -> ((s, d) => {
+      orders(s, d)
+        .withColumn("st_null", nullif(col("o_orderstatus"), lit("P")))
+        .select(
+          col("o_orderkey"),
+          coalesce(col("st_null"), lit("UNKNOWN")).as("status_filled"),
+          col("st_null").isNull.as("was_p"),
+          col("st_null").isNotNull.as("not_p"))
+        .orderBy("o_orderkey")
+    }),
+    // C4 — searched CASE.
+    "case_when" -> ((s, d) => {
+      orders(s, d)
+        .select(
+          col("o_orderkey"),
+          when(col("o_totalprice") > 100000, "big")
+            .when(col("o_totalprice") > 10000, "mid")
+            .otherwise("small").as("bucket"))
+        .orderBy("o_orderkey")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "filter_compare" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem
+        |WHERE l_quantity > 30 AND l_discount <= 0.05 AND NOT (l_returnflag = 'A')
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "filter_in_between_like" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE o_orderstatus IN ('F','O') AND o_totalprice BETWEEN 1000 AND 50000
+        |  AND o_orderpriority LIKE '1-%'
+        |ORDER BY o_orderkey""".stripMargin,
+    "filter_null_handling" ->
+      """SELECT o_orderkey,
+        |       COALESCE(NULLIF(o_orderstatus,'P'), 'UNKNOWN') AS status_filled,
+        |       NULLIF(o_orderstatus,'P') IS NULL AS was_p,
+        |       NULLIF(o_orderstatus,'P') IS NOT NULL AS not_p
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "case_when" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_totalprice > 100000 THEN 'big'
+        |            WHEN o_totalprice > 10000 THEN 'mid'
+        |            ELSE 'small' END AS bucket
+        |FROM orders ORDER BY o_orderkey""".stripMargin
+  )
+}
+
+object TierCJoins {
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C5 — inner equi-join. Catalyst picks broadcast vs sort-merge by size;
+    // at 100 TB orders/customer both shuffle on the key (co-partitionable).
+    "join_inner_equi" -> ((s, d) => {
+      val o = orders(s, d); val c = customer(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+        .select(o("o_orderkey"), c("c_custkey"), c("c_name"), o("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+    // C6 — star-schema dimension join with explicit broadcast hints: at any
+    // scale nation(25)/region(5) must replicate to executors, never shuffle
+    // the probe side. Plan shape asserted in TierCSpec.
+    "join_broadcast_dim" -> ((s, d) => {
+      val c = customer(s, d); val n = nation(s, d); val r = region(s, d)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(c("c_custkey"), n("n_name"), r("r_name"))
+        .orderBy("c_custkey")
+    }),
+    // C7 — left outer; nulls ordering pinned explicitly (Spark default is
+    // NULLS FIRST for ASC, DuckDB's is NULLS LAST — SURVEY §7.4 rule 4).
+    "join_left_outer" -> ((s, d) => {
+      val c = customer(s, d)
+      val o = orders(s, d).filter(col("o_totalprice") > 150000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .select(c("c_custkey"), o("o_orderkey"), o("o_totalprice"))
+        .orderBy(asc("c_custkey"), asc_nulls_first("o_orderkey"))
+    }),
+    // C8 — full outer.
+    "join_full_outer" -> ((s, d) => {
+      val c = customer(s, d).filter(col("c_acctbal") > 0)
+      val o = orders(s, d).filter(col("o_totalprice") > 150000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "full")
+        .select(c("c_custkey"), o("o_orderkey"))
+        .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_orderkey"))
+    }),
+    // C9 — left semi (EXISTS).
+    "join_semi" -> ((s, d) => {
+      val c = customer(s, d)
+      val big = orders(s, d).filter(col("o_totalprice") > 250000)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+    // C10 — left anti (NOT EXISTS).
+    "join_anti" -> ((s, d) => {
+      val c = customer(s, d)
+      val big = orders(s, d).filter(col("o_totalprice") > 250000)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+    // C11 — cross join + theta predicate on two tiny dimensions (BNLJ).
+    "join_cross_theta" -> ((s, d) => {
+      val n = nation(s, d); val r = region(s, d)
+      n.crossJoin(r).filter(n("n_regionkey") =!= r("r_regionkey"))
+        .select(n("n_nationkey"), r("r_regionkey"))
+        .orderBy("n_nationkey", "r_regionkey")
+    }),
+    // C12 — equi key + range predicate (ship within 30 days of order date).
+    // The equi key keeps it hash-joinable at scale; the range is a residual.
+    "join_range_interval" -> ((s, d) => {
+      val o = orders(s, d); val l = lineitem(s, d)
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") >= o("o_orderdate") &&
+          l("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .select(o("o_orderkey"), l("l_linenumber"), l("l_shipdate"))
+        .orderBy("o_orderkey", "l_linenumber")
+    }),
+    // C13 — 5-way star join region→nation→customer→orders→lineitem with
+    // exact-decimal revenue. Dims broadcast; fact joins shuffle on keys.
+    "join_multiway" -> ((s, d) => {
+      val r = region(s, d); val n = nation(s, d); val c = customer(s, d)
+      val o = orders(s, d); val l = lineitem(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(r("r_name"), n("n_name"))
+        .agg(
+          dec4Sum(l("l_extendedprice") * (lit(1) - l("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "join_inner_equi" ->
+      """SELECT o_orderkey, c_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_broadcast_dim" ->
+      """SELECT c_custkey, n_name, r_name
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY c_custkey""".stripMargin,
+    "join_left_outer" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer
+        |LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 150000) o
+        |  ON c_custkey = o.o_custkey
+        |ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""".stripMargin,
+    "join_full_outer" ->
+      """SELECT c.c_custkey, o.o_orderkey
+        |FROM (SELECT * FROM customer WHERE c_acctbal > 0) c
+        |FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 150000) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY c.c_custkey ASC NULLS FIRST, o.o_orderkey ASC NULLS FIRST""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_cross_theta" ->
+      """SELECT n_nationkey, r_regionkey
+        |FROM nation CROSS JOIN region
+        |WHERE n_regionkey <> r_regionkey
+        |ORDER BY n_nationkey, r_regionkey""".stripMargin,
+    "join_range_interval" ->
+      """SELECT o_orderkey, l_linenumber, l_shipdate
+        |FROM orders JOIN lineitem
+        |  ON o_orderkey = l_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
+    "join_multiway" ->
+      """SELECT r_name, n_name,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin
+  )
+}
+
+object TierCAgg {
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C14 — ungrouped aggregate; partial+final agg is free from Spark.
+    "agg_global" -> ((s, d) => {
+      lineitem(s, d).agg(
+        count(lit(1)).as("n"),
+        decSum(col("l_quantity")).as("sum_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        decAvg(col("l_quantity")).as("avg_qty"))
+    }),
+    // C15 — the flagship TPC-H-Q1-style pricing summary (also SparkEntry.entry).
+    // Map-side partial aggregation collapses 100 TB of lineitem to
+    // |groups| × partitions rows before the shuffle.
+    "agg_groupby_having" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          decSum(col("l_quantity")).as("sum_qty"),
+          decSum(col("l_extendedprice")).as("sum_base_price"),
+          dec4Sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          decAvg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .filter(col("count_order") > 10)
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    // C16 — exact COUNT(DISTINCT): expands to a two-stage distinct+count.
+    "agg_count_distinct" -> ((s, d) => {
+      orders(s, d).groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus")
+    }),
+    // C17 — HLL approximate distinct: single pass, fixed memory — the 100 TB
+    // path where exact distinct's shuffle is the bottleneck. Not
+    // oracle-hashable (approx); TierCSpec asserts ±5% of exact.
+    "agg_approx_distinct" -> ((s, d) => {
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .orderBy("l_returnflag")
+    }),
+    // C18 — ROLLUP grouping sets.
+    "agg_rollup" -> ((s, d) => {
+      lineitem(s, d).rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), decSum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+    // C19 — CUBE.
+    "agg_cube" -> ((s, d) => {
+      lineitem(s, d).cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+    // C20 — explicit GROUPING SETS + GROUPING() id via the SQL entry point.
+    "agg_grouping_sets" -> ((s, d) => {
+      lineitem(s, d).createOrReplaceTempView("gs_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+          |       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+          |       CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+          |FROM gs_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    }),
+    // C21 — deterministic array agg, surfaced as a joined string so the
+    // cross-engine hash is list-representation-independent (SURVEY §7.4.6).
+    "agg_collect_sorted" -> ((s, d) => {
+      lineitem(s, d).groupBy("l_orderkey")
+        .agg(array_join(
+          transform(sort_array(collect_list(col("l_linenumber"))),
+            x => x.cast("string")), ",").as("linenumbers"))
+        .orderBy("l_orderkey")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "agg_global" ->
+      """SELECT COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       MIN(l_quantity) AS min_qty,
+        |       MAX(l_quantity) AS max_qty,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |FROM lineitem""".stripMargin,
+    "agg_groupby_having" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |HAVING COUNT(*) > 10
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_count_distinct" ->
+      """SELECT o_orderstatus,
+        |       COUNT(DISTINCT o_custkey) AS n_cust,
+        |       COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |       CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "agg_collect_sorted" ->
+      """SELECT l_orderkey,
+        |       array_to_string(list(l_linenumber ORDER BY l_linenumber), ',') AS linenumbers
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+  )
+}
+
+object TierCWindow {
+  private def byStatus = Window.partitionBy("o_orderstatus")
+    .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+  private def byCust = Window.partitionBy("o_custkey")
+    .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C22 — ranking family. Window ordering carries a PK tiebreaker
+    // (o_orderkey) so ranks are deterministic across engines.
+    "win_rank_rownum" -> ((s, d) => {
+      orders(s, d).select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          row_number().over(byStatus).as("rn"),
+          rank().over(byStatus).as("rnk"),
+          dense_rank().over(byStatus).as("drnk"),
+          ntile(4).over(byStatus).as("quartile"))
+        .orderBy("o_orderkey")
+    }),
+    // C23 — lag/lead along each customer's order history.
+    "win_lag_lead" -> ((s, d) => {
+      orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"),
+          lag(col("o_totalprice"), 1).over(byCust).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(byCust).as("next_price"))
+        .orderBy("o_orderkey")
+    }),
+    // C24 — running total. Decimal inside the frame: DuckDB computes window
+    // sums with a segment tree, Spark incrementally — only exact decimal
+    // addition is order-independent (SURVEY §7.4.2).
+    "win_running_sum" -> ((s, d) => {
+      orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"),
+          sum(dec(col("o_totalprice")))
+            .over(byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_total"))
+        .orderBy("o_orderkey")
+    }),
+    // C25 — moving average over ROWS BETWEEN 3 PRECEDING AND CURRENT ROW.
+    "win_moving_avg" -> ((s, d) => {
+      val w4 = byCust.rowsBetween(-3, 0)
+      orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"),
+          (sum(dec(col("o_totalprice"))).over(w4).cast("double") /
+            count(lit(1)).over(w4)).as("moving_avg"))
+        .orderBy("o_orderkey")
+    }),
+    // C26 — first_value/last_value with an explicit full-partition frame
+    // (default frame would make last_value = current row).
+    "win_first_last" -> ((s, d) => {
+      val full = byCust.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"),
+          first(col("o_orderkey")).over(full).as("first_order"),
+          last(col("o_orderkey")).over(full).as("last_order"))
+        .orderBy("o_orderkey")
+    }),
+    // C27 — top-k per group: rank-filter, the scalable pattern (per-group
+    // heap via window; no global sort of the fact table).
+    "topk_per_group" -> ((s, d) => {
+      orders(s, d)
+        .withColumn("rn", row_number().over(byStatus))
+        .filter(col("rn") <= 3)
+        .select("o_orderstatus", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderstatus", "rn")
+    })
+  )
+
+  private val overStatus =
+    "OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC)"
+  private val overCust =
+    "OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC"
+
+  def oracle: Map[String, String] = Map(
+    "win_rank_rownum" ->
+      s"""SELECT o_orderkey, o_orderstatus, o_totalprice,
+         |       ROW_NUMBER() $overStatus AS rn,
+         |       RANK() $overStatus AS rnk,
+         |       DENSE_RANK() $overStatus AS drnk,
+         |       NTILE(4) $overStatus AS quartile
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "win_lag_lead" ->
+      s"""SELECT o_orderkey, o_custkey,
+         |       LAG(o_totalprice, 1) $overCust) AS prev_price,
+         |       LEAD(o_totalprice, 1) $overCust) AS next_price
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "win_running_sum" ->
+      s"""SELECT o_orderkey, o_custkey,
+         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+         |            $overCust ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |            AS DOUBLE) AS running_total
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "win_moving_avg" ->
+      s"""SELECT o_orderkey, o_custkey,
+         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+         |            $overCust ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |       / COUNT(*) $overCust ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+         |       AS moving_avg
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "win_first_last" ->
+      s"""SELECT o_orderkey, o_custkey,
+         |       FIRST_VALUE(o_orderkey) $overCust ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_order,
+         |       LAST_VALUE(o_orderkey) $overCust ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "topk_per_group" ->
+      s"""SELECT o_orderstatus, rn, o_orderkey, o_totalprice FROM (
+         |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+         |         ROW_NUMBER() $overStatus AS rn
+         |  FROM orders) t
+         |WHERE rn <= 3
+         |ORDER BY o_orderstatus, rn""".stripMargin
+  )
+}
+
+object TierCSortSet {
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C28 — multi-key sort with explicit NULLS placement (range-partitioned
+    // global sort in Spark; sampling picks balanced boundaries at scale).
+    "sort_multikey_nulls" -> ((s, d) => {
+      orders(s, d)
+        .select(col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("P")).as("st"),
+          col("o_totalprice"))
+        .orderBy(desc_nulls_last("st"), asc("o_orderkey"))
+    }),
+    // C29 — global top-k: Spark plans TakeOrderedAndProject (per-partition
+    // heaps + driver merge), never a full sort.
+    "limit_topk" -> ((s, d) => {
+      orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(20)
+    }),
+    // C30 — UNION ALL.
+    "set_union_all" -> ((s, d) => {
+      val c = customer(s, d).select(col("c_custkey").as("k"), lit("c").as("src"))
+      val su = supplier(s, d).select(col("s_suppkey").as("k"), lit("s").as("src"))
+      c.unionAll(su).orderBy("k", "src")
+    }),
+    // C31 — UNION (distinct).
+    "set_union_distinct" -> ((s, d) => {
+      val c = customer(s, d).select(col("c_nationkey").as("nk"))
+      val su = supplier(s, d).select(col("s_nationkey").as("nk"))
+      c.union(su).distinct().orderBy("nk")
+    }),
+    // C32 — INTERSECT.
+    "set_intersect" -> ((s, d) => {
+      val c = customer(s, d).select(col("c_nationkey").as("nk"))
+      val su = supplier(s, d).select(col("s_nationkey").as("nk"))
+      c.intersect(su).orderBy("nk")
+    }),
+    // C33 — EXCEPT.
+    "set_except" -> ((s, d) => {
+      val c = customer(s, d).select(col("c_nationkey").as("nk"))
+      val su = supplier(s, d).select(col("s_nationkey").as("nk"))
+      c.except(su).orderBy("nk")
+    }),
+    // C34 — SELECT DISTINCT (hash-distinct = groupBy on all cols).
+    "distinct_rows" -> ((s, d) => {
+      orders(s, d).select("o_orderstatus", "o_orderpriority")
+        .dropDuplicates()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "sort_multikey_nulls" ->
+      """SELECT o_orderkey, NULLIF(o_orderstatus,'P') AS st, o_totalprice
+        |FROM orders
+        |ORDER BY st DESC NULLS LAST, o_orderkey ASC""".stripMargin,
+    "limit_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+    "set_union_all" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey AS k, 'c' AS src FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey AS k, 's' AS src FROM supplier) t
+        |ORDER BY k, src""".stripMargin,
+    "set_union_distinct" ->
+      """SELECT nk FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  UNION
+        |  SELECT s_nationkey AS nk FROM supplier) t
+        |ORDER BY nk""".stripMargin,
+    "set_intersect" ->
+      """SELECT nk FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  INTERSECT
+        |  SELECT s_nationkey AS nk FROM supplier) t
+        |ORDER BY nk""".stripMargin,
+    "set_except" ->
+      """SELECT nk FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  EXCEPT
+        |  SELECT s_nationkey AS nk FROM supplier) t
+        |ORDER BY nk""".stripMargin,
+    "distinct_rows" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+  )
+}

@@ -1,0 +1,250 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+
+/** Tier C (continued) — scalar function families (C35-C42) and
+  * subquery/CTE entry points (C43-C45). SURVEY.md §2 C-vi/C-vii.
+  *
+  * All functions here are Spark built-ins (whole-stage-codegen'd); no UDFs —
+  * a UDF in the hot path would break codegen and cost ~an order of magnitude
+  * at 100 TB (builder mandate: functions, not UDFs).
+  *
+  * Dialect traps normalized per SURVEY §7.4.4: datediff arg order, dow
+  * origin, int-returning length/year (BIGINT in DuckDB, INT in Spark),
+  * regexp_replace global flag, 1-indexed substring/split_part.
+  */
+object TierCFunctions {
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C35 — string family.
+    "fn_string" -> ((s, d) => {
+      customer(s, d).select(
+          col("c_custkey"),
+          upper(col("c_name")).as("up"),
+          lower(col("c_mktsegment")).as("lo"),
+          length(col("c_name")).as("len"),
+          substring(col("c_name"), 1, 8).as("sub"),
+          concat(col("c_name"), lit("-"), col("c_mktsegment")).as("cat"),
+          regexp_replace(col("c_name"), lit("Customer"), lit("Cust")).as("rep"),
+          lpad(col("c_custkey").cast("string"), 12, "0").as("lp"),
+          trim(concat(lit("  "), col("c_name"), lit("  "))).as("trimmed"),
+          split_part(col("c_name"), lit("#"), lit(2)).as("id_part"))
+        .orderBy("c_custkey")
+    }),
+    // C36 — regexp family.
+    "fn_regexp" -> ((s, d) => {
+      customer(s, d).select(
+          col("c_custkey"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+          regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+          col("c_name").rlike("[0-9]{3}").as("has3digits"))
+        .orderBy("c_custkey")
+    }),
+    // C37 — date/time family.
+    "fn_date" -> ((s, d) => {
+      orders(s, d).select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          datediff(col("o_orderdate"), lit("1995-01-01")).as("days_since_95"),
+          date_add(col("o_orderdate"), 30).as("due_date"),
+          dayofweek(col("o_orderdate")).as("dow"))
+        .orderBy("o_orderkey")
+    }),
+    // C38 — math family. Every output is either exact integer math or an
+    // IEEE op on identical operands, so bits match across engines; no
+    // ln/log (libm implementations differ by ulps — SURVEY §7.4).
+    "fn_math" -> ((s, d) => {
+      lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_discount") * 100).cast("long").as("disc_pct"),
+          abs(col("l_quantity") - 25.0).as("qty_dev"),
+          floor(col("l_quantity")).as("qty_floor"),
+          ceil(col("l_quantity")).as("qty_ceil"),
+          pow(lit(2), col("l_linenumber")).cast("long").as("pow2"),
+          (col("l_orderkey") % 7).as("mod7"),
+          signum(col("l_quantity") - 25.0).cast("int").as("sgn"),
+          sqrt(col("l_quantity")).as("qty_sqrt"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    // C39 — conditional family.
+    "fn_cond" -> ((s, d) => {
+      orders(s, d).select(
+          col("o_orderkey"),
+          greatest(col("o_totalprice"), lit(50000.0)).as("g"),
+          least(col("o_totalprice"), lit(50000.0)).as("l"),
+          coalesce(nullif(col("o_orderstatus"), lit("F")), lit("was_f")).as("c"),
+          when(col("o_totalprice") > 50000, "hi").otherwise("lo").as("flag"))
+        .orderBy("o_orderkey")
+    }),
+    // C40 — array family + higher-order functions over tokenized text.
+    // Integer-only folds (lengths) so the HOF aggregate is exact.
+    "fn_array" -> ((s, d) => {
+      documents(s, d)
+        .withColumn("tokens", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("tokens")).as("n_tokens"),
+          array_join(slice(col("tokens"), 1, 3), " ").as("first3"),
+          array_join(slice(sort_array(col("tokens")), 1, 3), " ").as("sorted3"),
+          size(filter(col("tokens"), x => length(x) > 5)).as("n_long"),
+          aggregate(transform(col("tokens"), x => length(x).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("char_sum"))
+        .orderBy("doc_id")
+    }),
+    // C41 — table-generating explode (Catalyst Generator / UDTF surface).
+    // Bounded to doc_id < 200 to keep the verify dump small; the operator
+    // itself streams row-by-row, no memory blowup at scale.
+    "fn_explode" -> ((s, d) => {
+      documents(s, d)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .orderBy("doc_id", "token")
+    }),
+    // C42 — JSON extraction from events.props.
+    "fn_json" -> ((s, d) => {
+      events(s, d).select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+        .orderBy("event_id")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT c_custkey,
+        |       upper(c_name) AS up,
+        |       lower(c_mktsegment) AS lo,
+        |       CAST(length(c_name) AS INT) AS len,
+        |       substring(c_name, 1, 8) AS sub,
+        |       concat(c_name, '-', c_mktsegment) AS cat,
+        |       replace(c_name, 'Customer', 'Cust') AS rep,
+        |       lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS lp,
+        |       trim('  ' || c_name || '  ') AS trimmed,
+        |       split_part(c_name, '#', 2) AS id_part
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "fn_regexp" ->
+      """SELECT c_custkey,
+        |       regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+        |       regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+        |       regexp_matches(c_name, '[0-9]{3}') AS has3digits
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "fn_date" ->
+      """SELECT o_orderkey,
+        |       CAST(year(o_orderdate) AS INT) AS yr,
+        |       CAST(month(o_orderdate) AS INT) AS mo,
+        |       CAST(day(o_orderdate) AS INT) AS dom,
+        |       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |       CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_95,
+        |       CAST(o_orderdate AS DATE) + 30 AS due_date,
+        |       CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+        |       abs(l_quantity - 25.0) AS qty_dev,
+        |       CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+        |       CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+        |       CAST(power(2, l_linenumber) AS BIGINT) AS pow2,
+        |       l_orderkey % 7 AS mod7,
+        |       CAST(sign(l_quantity - 25.0) AS INT) AS sgn,
+        |       sqrt(l_quantity) AS qty_sqrt
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "fn_cond" ->
+      """SELECT o_orderkey,
+        |       greatest(o_totalprice, 50000.0) AS g,
+        |       least(o_totalprice, 50000.0) AS l,
+        |       coalesce(nullif(o_orderstatus, 'F'), 'was_f') AS c,
+        |       CASE WHEN o_totalprice > 50000 THEN 'hi' ELSE 'lo' END AS flag
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_array" ->
+      """SELECT doc_id,
+        |       CAST(len(str_split(text, ' ')) AS INT) AS n_tokens,
+        |       array_to_string(str_split(text, ' ')[1:3], ' ') AS first3,
+        |       array_to_string(list_sort(str_split(text, ' '))[1:3], ' ') AS sorted3,
+        |       CAST(len(list_filter(str_split(text, ' '), x -> length(x) > 5)) AS INT) AS n_long,
+        |       CAST(list_aggregate(list_transform(str_split(text, ' '), x -> length(x)), 'sum') AS BIGINT) AS char_sum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "fn_explode" ->
+      """SELECT doc_id, unnest(str_split(text, ' ')) AS token
+        |FROM documents WHERE doc_id < 200
+        |ORDER BY doc_id, token""".stripMargin,
+    "fn_json" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}
+
+/** C43-C45 — scalar subquery, IN/EXISTS correlated subqueries, CTE via the
+  * full SQL text entry point. Catalyst decorrelates EXISTS/IN into
+  * semi-joins (RewriteCorrelatedScalarSubquery etc.) — asserted good enough
+  * by the oracle match; no hand-rolled rewrite needed. */
+object TierCSubquery {
+  private def views(s: SparkSession, d: String): Unit = {
+    orders(s, d).createOrReplaceTempView("orders")
+    customer(s, d).createOrReplaceTempView("customer")
+    nation(s, d).createOrReplaceTempView("nation")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C43 — scalar subquery threshold. Mean computed as exact decimal sum /
+    // count in BOTH engines so the comparison threshold is bit-identical
+    // (a ulp-different AVG(double) could flip boundary rows).
+    "subq_scalar" -> ((s, d) => {
+      views(s, d)
+      s.sql(
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+    // C44 — IN subquery + correlated EXISTS.
+    "subq_in_correlated" -> ((s, d) => {
+      views(s, d)
+      s.sql(
+        """SELECT c_custkey, c_name FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+          |  AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+    // C45 — WITH CTE, full SQL entry.
+    "cte_sql_entry" -> ((s, d) => {
+      views(s, d)
+      s.sql(
+        """WITH co AS (
+          |  SELECT o_custkey, COUNT(*) AS n_orders,
+          |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+          |  FROM orders GROUP BY o_custkey)
+          |SELECT c.c_custkey, c.c_name, co.n_orders, co.total_spent
+          |FROM customer c JOIN co ON co.o_custkey = c.c_custkey
+          |WHERE co.n_orders >= 5
+          |ORDER BY c.c_custkey""".stripMargin)
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "subq_scalar" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "subq_in_correlated" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+        |  AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+        |ORDER BY c_custkey""".stripMargin,
+    "cte_sql_entry" ->
+      """WITH co AS (
+        |  SELECT o_custkey, COUNT(*) AS n_orders,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c.c_custkey, c.c_name, co.n_orders, co.total_spent
+        |FROM customer c JOIN co ON co.o_custkey = c.c_custkey
+        |WHERE co.n_orders >= 5
+        |ORDER BY c.c_custkey""".stripMargin
+  )
+}

@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.core.Tables._
+
+/** Tier D — streaming / incremental semantics (SURVEY.md §2 Tier D).
+  *
+  * Evidence in the reference: Glue Job Bookmarks ("process only new files",
+  * README.md:145) and S3 object-create event triggers (README.md:191-199, the
+  * 6-line Lambda at :182-188). Spark-first mapping: Structured Streaming.
+  *
+  * D1-D3 are the *batch forms* of the window aggregations — the exact same
+  * `window()`/`session_window()` expressions run unchanged under readStream
+  * (proved in TierDSpec with MemoryStream); the batch form is what the
+  * DuckDB oracle can check. D4-D6 are genuinely stateful and unit-tier.
+  *
+  * events.ts is ns-precision at rest; Spark truncates to µs on read, so every
+  * oracle first casts ts to µs TIMESTAMP the same way (SURVEY §7.4.3).
+  */
+object TierD {
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // D1 — tumbling 1h window per event_type. At scale this is a streaming
+    // shuffle on (window, type) with partial aggregation; watermarking (D4)
+    // bounds state.
+    "stream_tumbling" -> ((s, d) => {
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), decSum(col("value")).as("sum_value"))
+        .select(col("w.start").as("wstart"), col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy("wstart", "event_type")
+    }),
+    // D2 — sliding 1h window, 15m slide: each event expands to 4 windows.
+    "stream_sliding" -> ((s, d) => {
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("w.start").as("wstart"), col("event_type"), col("cnt"))
+        .orderBy("wstart", "event_type")
+    }),
+    // D3 — session windows, 30-minute gap, per user.
+    "stream_session" -> ((s, d) => {
+      events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"), col("w.start").as("session_start"), col("cnt"))
+        .orderBy("user_id", "session_start")
+    }),
+    // D4 — watermark + late-data drop (unit-tier; TierDSpec drives event-time
+    // through MemoryStream). Here: the same watermarked aggregation executed
+    // via the streaming engine over the parquet as a file stream, AvailableNow.
+    "stream_watermark_late" -> ((s, d) => {
+      val stream = eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      runToMemory(s, stream, "wm_late_out")
+        .select(col("window.start").as("wstart"), col("event_type"), col("cnt"))
+        .orderBy("wstart", "event_type")
+    }),
+    // D5 — stateful streaming dedup by event_id within the watermark.
+    "stream_dedup_stateful" -> ((s, d) => {
+      val stream = eventsStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("event_id")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      runToMemory(s, stream, "dedup_out", complete = true)
+        .orderBy("event_type")
+    }),
+    // D6 — bookmark semantics end-to-end (reference README.md:145): a file
+    // source with checkpoint processes each file exactly once; the second
+    // AvailableNow run emits only newly-landed files. TierDSpec asserts the
+    // no-reprocess property; here one pass over the events file.
+    "stream_foreachbatch_pipeline" -> ((s, d) => {
+      val sink = java.nio.file.Files.createTempDirectory("graft_fb_sink").toString
+      val q = eventsStream(s, d)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // The micro-batch is materialized to the sink inside the batch —
+          // the Glue-job "load" step of the incremental pipeline.
+          batch.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+            .write.mode("append").parquet(sink)
+          ()
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_fb_ckpt").toString)
+        .start()
+      q.awaitTermination()
+      s.read.parquet(sink).groupBy("event_type")
+        .agg(sum("cnt").as("cnt")).orderBy("event_type")
+    })
+  )
+
+  /** Run a streaming DataFrame to a memory sink synchronously (AvailableNow
+    * processes the full backlog then stops — the Job-Bookmark execution mode). */
+  private def runToMemory(s: SparkSession, df: DataFrame, name: String,
+      complete: Boolean = false): DataFrame = {
+    val q = df.writeStream
+      .format("memory").queryName(name)
+      .outputMode(if (complete) "complete" else "append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory(s"graft_${name}_ckpt").toString)
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  // Oracles: D1-D3 only (batch-expressible). ts normalized to µs first.
+  def oracle: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS wstart,
+        |       event_type, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+    "stream_sliding" ->
+      """SELECT make_timestamp((CAST(floor((epoch(CAST(ts AS TIMESTAMP)) - o.off)/3600) AS BIGINT)*3600 + o.off) * 1000000) AS wstart,
+        |       event_type, COUNT(*) AS cnt
+        |FROM events CROSS JOIN (VALUES (0),(900),(1800),(2700)) AS o(off)
+        |GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+    "stream_session" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS cnt
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
+  )
+}

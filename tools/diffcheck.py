@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/diffcheck.py <sfDir> <verifyOutDir> [query ...]
+
+Reads <verifyOutDir>/oracle_sql.json, registers DuckDB views over the
+parquet tables in <sfDir>, runs each oracle SQL, and compares against the
+Spark result parquet in <verifyOutDir>/<name>/. Reports per-query
+row-count / schema / value match.
+"""
+import json, sys, glob, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def compare(name, sf_dir, out_dir, con):
+    sql = ORACLE[name]
+    spark_files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+    if not spark_files:
+        return f"FAIL {name}: no spark output"
+    spark = con.execute(
+        f"SELECT * FROM read_parquet({spark_files!r})").fetch_arrow_table()
+    try:
+        oracle = con.execute(sql).fetch_arrow_table()
+    except Exception as e:
+        return f"FAIL {name}: oracle error: {e}"
+    sc = sorted(spark.column_names)
+    oc = sorted(oracle.column_names)
+    if sc != oc:
+        return f"FAIL {name}: columns spark={sc} oracle={oc}"
+    if spark.num_rows != oracle.num_rows:
+        return f"FAIL {name}: rows spark={spark.num_rows} oracle={oracle.num_rows}"
+    s_rows = spark.select(sc).to_pylist()
+    o_rows = oracle.select(oc).to_pylist()
+    for i, (a, b) in enumerate(zip(s_rows, o_rows)):
+        for c in sc:
+            va, vb = norm_cell(a[c]), norm_cell(b[c])
+            if va != vb:
+                if isinstance(va, float) and isinstance(vb, float):
+                    return (f"FAIL {name}: row {i} col {c}: "
+                            f"spark={va!r} oracle={vb!r} diff={va-vb:.3e}")
+                return (f"FAIL {name}: row {i} col {c}: "
+                        f"spark={va!r} ({type(va).__name__}) "
+                        f"oracle={vb!r} ({type(vb).__name__})")
+    return f"OK   {name}: {spark.num_rows} rows"
+
+
+if __name__ == "__main__":
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    ORACLE = json.load(open(f"{out_dir}/oracle_sql.json"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    names = sorted(n for n in ORACLE if not only or n in only)
+    fails = 0
+    for n in names:
+        r = compare(n, sf_dir, out_dir, con)
+        print(r)
+        if r.startswith("FAIL"):
+            fails += 1
+    print(f"\n{len(names) - fails}/{len(names)} oracle queries match")
+    sys.exit(1 if fails else 0)
