@@ -17,7 +17,10 @@ object CsvSource {
 
   def read(spark: SparkSession, path: String,
       schema: Option[StructType] = None): DataFrame = {
-    val r = spark.read.options(options)
+    // multiLine: OpenCSVSerde parses embedded newlines inside quoted fields.
+    // Scale note: multiLine forces whole-file (not split) reads — at 100 TB
+    // keep individual CSV objects small (the S3 ingest layout already does).
+    val r = spark.read.options(options).option("multiLine", "true")
     schema match {
       case Some(st) => r.schema(st).csv(path)
       case None     => r.option("inferSchema", "true").csv(path)

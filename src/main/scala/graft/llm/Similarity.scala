@@ -96,8 +96,10 @@ object Similarity {
       val pairs = a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"),
           cosine(col("a_v"), col("b_v")).as("sim"))
-        .filter(col("sim") > 0.9)
-      pairs.select("a_id", "b_id").orderBy("a_id", "b_id")
+      // top-100 most similar candidate pairs (rank, not threshold: stays
+      // non-empty at any SF; total order via PK tiebreak)
+      pairs.orderBy(desc("sim"), asc("a_id"), asc("b_id")).limit(100)
+        .select("a_id", "b_id")
     })
   )
 

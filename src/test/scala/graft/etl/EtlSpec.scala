@@ -1,0 +1,102 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Tier A unit-tier assertions (SURVEY §5.2): CSV serde edge cases, add-only
+  * schema evolution, bookmark no-reprocess, event-filter exclusion. */
+class EtlSpec extends SparkSpec {
+
+  test("A2: CSV round-trips quotes, commas, newlines, backslashes") {
+    import spark.implicits._
+    val dir = tmpDir("csv_rt")
+    val rows = Seq(
+      (1L, """plain"""),
+      (2L, """has,comma"""),
+      (3L, """has"quote"""),
+      (4L, "has\nnewline"),
+      (5L, """has\backslash"""),
+      (6L, """both",and\more"""))
+    val df = rows.toDF("id", "s")
+    CsvSource.write(df, dir)
+    val back = CsvSource.read(spark, dir,
+        Some(StructType(Seq(StructField("id", LongType), StructField("s", StringType)))))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(back == rows)
+  }
+
+  test("A5: add-only merge keeps existing types, appends new fields") {
+    val v1 = StructType(Seq(
+      StructField("a", IntegerType, nullable = false),
+      StructField("b", StringType)))
+    val v2 = StructType(Seq(
+      StructField("a", LongType), // retype attempt — must be ignored
+      StructField("b", StringType),
+      StructField("c", DoubleType, nullable = false))) // new — appended nullable
+    val merged = SchemaEvolution.addOnlyMerge(v1, v2)
+    assert(merged.fieldNames.toSeq == Seq("a", "b", "c"))
+    assert(merged("a").dataType == IntegerType, "existing field was retyped")
+    assert(merged("c").dataType == DoubleType)
+    assert(merged("c").nullable, "appended field must be nullable")
+    // idempotent + drop attempt does not drop
+    assert(SchemaEvolution.addOnlyMerge(merged, v2) == merged)
+    assert(SchemaEvolution.addOnlyMerge(merged, StructType(Seq(v1("a")))) == merged)
+  }
+
+  test("A5: crawler re-crawl applies the add-only policy") {
+    val dir1 = tmpDir("crawl1"); val dir2 = tmpDir("crawl2")
+    import graft.core.Tables
+    val crawler = new Crawler(spark)
+    CsvSource.write(Tables.region(spark, sf), dir1)
+    crawler.crawl(dir1, "evo_spec_region")
+    CsvSource.write(Tables.region(spark, sf)
+      .withColumn("r_extra", lit(1.5)), dir2)
+    val df2 = crawler.crawl(dir2, "evo_spec_region")
+    val sch = crawler.schemaOf("evo_spec_region").get
+    assert(sch.fieldNames.toSeq == Seq("r_regionkey", "r_name", "r_extra"))
+    assert(df2.count() == 5)
+  }
+
+  test("A8: bookmark runs never reprocess already-seen files") {
+    val src = tmpDir("bm_src"); val ckpt = tmpDir("bm_ckpt"); val sink = tmpDir("bm_sink")
+    import graft.core.Tables
+    val n = Tables.nation(spark, sf)
+    n.filter(col("n_nationkey") < 10)
+      .write.options(CsvSource.options).mode("append").csv(src)
+    Incremental.runAvailableNow(spark, src, n.schema, ckpt, sink)
+    assert(spark.read.parquet(sink).count() == 10)
+    // no new files → second run emits nothing new
+    Incremental.runAvailableNow(spark, src, n.schema, ckpt, sink)
+    assert(spark.read.parquet(sink).count() == 10, "re-run reprocessed old files")
+    // one new batch → exactly its rows are appended
+    n.filter(col("n_nationkey") >= 10)
+      .write.options(CsvSource.options).mode("append").csv(src)
+    Incremental.runAvailableNow(spark, src, n.schema, ckpt, sink)
+    assert(spark.read.parquet(sink).count() == 25)
+  }
+
+  test("A9: suffix filter excludes non-matching files") {
+    val src = tmpDir("ev_src"); val ckpt = tmpDir("ev_ckpt"); val sink = tmpDir("ev_sink")
+    import graft.core.Tables
+    val r = Tables.region(spark, sf)
+    CsvSource.write(r, src)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$src/decoy.txt"),
+      "r_regionkey,r_name\n99,DECOY\n")
+    Incremental.runAvailableNow(spark, src, r.schema, ckpt, sink, Some("*.csv"))
+    val out = spark.read.parquet(sink)
+    assert(out.count() == 5)
+    assert(out.filter(col("r_name") === "DECOY").count() == 0)
+  }
+
+  test("A6: JDBC sink round-trips through embedded Derby") {
+    import graft.core.Tables
+    val sinkObj = JdbcSink(s"jdbc:derby:${tmpDir("derby_spec")}/db;create=true",
+      "REGION_RT")
+    sinkObj.write(Tables.region(spark, sf))
+    val back = sinkObj.read(spark)
+    assert(back.count() == 5)
+    assert(back.columns.map(_.toLowerCase).toSet ==
+      Set("r_regionkey", "r_name"))
+  }
+}

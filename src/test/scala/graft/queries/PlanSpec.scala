@@ -1,0 +1,71 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions (SURVEY §4): the scale properties the engine relies
+  * on — broadcast dimension joins, parquet predicate pushdown, column
+  * pruning, TakeOrderedAndProject for top-k — must be visible in the
+  * physical plan, not assumed. */
+class PlanSpec extends SparkSpec {
+
+  private def executedPlan(name: String): String =
+    SparkEntryPlan(name).queryExecution.executedPlan.toString
+
+  private def SparkEntryPlan(name: String) =
+    graft.SparkEntry.queries(name)(spark, sf)
+
+  test("C6: dimension joins are broadcast, not shuffled") {
+    val plan = executedPlan("join_broadcast_dim")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "a 25-row dimension must never sort-merge against the probe side")
+  }
+
+  test("C1: filters are pushed to the parquet scan") {
+    val plan = executedPlan("filter_compare")
+    assert(plan.contains("PushedFilters: [IsNotNull") ||
+      plan.contains("PushedFilters: [GreaterThan"),
+      s"no pushed filters in:\n$plan")
+  }
+
+  test("B1: projection prunes the parquet read schema") {
+    val df = Tables.customer(spark, sf).select("c_custkey", "c_name")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<c_custkey:bigint,c_name:string>"),
+      s"scan reads more than the projection needs:\n$scan")
+  }
+
+  test("C29: global top-k plans TakeOrderedAndProject, not a full sort") {
+    val plan = executedPlan("limit_topk")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k plan:\n$plan")
+  }
+
+  test("C15: aggregation is partial+final (map-side combine)") {
+    val plan = executedPlan("agg_groupby_having")
+    assert(plan.contains("partial_"), s"no partial aggregation in:\n$plan")
+  }
+
+  test("C17: approx distinct is within 5% of exact") {
+    val approx = SparkEntryPlan("agg_approx_distinct")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"flag $k: approx=$a exact=$e")
+    }
+  }
+
+  test("whole-stage codegen covers the flagship aggregate") {
+    // AQE only materializes codegen spans in the final plan — execute first.
+    val df = SparkEntryPlan("agg_groupby_having")
+    df.collect()
+    // codegen spans print as "*(n) Operator" in the simple plan string
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) HashAggregate") || plan.contains("WholeStageCodegen"),
+      s"no codegen span in:\n$plan")
+  }
+}

@@ -1,0 +1,85 @@
+package graft.queries
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Tier D stateful-streaming assertions (SURVEY §5.2/§7.3 hard #4):
+  * event-time injected through MemoryStream, never wall-clock sleeps. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("D4: watermark drops late data in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = input.toDF().toDF("ts", "kind")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"), $"kind")
+      .agg(count(lit(1)).as("cnt"))
+    val q = agg.writeStream.format("memory").queryName("wm_spec")
+      .outputMode("append").start()
+    try {
+      // batch 1: two rows in the 10:00 window
+      input.addData(ts("2024-01-01 10:05:00") -> "a", ts("2024-01-01 10:20:00") -> "a")
+      q.processAllAvailable()
+      // batch 2: watermark advances well past 11:00 → 10:00 window finalizes
+      input.addData(ts("2024-01-01 12:30:00") -> "a")
+      q.processAllAvailable()
+      // batch 3: a LATE row for the already-finalized 10:00 window → dropped
+      input.addData(ts("2024-01-01 10:40:00") -> "a")
+      q.processAllAvailable()
+      // batch 4: advance far enough to flush every open window
+      input.addData(ts("2024-01-01 15:00:00") -> "a")
+      q.processAllAvailable()
+      val out = spark.table("wm_spec")
+        .select(col("window.start").cast("string").as("w"), col("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out("2024-01-01 10:00:00") == 2,
+        s"late row was counted (or early rows lost): $out")
+    } finally q.stop()
+  }
+
+  test("D5: streaming dedup emits each event_id once across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val dedup = input.toDF().toDF("ts", "event_id")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+    val q = dedup.writeStream.format("memory").queryName("dd_spec")
+      .outputMode("append").start()
+    try {
+      input.addData(ts("2024-01-01 10:00:00") -> 1L, ts("2024-01-01 10:01:00") -> 2L)
+      q.processAllAvailable()
+      // same ids again in a later batch + one new id
+      input.addData(ts("2024-01-01 10:02:00") -> 1L, ts("2024-01-01 10:03:00") -> 2L,
+        ts("2024-01-01 10:04:00") -> 3L)
+      q.processAllAvailable()
+      val ids = spark.table("dd_spec").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L), s"dedup emitted: $ids")
+    } finally q.stop()
+  }
+
+  test("D1: streaming tumbling counts equal the batch form") {
+    val batch = graft.SparkEntry.queries("stream_tumbling")(spark, sf)
+      .select(col("wstart").cast("string"), col("event_type"), col("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val stream = Tables.eventsStream(spark, sf)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = stream.writeStream.format("memory").queryName("tumb_spec")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val streamed = spark.table("tumb_spec")
+      .select(col("w.start").cast("string"), col("event_type"), col("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch,
+      s"stream/batch divergence: ${streamed.toSet.diff(batch.toSet).take(5)}")
+  }
+}
