@@ -18,6 +18,17 @@ import org.apache.spark.sql.types._
   */
 object Tables {
 
+  /** Scratch dir for checkpoints/staging; prefers tmpfs (/dev/shm) so
+    * streaming state-store commits don't pay disk fsync in local runs. On a
+    * real cluster these would live on the DFS. */
+  def scratchDir(prefix: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(base, prefix).toString
+  }
+
   /** Read one driver table. Path layout per /root/repo/TESTDATA.md. */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
@@ -45,7 +56,7 @@ object Tables {
   def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$d/events.parquet").schema // ts: LongType nanos
-    val dir = java.nio.file.Files.createTempDirectory("graft_events_src")
+    val dir = java.nio.file.Paths.get(scratchDir("graft_events_src"))
     java.nio.file.Files.createSymbolicLink(
       dir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$d/events.parquet"))

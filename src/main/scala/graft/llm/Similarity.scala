@@ -46,6 +46,21 @@ object Similarity {
       when(proj > 0, shiftleft(lit(1L), i)).otherwise(0L)
     }.reduce(_ + _)
 
+  /** Near-dup dedup over an embedding table (vec_id, embedding, label):
+    * each vector maps to the smallest earlier same-label vec_id whose cosine
+    * exceeds `threshold`. */
+  def embeddingCosineDedup(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_v"),
+      col("label"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_v"),
+      col("label"))
+    a.join(b, Seq("label")).filter(col("b_id") < col("a_id"))
+      .filter(cosine(col("a_v"), col("b_v")) > threshold)
+      .groupBy(col("a_id").as("vec_id"))
+      .agg(min(col("b_id")).as("keeper"))
+      .orderBy("vec_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E4 — exact top-10 cosine neighbours of vec_id=0. Similarity itself is
     // engine-local float math, so only the *ranking* (with PK tiebreak) is
@@ -81,6 +96,15 @@ object Similarity {
         .select("a_id", "b_id", "label")
         .orderBy("a_id")
     }),
+    // Embedding-cosine near-dup verdicts (builder mandate): vectors whose
+    // cosine to an earlier same-label vector exceeds a threshold map to that
+    // keeper. Label blocking bounds the pair space (the IVF idea); verdict
+    // output stays linear in vectors. Production dedup uses ~0.95; this
+    // synthetic corpus tops out at 0.45 same-label cosine, so the query runs
+    // at 0.3 to exercise the operator non-trivially. Rows-only (cosine
+    // thresholds on engine-local float math are not cross-engine hashable).
+    "dedup_embedding_cosine" -> ((s, d) =>
+      embeddingCosineDedup(embeddings(s, d), threshold = 0.3)),
     // ANN scale path — LSH sign-projection buckets, exact cosine re-rank
     // within buckets only (rows-only check; SimilaritySpec asserts recall
     // against brute force).

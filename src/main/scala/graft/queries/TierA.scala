@@ -12,8 +12,7 @@ import graft.etl._
   */
 object TierA {
 
-  private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+  private def tmp(prefix: String): String = scratchDir(prefix)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1 — columnar scan (README.md:113 data-store selection). Projection is

@@ -73,7 +73,7 @@ object TierD {
     // AvailableNow run emits only newly-landed files. TierDSpec asserts the
     // no-reprocess property; here one pass over the events file.
     "stream_foreachbatch_pipeline" -> ((s, d) => {
-      val sink = java.nio.file.Files.createTempDirectory("graft_fb_sink").toString
+      val sink = scratchDir("graft_fb_sink")
       val q = eventsStream(s, d)
         .writeStream.trigger(Trigger.AvailableNow())
         .outputMode("append")
@@ -85,7 +85,7 @@ object TierD {
           ()
         }
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft_fb_ckpt").toString)
+          scratchDir("graft_fb_ckpt"))
         .start()
       q.awaitTermination()
       s.read.parquet(sink).groupBy("event_type")
@@ -102,7 +102,7 @@ object TierD {
       .outputMode(if (complete) "complete" else "append")
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory(s"graft_${name}_ckpt").toString)
+        scratchDir(s"graft_${name}_ckpt"))
       .start()
     q.awaitTermination()
     s.table(name)
