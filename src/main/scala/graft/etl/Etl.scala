@@ -13,7 +13,10 @@ import org.apache.spark.sql.types._
   * separatorChar=',', quoteChar='"', escapeChar='\'. */
 object CsvSource {
   val options: Map[String, String] = Map(
-    "sep" -> ",", "quote" -> "\"", "escape" -> "\\", "header" -> "true")
+    "sep" -> ",", "quote" -> "\"", "escape" -> "\\", "header" -> "true",
+    // Spark's CSV writer trims surrounding whitespace by default;
+    // OpenCSVSerde preserves it — pin off for round-trip fidelity.
+    "ignoreLeadingWhiteSpace" -> "false", "ignoreTrailingWhiteSpace" -> "false")
 
   def read(spark: SparkSession, path: String,
       schema: Option[StructType] = None): DataFrame = {

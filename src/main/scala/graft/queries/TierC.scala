@@ -156,6 +156,18 @@ object TierCJoins {
         .select(o("o_orderkey"), l("l_linenumber"), l("l_shipdate"))
         .orderBy("o_orderkey", "l_linenumber")
     }),
+    // C5b — fact⋈part dimension rollup: revenue per brand (exercises the
+    // part table; p_brand is low-cardinality so the aggregate collapses
+    // map-side after a broadcast-joined scan).
+    "join_part_rollup" -> ((s, d) => {
+      val p = part(s, d); val l = lineitem(s, d)
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .groupBy(p("p_brand"))
+        .agg(dec4Sum(l("l_extendedprice") * (lit(1) - l("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"),
+          max(p("p_retailprice")).as("max_retail"))
+        .orderBy("p_brand")
+    }),
     // C13 — 5-way star join region→nation→customer→orders→lineitem with
     // exact-decimal revenue. Dims broadcast; fact joins shuffle on keys.
     "join_multiway" -> ((s, d) => {
@@ -218,6 +230,13 @@ object TierCJoins {
         | AND l_shipdate >= o_orderdate
         | AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
         |ORDER BY o_orderkey, l_linenumber""".stripMargin,
+    "join_part_rollup" ->
+      """SELECT p_brand,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items,
+        |       MAX(p_retailprice) AS max_retail
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "join_multiway" ->
       """SELECT r_name, n_name,
         |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
