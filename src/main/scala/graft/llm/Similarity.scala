@@ -21,15 +21,28 @@ import graft.core.Tables._
   */
 object Similarity {
 
-  /** Elementwise-double dot product of two float vectors, fully codegen'd. */
+  /** Dot product of two vector columns — a native codegen'd expression
+    * (graft.functions.DotProduct): one fused primitive loop, no per-element
+    * interpreted lambdas. Works on float and double arrays. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorOps.dot_product(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Attach a unit-normalized double copy of `vec` as `out`. Pairwise
+    * similarity stages normalize each side ONCE per row, so the per-pair
+    * work is a single dot product instead of three (cosine recomputes both
+    * norms per pair — 3× the flops on an m×n pair space). */
+  def withUnitVec(df: DataFrame, vec: String, out: String): DataFrame =
+    df.withColumn("graft_nrm", norm(col(vec)))
+      .withColumn(out, transform(col(vec), x => x.cast("double") / col("graft_nrm")))
+      .drop("graft_nrm")
+
+  /** Dot product of two already-double arrays (same native expression). */
+  def dotD(a: Column, b: Column): Column =
+    graft.functions.VectorOps.dot_product(a, b)
 
   /** Deterministic pseudo-random unit-free hyperplanes for LSH bucketing. */
   private[llm] def hyperplanes(n: Int, dim: Int): Seq[Array[Double]] = {
@@ -50,12 +63,13 @@ object Similarity {
     * each vector maps to the smallest earlier same-label vec_id whose cosine
     * exceeds `threshold`. */
   def embeddingCosineDedup(emb: DataFrame, threshold: Double): DataFrame = {
-    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_v"),
+    val unit = withUnitVec(emb, "embedding", "uv")
+    val a = unit.select(col("vec_id").as("a_id"), col("uv").as("a_v"),
       col("label"))
-    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_v"),
+    val b = unit.select(col("vec_id").as("b_id"), col("uv").as("b_v"),
       col("label"))
     a.join(b, Seq("label")).filter(col("b_id") < col("a_id"))
-      .filter(cosine(col("a_v"), col("b_v")) > threshold)
+      .filter(dotD(col("a_v"), col("b_v")) > threshold)
       .groupBy(col("a_id").as("vec_id"))
       .agg(min(col("b_id")).as("keeper"))
       .orderBy("vec_id")
@@ -81,15 +95,15 @@ object Similarity {
     // E5 — nearest neighbour per probe vector within its label block
     // (probe set capped at vec_id < 200 so bench cost stays linear-ish).
     "knn_pairs_label" -> ((s, d) => {
-      val emb = embeddings(s, d)
-      val probes = emb.filter(col("vec_id") < 200)
-        .select(col("vec_id").as("a_id"), col("embedding").as("a_v"), col("label"))
-      val cands = emb
-        .select(col("vec_id").as("b_id"), col("embedding").as("b_v"), col("label"))
+      val unit = withUnitVec(embeddings(s, d), "embedding", "uv")
+      val probes = unit.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("a_id"), col("uv").as("a_v"), col("label"))
+      val cands = unit
+        .select(col("vec_id").as("b_id"), col("uv").as("b_v"), col("label"))
       val pairs = probes.join(cands, Seq("label"))
         .filter(col("a_id") =!= col("b_id"))
         .select(col("label"), col("a_id"), col("b_id"),
-          cosine(col("a_v"), col("b_v")).as("sim"))
+          dotD(col("a_v"), col("b_v")).as("sim"))
       val w = Window.partitionBy("a_id").orderBy(desc("sim"), asc("b_id"))
       pairs.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -110,16 +124,16 @@ object Similarity {
     // against brute force).
     "knn_lsh_bucketed" -> ((s, d) => {
       val planes = hyperplanes(8, 64)
-      val emb = embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
-          lshBucket(col("embedding"), planes).as("bucket"))
-      val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_v"),
+      val emb = withUnitVec(embeddings(s, d), "embedding", "uv")
+        .select(col("vec_id"), col("uv"),
+          lshBucket(col("uv"), planes).as("bucket"))
+      val a = emb.select(col("vec_id").as("a_id"), col("uv").as("a_v"),
         col("bucket"))
-      val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_v"),
+      val b = emb.select(col("vec_id").as("b_id"), col("uv").as("b_v"),
         col("bucket"))
       val pairs = a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"),
-          cosine(col("a_v"), col("b_v")).as("sim"))
+          dotD(col("a_v"), col("b_v")).as("sim"))
       // top-100 most similar candidate pairs (rank, not threshold: stays
       // non-empty at any SF; total order via PK tiebreak)
       pairs.orderBy(desc("sim"), asc("a_id"), asc("b_id")).limit(100)

@@ -72,7 +72,7 @@ object TierD {
     // source with checkpoint processes each file exactly once; the second
     // AvailableNow run emits only newly-landed files. TierDSpec asserts the
     // no-reprocess property; here one pass over the events file.
-    "stream_foreachbatch_pipeline" -> ((s, d) => {
+    "stream_foreachbatch_pipeline" -> ((s, d) => withFewStatePartitions(s) {
       val sink = scratchDir("graft_fb_sink")
       val q = eventsStream(s, d)
         .writeStream.trigger(Trigger.AvailableNow())
@@ -93,10 +93,22 @@ object TierD {
     })
   )
 
+  /** Stateful local streams want few state-store partitions: each partition
+    * is a store instance with per-batch commit overhead, so 32 partitions for
+    * a 100k-row demo stream triples its cost. Temporarily cap the shuffle
+    * partitions for the streaming run (state partitioning is fixed at the
+    * first checkpoint anyway), restore afterwards. */
+  private def withFewStatePartitions[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, math.min(prev.toInt, 8).toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Run a streaming DataFrame to a memory sink synchronously (AvailableNow
     * processes the full backlog then stops — the Job-Bookmark execution mode). */
   private def runToMemory(s: SparkSession, df: DataFrame, name: String,
-      complete: Boolean = false): DataFrame = {
+      complete: Boolean = false): DataFrame = withFewStatePartitions(s) {
     val q = df.writeStream
       .format("memory").queryName(name)
       .outputMode(if (complete) "complete" else "append")

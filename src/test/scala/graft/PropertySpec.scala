@@ -57,6 +57,33 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("sorted_intersect_count equals array_intersect size (long + string)") {
+    import graft.functions.SortedIntersectCount.sorted_intersect_count
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 40).map { i =>
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      (i, a, b)
+    }
+    val df = rows.toDF("i", "a", "b")
+    val got = df.select(col("i"),
+        sorted_intersect_count(col("a"), col("b")).as("m"),
+        size(array_intersect(col("a"), col("b"))).as("e"))
+      .collect()
+    got.foreach(r => assert(r.getInt(1) == r.getInt(2), s"row ${r.getInt(0)}"))
+    // string variant (binary UTF8 order must match sort_array's)
+    val sdf = rows.map { case (i, a, b) => (i, a.map("w" + _), b.map("w" + _)) }
+      .toDF("i", "a", "b")
+      .select(col("i"), sort_array(col("a")).as("a"), sort_array(col("b")).as("b"))
+    val sgot = sdf.select(col("i"),
+        sorted_intersect_count(col("a"), col("b")).as("m"),
+        size(array_intersect(col("a"), col("b"))).as("e"))
+      .collect()
+    sgot.foreach(r => assert(r.getInt(1) == r.getInt(2), s"row ${r.getInt(0)}"))
+  }
+
   test("rolling hash is deterministic and spreads adversarial inputs") {
     check(Prop.forAll(nastyString) { s =>
       val h1 = RollingHash.hashBytes(s.getBytes("UTF-8"))
