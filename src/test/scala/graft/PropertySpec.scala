@@ -84,6 +84,21 @@ class PropertySpec extends SparkSpec {
     sgot.foreach(r => assert(r.getInt(1) == r.getInt(2), s"row ${r.getInt(0)}"))
   }
 
+  test("ngram_hashes equals the composable sort/distinct/xxhash form") {
+    import graft.functions.CharNgramHashes.ngram_hashes
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val samples = Seq("", "a", "ab", "abc", "abcd", "hello world hello",
+      "aaaaaaa", "the quick brown fox", "x" * 500)
+    val df = samples.zipWithIndex.map(_.swap).toDF("i", "text")
+    val composable = expr("sort_array(array_distinct(transform(" +
+      "sequence(1, greatest(length(text) - 2, 1)), i -> xxhash64(substring(text, i, 3)))))")
+    val bad = df.select(col("i"), composable.as("a"),
+        ngram_hashes(col("text"), 3).as("b"))
+      .filter(not(col("a") === col("b"))).collect()
+    assert(bad.isEmpty, s"mismatch rows: ${bad.map(_.getInt(0)).toSeq}")
+  }
+
   test("rolling hash is deterministic and spreads adversarial inputs") {
     check(Prop.forAll(nastyString) { s =>
       val h1 = RollingHash.hashBytes(s.getBytes("UTF-8"))
