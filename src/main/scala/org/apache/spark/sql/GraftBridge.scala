@@ -10,4 +10,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a function builder on a LIVE session (the config-time path is
+    * `spark.sql.extensions=graft.GraftExtensions`). */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

@@ -1,0 +1,22 @@
+package graft
+
+/** The SQL surface of the native functions: GraftSession.register binds them
+  * on the shared suite session (the config-time path is
+  * spark.sql.extensions=graft.GraftExtensions, same builders). */
+class GraftSessionSpec extends SparkSpec {
+
+  test("native functions are callable from SQL after registration") {
+    GraftSession.register(spark)
+    val r = spark.sql(
+      """SELECT rolling_hash('abc') AS rh,
+        |       dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
+        |       sorted_intersect_count(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS ic,
+        |       size(ngram_hashes('abcdef', 3)) AS ng
+        |""".stripMargin).head()
+    assert(r.getLong(0) ==
+      graft.functions.RollingHash.hashBytes("abc".getBytes("UTF-8")))
+    assert(r.getDouble(1) == 11.0)
+    assert(r.getInt(2) == 2)
+    assert(r.getInt(3) == 4) // abc, bcd, cde, def
+  }
+}
