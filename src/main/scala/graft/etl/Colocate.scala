@@ -1,0 +1,56 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shuffle-placement utilities — the two levers that decide whether a
+  * fact-fact join is feasible at 100 TB:
+  *
+  *  - **Bucketing**: persist both sides pre-hashed on the join key; a later
+  *    sort-merge join reads co-located buckets and plans NO Exchange on
+  *    either side. The shuffle is paid once at write time (when the data is
+  *    being laid down anyway), not once per downstream join. ColocateSpec
+  *    asserts the Exchange-free plan.
+  *
+  *  - **Salting**: when one key dominates (power-law keys), hash
+  *    partitioning puts the hot key on one executor. Salting splinters each
+  *    big-side row into one of S sub-keys and replicates the small side S
+  *    ways — trading S× duplication of the small side for S-way parallelism
+  *    of the hot key. (Spark's AQE skew-join splits oversized partitions
+  *    after the fact; explicit salting is the plan-level tool when the skew
+  *    is known, e.g. a null-heavy or default-valued key.)
+  */
+object Colocate {
+
+  /** Persist `df` bucketed+sorted by `key` as a catalog table backed by
+    * `path`. Joins between tables bucketed the same way on the same key are
+    * Exchange-free. */
+  def writeBucketed(df: DataFrame, key: String, table: String, buckets: Int,
+      path: String): Unit =
+    df.write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .option("path", path)
+      .mode("overwrite")
+      .saveAsTable(table)
+
+  /** Inner equi-join of two same-bucketed tables — reads co-located buckets,
+    * no shuffle on either side. */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+      leftKey: String, rightKey: String): DataFrame =
+    spark.table(leftTable)
+      .join(spark.table(rightTable), col(leftKey) === col(rightKey))
+
+  /** Salted inner equi-join: big side gets a deterministic salt in [0, S)
+    * derived from a discriminator column (NOT from rand() — oracle and
+    * retry determinism, SURVEY §7.4.5); small side is replicated S ways. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      discriminator: Column, salts: Int): DataFrame = {
+    val saltedBig = big.withColumn("graft_salt",
+      pmod(xxhash64(discriminator), lit(salts)).cast("int"))
+    val saltedSmall = small.withColumn("graft_salt",
+      explode(array((0 until salts).map(lit): _*)))
+    saltedBig.join(saltedSmall, Seq(key, "graft_salt"))
+      .drop("graft_salt")
+  }
+}

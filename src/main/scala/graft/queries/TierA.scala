@@ -103,6 +103,35 @@ object TierA {
       Incremental.runAvailableNow(s, src, n.schema, ckpt, sink)
       s.read.parquet(sink).orderBy("n_nationkey")
     }),
+    // A10 — bucketed co-located fact-fact join: both sides persisted
+    // pre-hashed on the join key, so the join plans NO Exchange (asserted in
+    // ColocateSpec). The once-at-write shuffle is the 100 TB pattern for
+    // repeatedly-joined fact tables.
+    "join_bucketed_colocated" -> ((s, d) => {
+      val wh = tmp("graft_bucketed")
+      val suffix = java.lang.Long.toHexString(System.nanoTime)
+      val (ot, lt) = (s"orders_b_$suffix", s"lineitem_b_$suffix")
+      Colocate.writeBucketed(orders(s, d), "o_orderkey", ot, 8, s"$wh/orders")
+      Colocate.writeBucketed(
+        lineitem(s, d).select("l_orderkey", "l_quantity", "l_linenumber"),
+        "l_orderkey", lt, 8, s"$wh/lineitem")
+      Colocate.bucketedJoin(s, ot, lt, "o_orderkey", "l_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"), decSum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderstatus")
+    }),
+    // A11 — salted join for known key skew: deterministic salt splinters the
+    // big side, small side replicated S ways; results identical to the plain
+    // join (asserted in ColocateSpec).
+    "join_salted_skew" -> ((s, d) => {
+      val big = lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity")
+      val small = orders(s, d).select("o_orderkey", "o_orderstatus")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+      Colocate.saltedJoin(big, small, "l_orderkey", col("l_linenumber"), 8)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"))
+        .orderBy("o_orderstatus")
+    }),
     // A9 — event trigger with prefix/suffix filters (README.md:196-198):
     // prefix == watched dir, suffix == pathGlobFilter; the .txt decoy must
     // not be ingested.
