@@ -56,6 +56,25 @@ class LlmSpec extends SparkSpec {
     assert(!sharesBand(1L, 4L), "disjoint docs should not collide")
   }
 
+  test("typed MinHash aggregator equals the expression signatures") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).limit(100)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    // expression path
+    val exprSigs = docs
+      .select(col("doc_id"), Dedup.tokenHashes(col("toks")).as("th"))
+      .select(col("doc_id") +: Dedup.minhashFromHashes(col("th")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 32).map(r.getLong).toVector).toMap
+    // typed aggregator path (groupByKey per doc)
+    val agg = new MinHashAggregator().toColumn
+    val typedSigs = docs.as[(Long, Seq[String])]
+      .groupByKey(_._1).mapValues(_._2).agg(agg)
+      .collect().map { case (id, sig) => id -> sig.toVector }.toMap
+    assert(typedSigs == exprSigs,
+      s"first diff: ${typedSigs.find { case (k, v) => exprSigs(k) != v }}")
+  }
+
   test("rolling_hash codegen equals the reference implementation") {
     import spark.implicits._
     val samples = Seq("", "a", "abc", "hello world", "ünïcödé ✓",
