@@ -11,6 +11,24 @@ class ContractSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("tier maps have no colliding query keys") {
+    import graft.queries._
+    import graft.llm.{Dedup, Similarity, TextStats}
+    val parts = Seq(
+      "TierA" -> TierA.queries, "TierB" -> TierB.queries,
+      "TierCFilters" -> TierCFilters.queries, "TierCJoins" -> TierCJoins.queries,
+      "TierCAgg" -> TierCAgg.queries, "TierCWindow" -> TierCWindow.queries,
+      "TierCSortSet" -> TierCSortSet.queries,
+      "TierCFunctions" -> TierCFunctions.queries,
+      "TierCSubquery" -> TierCSubquery.queries, "TierD" -> TierD.queries,
+      "Dedup" -> Dedup.queries, "Similarity" -> Similarity.queries,
+      "TextStats" -> TextStats.queries)
+    val dups = parts.flatMap { case (n, m) => m.keys.map(_ -> n) }
+      .groupBy(_._1).filter(_._2.size > 1)
+    assert(dups.isEmpty, s"colliding keys: ${dups.view.mapValues(_.map(_._2)).toMap}")
+    assert(SparkEntry.queries.size == parts.map(_._2.size).sum)
+  }
+
   test("every oracleSql key has a queries entry") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle keys without query: $orphans")
