@@ -39,6 +39,27 @@ object Multimodal {
     }.toDF()
   }
 
+  case class FrameFeatures(doc_id: Long, frame: Int, feature_sum: Double)
+
+  /** STUB frame sampler: a real implementation would decode video and grab
+    * every k-th frame; here each "frame" is a fixed-stride byte window of
+    * the payload, featurized like fakeDecode. One input row fans out to
+    * n_frames output rows — the explode-shaped decode stage a video corpus
+    * needs, with the same batched per-partition execution as featurize. */
+  def frameSample(spark: SparkSession, media: DataFrame, stride: Int,
+      frameLen: Int): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val frames = r.payload.grouped(stride).zipWithIndex
+        frames.map { case (window, i) =>
+          FrameFeatures(r.doc_id, i,
+            fakeDecode(window.take(frameLen)).sum)
+        }
+      }
+    }.toDF()
+  }
+
   /** End-to-end: manufacture binary payloads from document text (stand-in
     * for real media bytes), attach typed metadata, featurize, and emit a
     * scalar summary per row (arrays stay internal). */

@@ -110,7 +110,18 @@ object TextStats {
     // opaque binary + typed metadata; "decode" is a deterministic stub
     // (real image/audio libs absent by design) but schema, batching and
     // partition shape are real. See Multimodal.featurize.
-    "multimodal_meta" -> ((s, d) => Multimodal.pipeline(s, d))
+    "multimodal_meta" -> ((s, d) => Multimodal.pipeline(s, d)),
+    // Frame-sampling over "video" payloads: one row fans out to n frames
+    // (stubbed decode; real explode-shaped batched plumbing).
+    "multimodal_frames" -> ((s, d) => {
+      val media = documents(s, d).filter(col("doc_id") < 500).select(
+        col("doc_id"),
+        encode(substring(col("text"), 1, 64), "UTF-8").as("payload"),
+        lit("video/mp4").as("mime"),
+        length(substring(col("text"), 1, 64)).cast("long").as("n_bytes"))
+      Multimodal.frameSample(s, media, stride = 16, frameLen = 8)
+        .orderBy("doc_id", "frame")
+    })
   )
 
   def oracle: Map[String, String] = Map(

@@ -22,6 +22,20 @@ object TierA {
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
         .orderBy("l_orderkey", "l_linenumber")
     }),
+    // A1b/A1c — the other lake text/columnar formats a complete engine
+    // ingests: JSON-lines and ORC round-trips (rows-only; format plumbing,
+    // not new semantics).
+    "scan_json" -> ((s, d) => {
+      val dir = tmp("graft_json")
+      nation(s, d).write.mode("overwrite").json(dir)
+      s.read.json(dir).select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    }),
+    "scan_orc" -> ((s, d) => {
+      val dir = tmp("graft_orc")
+      nation(s, d).write.mode("overwrite").orc(dir)
+      s.read.orc(dir).orderBy("n_nationkey")
+    }),
     // A2 — OpenCSVSerde round-trip (README.md:124-131): write with the serde
     // dialect, read back with the same options.
     "scan_csv_serde" -> ((s, d) => {
