@@ -59,6 +59,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("no query plans an unintended cartesian or nested-loop join") {
+    // join_cross_theta IS the theta/BNLJ demo; knn_cosine_topk broadcasts a
+    // single-row query vector (BNLJ over 1 row — the cheap, intended shape).
+    val intended = Set("join_cross_theta", "knn_cosine_topk")
+    // ETL/streaming queries run real side effects — planning-only audit
+    // covers the analytic surface.
+    val sideEffecting = Set("scan_csv_serde", "infer_schema",
+      "partition_discovery", "schema_evolution_add_only", "sink_jdbc",
+      "workflow_dag", "bookmark_incremental", "event_trigger_filtered",
+      "stream_watermark_late", "stream_dedup_stateful",
+      "stream_foreachbatch_pipeline", "join_bucketed_colocated",
+      "scan_json", "scan_orc", "multimodal_meta", "multimodal_frames")
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(intended).filterNot(sideEffecting)
+      .filter { name =>
+        val plan = SparkEntryPlan(name).queryExecution.executedPlan.toString
+        plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin")
+      }
+    assert(offenders.isEmpty, s"unintended cartesian plans: $offenders")
+  }
+
   test("whole-stage codegen covers the flagship aggregate") {
     // AQE only materializes codegen spans in the final plan — execute first.
     val df = SparkEntryPlan("agg_groupby_having")
