@@ -27,6 +27,12 @@ object Multimodal {
   def fakeDecode(payload: Array[Byte]): Array[Double] =
     payload.take(8).map(b => (b & 0xff) / 256.0)
 
+  /** STUB resize: a real implementation would rescale pixels/resample PCM;
+    * here truncate-or-zero-pad to `n` bytes — deterministic, with the real
+    * property a resize has (fixed output size regardless of input size). */
+  def fakeResize(payload: Array[Byte], n: Int): Array[Byte] =
+    java.util.Arrays.copyOf(payload, n)
+
   /** Batched per-partition feature extraction: one iterator pass, no
     * per-row task dispatch, executor-local — the shape a GPU/codec batch
     * would need at scale. */
@@ -34,7 +40,9 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
-        MediaFeatures(r.doc_id, r.mime, r.n_bytes, fakeDecode(r.payload))
+        // decode path: resize to a fixed frame, then feature-extract
+        MediaFeatures(r.doc_id, r.mime, r.n_bytes,
+          fakeDecode(fakeResize(r.payload, 32)))
       }
     }.toDF()
   }
