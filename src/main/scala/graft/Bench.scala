@@ -10,15 +10,42 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Untimed warmup: absorb one-time JVM/codegen and streaming-engine
+    // initialization (~6s measured) so per-query numbers reflect per-query
+    // cost, not which arbitrary query ran first. Deterministic name order
+    // keeps runs comparable.
+    warmup(spark)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  private def warmup(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    // batch: shuffle + codegen machinery
+    spark.range(100000).groupBy((col("id") % 10).as("k"))
+      .agg(sum(col("id"))).collect()
+    // streaming: state store + streaming codegen machinery (one tiny
+    // stateful query over a MemoryStream)
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Int)]
+      ms.addData((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1))
+      val q = ms.toDF().toDF("ts", "v")
+        .withWatermark("ts", "1 minute")
+        .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)))
+        .writeStream.format("memory").queryName("graft_bench_warmup")
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    } catch { case _: Throwable => () } // warmup must never fail the bench
   }
 }
