@@ -125,7 +125,9 @@ object TierA {
       val wh = tmp("graft_bucketed")
       val suffix = java.lang.Long.toHexString(System.nanoTime)
       val (ot, lt) = (s"orders_b_$suffix", s"lineitem_b_$suffix")
-      Colocate.writeBucketed(orders(s, d), "o_orderkey", ot, 8, s"$wh/orders")
+      Colocate.writeBucketed(
+        orders(s, d).select("o_orderkey", "o_orderstatus"),
+        "o_orderkey", ot, 8, s"$wh/orders")
       Colocate.writeBucketed(
         lineitem(s, d).select("l_orderkey", "l_quantity", "l_linenumber"),
         "l_orderkey", lt, 8, s"$wh/lineitem")

@@ -392,7 +392,9 @@ object TierCWindow {
           row_number().over(byStatus).as("rn"),
           rank().over(byStatus).as("rnk"),
           dense_rank().over(byStatus).as("drnk"),
-          ntile(4).over(byStatus).as("quartile"))
+          ntile(4).over(byStatus).as("quartile"),
+          percent_rank().over(byStatus).as("pct_rank"),
+          cume_dist().over(byStatus).as("cdist"))
         .orderBy("o_orderkey")
     }),
     // C23 — lag/lead along each customer's order history.
@@ -455,7 +457,9 @@ object TierCWindow {
          |       ROW_NUMBER() $overStatus AS rn,
          |       RANK() $overStatus AS rnk,
          |       DENSE_RANK() $overStatus AS drnk,
-         |       NTILE(4) $overStatus AS quartile
+         |       NTILE(4) $overStatus AS quartile,
+         |       PERCENT_RANK() $overStatus AS pct_rank,
+         |       CUME_DIST() $overStatus AS cdist
          |FROM orders ORDER BY o_orderkey""".stripMargin,
     "win_lag_lead" ->
       s"""SELECT o_orderkey, o_custkey,

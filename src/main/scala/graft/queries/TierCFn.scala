@@ -104,6 +104,17 @@ object TierCFunctions {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         .orderBy("doc_id", "token")
     }),
+    // C38b — bitwise family (exact integer ops in both engines).
+    "fn_bitwise" -> ((s, d) => {
+      lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_orderkey").bitwiseAND(255)).as("and255"),
+          (col("l_orderkey").bitwiseOR(col("l_linenumber"))).as("or_ln"),
+          (col("l_orderkey").bitwiseXOR(col("l_linenumber"))).as("xor_ln"),
+          shiftleft(col("l_linenumber"), 3).as("shl3"),
+          shiftright(col("l_orderkey"), 2).as("shr2"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
     // C42 — JSON extraction from events.props.
     "fn_json" -> ((s, d) => {
       events(s, d).select(
@@ -152,6 +163,14 @@ object TierCFunctions {
         |       l_orderkey % 7 AS mod7,
         |       CAST(sign(l_quantity - 25.0) AS INT) AS sgn,
         |       sqrt(l_quantity) AS qty_sqrt
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "fn_bitwise" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       l_orderkey & 255 AS and255,
+        |       l_orderkey | l_linenumber AS or_ln,
+        |       xor(l_orderkey, l_linenumber) AS xor_ln,
+        |       CAST(l_linenumber << 3 AS INT) AS shl3,
+        |       l_orderkey >> 2 AS shr2
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "fn_cond" ->
       """SELECT o_orderkey,
