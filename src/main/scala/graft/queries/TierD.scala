@@ -68,6 +68,23 @@ object TierD {
       runToMemory(s, stream, "dedup_out", complete = true)
         .orderBy("event_type")
     }),
+    // D7 — custom streaming state via typed mapGroupsWithState
+    // (graft.streaming.CustomState): per-user running stats held in the
+    // state store across micro-batches. Unit-tier; CustomStateSpec proves
+    // cross-batch state with MemoryStream.
+    "stream_custom_state" -> ((s, d) => withFewStatePartitions(s) {
+      val name = s"cs_out_${java.lang.Long.toHexString(System.nanoTime)}"
+      val q = graft.streaming.CustomState.runningUserStats(eventsStream(s, d))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(graft.streaming.CustomState.outputMode)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", scratchDir("graft_cs_ckpt"))
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("user_id"), col("events"), col("total_value"))
+        .orderBy("user_id")
+    }),
     // D6 — bookmark semantics end-to-end (reference README.md:145): a file
     // source with checkpoint processes each file exactly once; the second
     // AvailableNow run emits only newly-landed files. TierDSpec asserts the
