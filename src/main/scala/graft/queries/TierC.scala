@@ -316,6 +316,34 @@ object TierCAgg {
           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
           |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
     }),
+    // C14b — exact discrete percentiles by explicit sort-and-select (the
+    // same index formula spelled out in both engines — no reliance on
+    // quantile_disc conventions). Exact percentile inherently buffers the
+    // group (Spark's own percentile() does too); the 100 TB path is
+    // approx_percentile (C17's HLL argument applies).
+    "agg_percentile_disc" -> ((s, d) => {
+      val sorted = sort_array(collect_list(col("l_quantity")))
+      def pick(p: Double) = element_at(sorted,
+        greatest(ceil(lit(p) * count(lit(1))), lit(1)).cast("int"))
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(pick(0.5).as("median_qty"), pick(0.9).as("p90_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+    // C14c — sample variance/stddev from exact decimal moments: sum and
+    // sum-of-squares are order-independent decimals, the final formula is
+    // the same three IEEE ops in both engines.
+    "agg_variance" -> ((s, d) => {
+      val sx = sum(dec(col("l_quantity")) * dec(col("l_quantity")))
+        .cast("double")
+      val s1 = decSum(col("l_quantity"))
+      val n = count(lit(1))
+      val variance = (sx - s1 * s1 / n) / (n - lit(1))
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(variance.as("var_qty"), sqrt(variance).as("stddev_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
     // C21 — deterministic array agg, surfaced as a joined string so the
     // cross-engine hash is list-representation-independent (SURVEY §7.4.6).
     "agg_collect_sorted" -> ((s, d) => {
@@ -370,6 +398,22 @@ object TierCAgg {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "agg_percentile_disc" ->
+      """SELECT l_returnflag,
+        |       list_sort(list(l_quantity))[CAST(greatest(ceil(0.5 * COUNT(*)), 1) AS INT)] AS median_qty,
+        |       list_sort(list(l_quantity))[CAST(greatest(ceil(0.9 * COUNT(*)), 1) AS INT)] AS p90_qty,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_variance" ->
+      """SELECT l_returnflag,
+        |       (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |        - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+        |       / (COUNT(*) - 1) AS var_qty,
+        |       sqrt((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |        - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+        |       / (COUNT(*) - 1)) AS stddev_qty,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_collect_sorted" ->
       """SELECT l_orderkey,
         |       array_to_string(list(l_linenumber ORDER BY l_linenumber), ',') AS linenumbers
