@@ -89,6 +89,21 @@ class EtlSpec extends SparkSpec {
     assert(out.filter(col("r_name") === "DECOY").count() == 0)
   }
 
+  test("A4: partition filters prune key=value directories at the scan") {
+    val dir = tmpDir("part_prune")
+    import graft.core.Tables
+    Tables.orders(spark, sf).write.partitionBy("o_orderstatus")
+      .mode("overwrite").parquet(dir)
+    val filtered = spark.read.parquet(dir).filter(col("o_orderstatus") === "F")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("o_orderstatus"),
+      s"partition filter not pushed:\n$plan")
+    // pruning means only the F partition's files are read
+    assert(filtered.count() ==
+      Tables.orders(spark, sf).filter(col("o_orderstatus") === "F").count())
+  }
+
   test("A6: JDBC sink round-trips through embedded Derby") {
     import graft.core.Tables
     val sinkObj = JdbcSink(s"jdbc:derby:${tmpDir("derby_spec")}/db;create=true",
