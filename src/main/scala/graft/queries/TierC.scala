@@ -575,11 +575,15 @@ object TierCSortSet {
       val su = supplier(s, d).select(col("s_nationkey").as("nk"))
       c.intersect(su).orderBy("nk")
     }),
-    // C33 — EXCEPT.
+    // C33 — EXCEPT. Operand choice matters: nationkey EXCEPT goes empty
+    // once suppliers cover all 25 nations (sf>=0.01), which would make the
+    // oracle check vacuous — customer keys minus big-spender keys stays
+    // non-trivial at every scale factor.
     "set_except" -> ((s, d) => {
-      val c = customer(s, d).select(col("c_nationkey").as("nk"))
-      val su = supplier(s, d).select(col("s_nationkey").as("nk"))
-      c.except(su).orderBy("nk")
+      val c = customer(s, d).select(col("c_custkey").as("k"))
+      val big = orders(s, d).filter(col("o_totalprice") > 250000)
+        .select(col("o_custkey").as("k"))
+      c.except(big).orderBy("k")
     }),
     // C34 — SELECT DISTINCT (hash-distinct = groupBy on all cols).
     "distinct_rows" -> ((s, d) => {
@@ -616,11 +620,11 @@ object TierCSortSet {
         |  SELECT s_nationkey AS nk FROM supplier) t
         |ORDER BY nk""".stripMargin,
     "set_except" ->
-      """SELECT nk FROM (
-        |  SELECT c_nationkey AS nk FROM customer
+      """SELECT k FROM (
+        |  SELECT c_custkey AS k FROM customer
         |  EXCEPT
-        |  SELECT s_nationkey AS nk FROM supplier) t
-        |ORDER BY nk""".stripMargin,
+        |  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 250000) t
+        |ORDER BY k""".stripMargin,
     "distinct_rows" ->
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin

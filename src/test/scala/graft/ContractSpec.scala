@@ -34,11 +34,15 @@ class ContractSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle keys without query: $orphans")
   }
 
-  test("oracle-checked queries are non-trivial (rows > 0) on sf0.001") {
+  test("oracle-checked queries are non-trivial (rows > 0) at the GATE scale") {
+    // sf0.01 is where the driver's DuckDB compare runs — a query that goes
+    // empty there (e.g. EXCEPT operands converging as data grows) matches
+    // its oracle vacuously while exercising nothing.
+    val gateSf = "/root/testdata/sf0.01"
     val empty = SparkEntry.oracleSql.keySet.toSeq.sorted.filter { name =>
-      SparkEntry.queries(name)(spark, sf).limit(1).count() == 0
+      SparkEntry.queries(name)(spark, gateSf).limit(1).count() == 0
     }
-    assert(empty.isEmpty, s"oracle queries with empty results: $empty")
+    assert(empty.isEmpty, s"oracle queries empty at gate scale: $empty")
   }
 
   test("unit-tier queries run and return rows on sf0.001") {
