@@ -84,7 +84,12 @@ object TierA {
       val sink = JdbcSink(s"jdbc:derby:${tmp("graft_derby")}/db;create=true",
         "NATION_WAREHOUSE")
       sink.write(nation(s, d))
-      sink.read(s).orderBy("n_nationkey")
+      // Derby stores identifiers uppercase; re-alias for oracle parity
+      sink.read(s).select(
+          col("n_nationkey").as("n_nationkey"),
+          col("n_name").as("n_name"),
+          col("n_regionkey").as("n_regionkey"))
+        .orderBy("n_nationkey")
     }),
     // A7 — workflow DAG (README.md:155-166): trigger → crawl → transform →
     // load, strictly ordered.
@@ -167,6 +172,28 @@ object TierA {
   def oracle: Map[String, String] = Map(
     "scan_parquet" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // ETL round-trips whose results equal a source table (or a pure
+    // transform of one) are oracle-checkable too — the comparison proves
+    // the serde/JDBC/streaming plumbing is lossless, not just non-empty.
+    "scan_csv_serde" ->
+      """SELECT * FROM nation ORDER BY n_nationkey""",
+    "scan_orc" ->
+      """SELECT * FROM nation ORDER BY n_nationkey""",
+    "infer_schema" ->
+      """SELECT * FROM region ORDER BY r_regionkey""",
+    "partition_discovery" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "sink_jdbc" ->
+      """SELECT * FROM nation ORDER BY n_nationkey""",
+    "workflow_dag" ->
+      """SELECT s_suppkey AS supplier_id, upper(s_name) AS supplier_name,
+        |       s_acctbal AS balance
+        |FROM supplier ORDER BY supplier_id""".stripMargin,
+    "bookmark_incremental" ->
+      """SELECT * FROM nation ORDER BY n_nationkey""",
+    "event_trigger_filtered" ->
+      """SELECT * FROM region ORDER BY r_regionkey"""
   )
 }
