@@ -137,8 +137,21 @@ object TierD {
     s.table(name)
   }
 
-  // Oracles: D1-D3 only (batch-expressible). ts normalized to µs first.
+  // Oracles: D1-D4 (batch-expressible; ts normalized to µs first). D4's
+  // oracle reconstructs the watermark contract in SQL: an AvailableNow run
+  // over one file emits exactly the windows whose end <= final watermark
+  // (max event time - delay) — so the streaming engine's append-mode
+  // emission is differentially checked, not just unit-asserted.
   def oracle: Map[String, String] = Map(
+    "stream_watermark_late" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |     m AS (SELECT max(ts) AS mx FROM e)
+        |SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS wstart,
+        |       event_type, COUNT(*) AS cnt
+        |FROM e
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+        |        <= (SELECT mx - INTERVAL 10 MINUTE FROM m)
+        |GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
     "stream_tumbling" ->
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS wstart,
         |       event_type, COUNT(*) AS cnt,
