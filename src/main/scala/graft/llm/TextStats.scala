@@ -148,6 +148,16 @@ object TextStats {
         |       CAST(length(text) - length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
         |         / length(text) AS alnum_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Stub features are (byte & 0xff)/256 — exact dyadic rationals, so the
+    // 8-element sum is order-independent and oracle-safe; ord() == byte on
+    // this ASCII corpus.
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+        |       CAST(least(length(text), 64) AS BIGINT) AS n_bytes,
+        |       CAST(8 AS INT) AS n_features,
+        |       list_aggregate(list_transform(range(1, 9), i -> ord(text[i:i]) / 256.0), 'sum') AS feature_sum
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_tokens_bpe" ->
       """SELECT doc_id,
         |       CAST(len(str_split(text, ' ')) AS INT) AS ws_tokens,

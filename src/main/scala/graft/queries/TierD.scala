@@ -152,6 +152,15 @@ object TierD {
         |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
         |        <= (SELECT mx - INTERVAL 10 MINUTE FROM m)
         |GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+    // D5/D6: event_id is the PK, so the stateful dedup must drop nothing and
+    // the foreachBatch pipeline must neither lose nor duplicate rows — both
+    // reduce to the plain per-type counts.
+    "stream_dedup_stateful" ->
+      """SELECT event_type, COUNT(*) AS cnt FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stream_foreachbatch_pipeline" ->
+      """SELECT event_type, COUNT(*) AS cnt FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_tumbling" ->
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS wstart,
         |       event_type, COUNT(*) AS cnt,
