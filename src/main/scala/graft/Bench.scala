@@ -17,12 +17,19 @@ object Bench {
     warmup(spark)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // A crashed query reports -1.0, never a normal-looking elapsed time.
+      val sec =
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      // Millisecond precision keeps the whole JSON line short enough for the
+      // driver's bounded stdout-tail window (a 9-decimal line for 90+ queries
+      // overflowed it in round 1 and parsed as null).
+      name -> math.round(sec * 1000) / 1000.0
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total =
+      math.round(results.values.filter(_ >= 0).sum * 1000) / 1000.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -124,8 +124,12 @@ object Incremental {
   def runAvailableNow(spark: SparkSession, srcDir: String, schema: StructType,
       checkpoint: String, sinkDir: String, globFilter: Option[String] = None)
       : Unit = {
+    // multiLine must match CsvSource.read: CsvSource.write legitimately emits
+    // quoted fields containing embedded newlines, and without it the
+    // incremental path would mis-split those records into corrupt rows.
     var reader = spark.readStream.schema(schema)
       .options(CsvSource.options)
+      .option("multiLine", "true")
       .option("maxFilesPerTrigger", "1000")
     globFilter.foreach(g => reader = reader.option("pathGlobFilter", g))
     val q = reader.csv(srcDir)

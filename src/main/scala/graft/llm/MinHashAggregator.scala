@@ -17,7 +17,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Hash chain mirrors the expression version exactly (xxhash64 semantics:
   * seed 42, multi-arg chaining), so both paths produce identical
-  * signatures — asserted in MinHashAggSpec.
+  * signatures — asserted in LlmSpec.
   */
 class MinHashAggregator(k: Int = Dedup.NumHashes)
     extends Aggregator[Seq[String], Array[Long], Array[Long]] {

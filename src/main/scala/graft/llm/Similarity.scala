@@ -50,14 +50,26 @@ object Similarity {
     Seq.fill(n)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-projection bucket id: one bit per hyperplane. */
-  def lshBucket(v: Column, planes: Seq[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      val proj = aggregate(
-        zip_with(v, typedLit(p.toSeq), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, shiftleft(lit(1L), i)).otherwise(0L)
-    }.reduce(_ + _)
+  /** Banded sign-projection LSH parameters: `Bands` independent bucket
+    * tables of `BandBits` hyperplane sign bits each. A pair is a candidate
+    * if it collides in ANY band (OR-amplification) — with p = 1 - θ/π the
+    * per-plane agreement probability, recall = 1-(1-p^r)^B. Tuned on the
+    * driver corpus (top pairs sit near cosine 0.45 ⇒ p≈0.65): 32×8 recalls
+    * ~2/3 of the true top-50 while candidate pairs stay ~13% of all pairs
+    * (LlmSpec measures it against brute force). */
+  val Bands = 32
+  val BandBits = 8
+
+  /** All `Bands` band-bucket ids of a unit vector, as an array column.
+    * Each bucket = band tag + the band's sign bits; one codegen'd native
+    * dot product per plane (no interpreted lambdas). */
+  def lshBandBuckets(v: Column, planes: Seq[Array[Double]]): Column =
+    array((0 until Bands).map { b =>
+      (0 until BandBits).map { i =>
+        val p = planes(b * BandBits + i)
+        when(dotD(v, typedLit(p.toSeq)) > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _) + lit(b * 256L)
+    }: _*)
 
   /** Near-dup dedup over an embedding table (vec_id, embedding, label):
     * each vector maps to the smallest earlier same-label vec_id whose cosine
@@ -78,14 +90,17 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E4 — exact top-10 cosine neighbours of vec_id=0. Similarity itself is
     // engine-local float math, so only the *ranking* (with PK tiebreak) is
-    // oracle-compared, not the raw double.
+    // oracle-compared, not the raw double — and the sim is quantized to 1e-4
+    // before ranking (both engines), so near-tied candidates fall to the
+    // deterministic vec_id tiebreak instead of cross-engine rounding noise.
     "knn_cosine_topk" -> ((s, d) => {
       val emb = embeddings(s, d)
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("qv"))
       val sims = emb.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
-        .select(col("vec_id"), cosine(col("embedding"), col("qv")).as("sim"))
+        .select(col("vec_id"),
+          round(cosine(col("embedding"), col("qv")), 4).as("sim"))
       val w = Window.orderBy(desc("sim"), asc("vec_id"))
       sims.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 10)
@@ -103,7 +118,8 @@ object Similarity {
       val pairs = probes.join(cands, Seq("label"))
         .filter(col("a_id") =!= col("b_id"))
         .select(col("label"), col("a_id"), col("b_id"),
-          dotD(col("a_v"), col("b_v")).as("sim"))
+          // quantized like knn_cosine_topk: rank ties resolve by b_id
+          round(dotD(col("a_v"), col("b_v")), 4).as("sim"))
       val w = Window.partitionBy("a_id").orderBy(desc("sim"), asc("b_id"))
       pairs.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -114,26 +130,60 @@ object Similarity {
     // cosine to an earlier same-label vector exceeds a threshold map to that
     // keeper. Label blocking bounds the pair space (the IVF idea); verdict
     // output stays linear in vectors. Production dedup uses ~0.95; this
-    // synthetic corpus tops out at 0.45 same-label cosine, so the query runs
-    // at 0.3 to exercise the operator non-trivially. Rows-only (cosine
-    // thresholds on engine-local float math are not cross-engine hashable).
+    // synthetic corpus tops out at ~0.45 same-label cosine, so the query runs
+    // at 0.3498 — a threshold measured to sit >=1.4e-4 away from every pair
+    // cosine at sf0.001/0.01/0.1, ~100× the cross-engine float noise, so the
+    // verdict set is oracle-hashable despite float similarity math.
     "dedup_embedding_cosine" -> ((s, d) =>
-      embeddingCosineDedup(embeddings(s, d), threshold = 0.3)),
-    // ANN scale path — LSH sign-projection buckets, exact cosine re-rank
-    // within buckets only (rows-only check; SimilaritySpec asserts recall
-    // against brute force).
-    "knn_lsh_bucketed" -> ((s, d) => {
-      val planes = hyperplanes(8, 64)
-      val emb = withUnitVec(embeddings(s, d), "embedding", "uv")
+      embeddingCosineDedup(embeddings(s, d), threshold = 0.3498)),
+    // IVF-style coarse-quantized ANN (the other builder-mandated scale path
+    // besides LSH): K seed centroids (a production build would k-means; seeds
+    // keep it deterministic), every vector assigned to its nearest centroid —
+    // one broadcast pass, linear in N×K — then the probe searches only its
+    // own cell. 100 TB story: cells are the partition key, so a query touches
+    // 1/K of the corpus; assignment is embarrassingly parallel.
+    "knn_ivf_coarse" -> ((s, d) => {
+      val unit = withUnitVec(embeddings(s, d), "embedding", "uv")
+      val cent = unit.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("uv").as("c_v"))
+      val wAssign = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("c_id"))
+      val clustered = unit.crossJoin(broadcast(cent))
         .select(col("vec_id"), col("uv"),
-          lshBucket(col("uv"), planes).as("bucket"))
-      val a = emb.select(col("vec_id").as("a_id"), col("uv").as("a_v"),
-        col("bucket"))
-      val b = emb.select(col("vec_id").as("b_id"), col("uv").as("b_v"),
-        col("bucket"))
-      val pairs = a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"),
-          dotD(col("a_v"), col("b_v")).as("sim"))
+          round(dotD(col("uv"), col("c_v")), 4).as("csim"), col("c_id"))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("uv"), col("c_id").as("cell"))
+      val probe = clustered.filter(col("vec_id") === 0)
+        .select(col("uv").as("qv"), col("cell"))
+      val sims = clustered.join(broadcast(probe), Seq("cell"))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), round(dotD(col("uv"), col("qv")), 4).as("sim"))
+      val w = Window.orderBy(desc("sim"), asc("vec_id"))
+      sims.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select("rn", "vec_id")
+        .orderBy("rn")
+    }),
+    // ANN scale path — banded sign-projection LSH: candidates collide in
+    // any of the 32 bands, then exact cosine re-ranks candidates only
+    // (rows-only check; LlmSpec asserts recall against brute force).
+    // 100 TB story: the bucket join touches candidate pairs, not all pairs;
+    // vectors are NOT replicated per band — only (vec_id, bucket) rows fan
+    // out 32×, and the two vector fetches are equi-joins on vec_id.
+    "knn_lsh_bucketed" -> ((s, d) => {
+      val planes = hyperplanes(Bands * BandBits, 64)
+      val unit = withUnitVec(embeddings(s, d), "embedding", "uv")
+        .select(col("vec_id"), col("uv"))
+      val tagged = unit.select(col("vec_id"),
+        explode(lshBandBuckets(col("uv"), planes)).as("bucket"))
+      val cand = tagged.as("x").join(tagged.as("y"), Seq("bucket"))
+        .filter(col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+        .distinct()
+      val pairs = cand
+        .join(unit.select(col("vec_id").as("a_id"), col("uv").as("a_v")), "a_id")
+        .join(unit.select(col("vec_id").as("b_id"), col("uv").as("b_v")), "b_id")
+        .select(col("a_id"), col("b_id"), dotD(col("a_v"), col("b_v")).as("sim"))
       // top-100 most similar candidate pairs (rank, not threshold: stays
       // non-empty at any SF; total order via PK tiebreak)
       pairs.orderBy(desc("sim"), asc("a_id"), asc("b_id")).limit(100)
@@ -146,7 +196,7 @@ object Similarity {
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         |sims AS (
         |  SELECT vec_id,
-        |         list_cosine_similarity(embedding, (SELECT qv FROM q)) AS sim
+        |         round(list_cosine_similarity(embedding, (SELECT qv FROM q)), 4) AS sim
         |  FROM embeddings WHERE vec_id <> 0)
         |SELECT rn, vec_id FROM (
         |  SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rn
@@ -155,7 +205,7 @@ object Similarity {
     "knn_pairs_label" ->
       """WITH pairs AS (
         |  SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
-        |         list_cosine_similarity(a.embedding, b.embedding) AS sim
+        |         round(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim
         |  FROM embeddings a JOIN embeddings b
         |    ON a.label = b.label AND a.vec_id <> b.vec_id
         |  WHERE a.vec_id < 200)
@@ -163,6 +213,37 @@ object Similarity {
         |  SELECT a_id, b_id, label,
         |         row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rn
         |  FROM pairs) t
-        |WHERE rn = 1 ORDER BY a_id""".stripMargin
+        |WHERE rn = 1 ORDER BY a_id""".stripMargin,
+    "dedup_embedding_cosine" ->
+      """SELECT a.vec_id, MIN(b.vec_id) AS keeper
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND b.vec_id < a.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.3498
+        |GROUP BY a.vec_id ORDER BY a.vec_id""".stripMargin,
+    "knn_ivf_coarse" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS c_id, embedding AS c_v FROM embeddings WHERE vec_id < 8),
+        |assigned AS (
+        |  SELECT e.vec_id, c.c_id,
+        |         round(list_cosine_similarity(e.embedding, c.c_v), 4) AS csim
+        |  FROM embeddings e CROSS JOIN cent c),
+        |clustered AS (
+        |  SELECT vec_id, c_id AS cell FROM (
+        |    SELECT vec_id, c_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS arn
+        |    FROM assigned) t
+        |  WHERE arn = 1),
+        |sims AS (
+        |  SELECT e.vec_id,
+        |         round(list_cosine_similarity(e.embedding,
+        |           (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS sim
+        |  FROM embeddings e
+        |  JOIN clustered c ON e.vec_id = c.vec_id
+        |  WHERE c.cell = (SELECT cell FROM clustered WHERE vec_id = 0)
+        |    AND e.vec_id <> 0)
+        |SELECT rn, vec_id FROM (
+        |  SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rn
+        |  FROM sims) t
+        |WHERE rn <= 10 ORDER BY rn""".stripMargin
   )
 }

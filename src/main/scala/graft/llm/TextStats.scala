@@ -66,7 +66,7 @@ object TextStats {
           nTok.as("n_tokens"),
           (charSum.cast("double") / nTok).as("mean_token_len"),
           (nStop.cast("double") / nTok).as("stopword_ratio"),
-          (nonAlnum.cast("double") / length(col("text"))).as("alnum_ratio"))
+          (nonAlnum.cast("double") / length(col("text"))).as("non_alnum_ratio"))
         .orderBy("doc_id")
     }),
     // Token counting, whitespace + BPE-ish estimate (~4 chars/subword,
@@ -82,9 +82,10 @@ object TextStats {
           bpe.as("bpe_tokens"))
         .orderBy("doc_id")
     }),
-    // Language-ID heuristic (rows-only; oracle-free because the marker
-    // lexicon is engine-internal): argmax of marker-hit counts, 'und' when
-    // nothing matches.
+    // Language-ID heuristic: argmax of marker-hit counts, 'und' when nothing
+    // matches. Oracle-checked — the marker lexicon is spelled out in the
+    // DuckDB SQL, and array_max over (hits, lang) structs ties to the
+    // lexicographically-largest lang, mirrored by the CASE order fr>es>en>de.
     "text_langid" -> ((s, d) => {
       val toks = tokens(col("text"))
       val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
@@ -146,7 +147,7 @@ object TextStats {
         |                t -> list_contains(['the','and','of','to','in','el','la','de','que','y','der','die','und','das','ist','le','et','les','des'], t))) AS DOUBLE)
         |         / len(str_split(text, ' ')) AS stopword_ratio,
         |       CAST(length(text) - length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-        |         / length(text) AS alnum_ratio
+        |         / length(text) AS non_alnum_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
     // Stub features are (byte & 0xff)/256 — exact dyadic rationals, so the
     // 8-element sum is order-independent and oracle-safe; ord() == byte on
@@ -163,6 +164,35 @@ object TextStats {
         |       CAST(len(str_split(text, ' ')) AS INT) AS ws_tokens,
         |       CAST(list_aggregate(list_transform(str_split(text, ' '),
         |                t -> CAST(ceil(length(t) / 4.0) AS BIGINT)), 'sum') AS BIGINT) AS bpe_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang AS actual_lang,
+        |    len(list_filter(str_split(text,' '), x -> list_contains(['the','and','of','to','in'], x))) AS h_en,
+        |    len(list_filter(str_split(text,' '), x -> list_contains(['el','la','de','que','y'], x))) AS h_es,
+        |    len(list_filter(str_split(text,' '), x -> list_contains(['der','die','und','das','ist'], x))) AS h_de,
+        |    len(list_filter(str_split(text,' '), x -> list_contains(['le','la','et','les','des'], x))) AS h_fr
+        |  FROM documents)
+        |SELECT doc_id, actual_lang,
+        |  CASE WHEN greatest(h_en,h_es,h_de,h_fr) = 0 THEN 'und'
+        |       WHEN h_fr = greatest(h_en,h_es,h_de,h_fr) THEN 'fr'
+        |       WHEN h_es = greatest(h_en,h_es,h_de,h_fr) THEN 'es'
+        |       WHEN h_en = greatest(h_en,h_es,h_de,h_fr) THEN 'en'
+        |       ELSE 'de' END AS predicted_lang
+        |FROM h ORDER BY doc_id""".stripMargin,
+    // Stub frame features are sums of (byte&0xff)/256 dyadic rationals —
+    // exact and order-independent, so the fan-out is fully hashable; ord()
+    // == byte on this ASCII corpus (same assumption as multimodal_meta).
+    "multimodal_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id, least(length(text), 64) AS L, text
+        |  FROM documents WHERE doc_id < 500),
+        |frames AS (
+        |  SELECT doc_id, CAST(f.i AS INT) AS frame,
+        |         list_aggregate(list_transform(range(1, least(8, L - 16*f.i) + 1),
+        |             j -> ord(text[CAST(16*f.i + j AS INT):CAST(16*f.i + j AS INT)]) / 256.0), 'sum') AS feature_sum
+        |  FROM m CROSS JOIN range(0, 4) AS f(i)
+        |  WHERE f.i < ceil(L / 16.0))
+        |SELECT doc_id, frame, feature_sum FROM frames ORDER BY doc_id, frame""".stripMargin
   )
 }

@@ -8,7 +8,7 @@ import graft.etl._
 
 /** Tier A — ingest/ETL queries (SURVEY.md §2 A1-A9). Only A1 is
   * oracle-checkable SQL; the rest exercise real ETL machinery against temp
-  * dirs (driver records a rows>0 check; TierASpec holds the assertions).
+  * dirs (driver records a rows>0 check; EtlSpec holds the assertions).
   */
 object TierA {
 
@@ -28,7 +28,12 @@ object TierA {
     "scan_json" -> ((s, d) => {
       val dir = tmp("graft_json")
       nation(s, d).write.mode("overwrite").json(dir)
-      s.read.json(dir).select("n_nationkey", "n_name", "n_regionkey")
+      // JSON inference widens ints to bigint; restore the catalog types so
+      // the round-trip is schema-exact and oracle-checkable
+      s.read.json(dir).select(
+          col("n_nationkey").cast("int").as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey"))
         .orderBy("n_nationkey")
     }),
     "scan_orc" -> ((s, d) => {
@@ -115,7 +120,7 @@ object TierA {
       n.filter(col("n_nationkey") < 10)
         .write.options(CsvSource.options).mode("append").csv(src)
       Incremental.runAvailableNow(s, src, n.schema, ckpt, sink)
-      // second batch lands → only it is processed by run 2 (TierASpec
+      // second batch lands → only it is processed by run 2 (EtlSpec
       // asserts the first batch is not re-emitted)
       n.filter(col("n_nationkey") >= 10)
         .write.options(CsvSource.options).mode("append").csv(src)
@@ -178,6 +183,26 @@ object TierA {
     // the serde/JDBC/streaming plumbing is lossless, not just non-empty.
     "scan_csv_serde" ->
       """SELECT * FROM nation ORDER BY n_nationkey""",
+    "scan_json" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    // The merged schema after an add-only re-crawl is fully determined:
+    // v1 fields keep their CSV-inferred types, the v2-only column appends.
+    "schema_evolution_add_only" ->
+      """SELECT * FROM (VALUES ('r_comment','string'),('r_name','string'),
+        |                      ('r_regionkey','int')) AS t(field, "type")
+        |ORDER BY field""".stripMargin,
+    // Bucketing/salting are physical-layout strategies; results must equal
+    // the plain join — which is exactly what the oracle checks.
+    "join_bucketed_colocated" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_items,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "join_salted_skew" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "scan_orc" ->
       """SELECT * FROM nation ORDER BY n_nationkey""",
     "infer_schema" ->

@@ -100,7 +100,7 @@ object TierCJoins {
     }),
     // C6 — star-schema dimension join with explicit broadcast hints: at any
     // scale nation(25)/region(5) must replicate to executors, never shuffle
-    // the probe side. Plan shape asserted in TierCSpec.
+    // the probe side. Plan shape asserted in PlanSpec.
     "join_broadcast_dim" -> ((s, d) => {
       val c = customer(s, d); val n = nation(s, d); val r = region(s, d)
       c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
@@ -287,7 +287,7 @@ object TierCAgg {
     }),
     // C17 — HLL approximate distinct: single pass, fixed memory — the 100 TB
     // path where exact distinct's shuffle is the bottleneck. Not
-    // oracle-hashable (approx); TierCSpec asserts ±5% of exact.
+    // oracle-hashable (approx); PlanSpec asserts ±5% of exact.
     "agg_approx_distinct" -> ((s, d) => {
       lineitem(s, d).groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))

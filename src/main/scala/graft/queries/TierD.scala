@@ -13,7 +13,7 @@ import graft.core.Tables._
   *
   * D1-D3 are the *batch forms* of the window aggregations — the exact same
   * `window()`/`session_window()` expressions run unchanged under readStream
-  * (proved in TierDSpec with MemoryStream); the batch form is what the
+  * (proved in StreamingSpec with MemoryStream); the batch form is what the
   * DuckDB oracle can check. D4-D6 are genuinely stateful and unit-tier.
   *
   * events.ts is ns-precision at rest; Spark truncates to µs on read, so every
@@ -47,7 +47,7 @@ object TierD {
         .select(col("user_id"), col("w.start").as("session_start"), col("cnt"))
         .orderBy("user_id", "session_start")
     }),
-    // D4 — watermark + late-data drop (unit-tier; TierDSpec drives event-time
+    // D4 — watermark + late-data drop (unit-tier; StreamingSpec drives event-time
     // through MemoryStream). Here: the same watermarked aggregation executed
     // via the streaming engine over the parquet as a file stream, AvailableNow.
     "stream_watermark_late" -> ((s, d) => {
@@ -70,8 +70,9 @@ object TierD {
     }),
     // D7 — custom streaming state via typed mapGroupsWithState
     // (graft.streaming.CustomState): per-user running stats held in the
-    // state store across micro-batches. Unit-tier; CustomStateSpec proves
-    // cross-batch state with MemoryStream.
+    // state store across micro-batches. CustomStateSpec proves cross-batch
+    // state with MemoryStream; the oracle checks the final states equal the
+    // batch aggregate (exact-decimal accumulation makes them hashable).
     "stream_custom_state" -> ((s, d) => withFewStatePartitions(s) {
       val name = s"cs_out_${java.lang.Long.toHexString(System.nanoTime)}"
       val q = graft.streaming.CustomState.runningUserStats(eventsStream(s, d))
@@ -81,13 +82,18 @@ object TierD {
         .option("checkpointLocation", scratchDir("graft_cs_ckpt"))
         .start()
       q.awaitTermination()
+      // update mode re-emits a refreshed row per (batch, user); the final
+      // state is the max-events row (events strictly grows across batches)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(desc("events"))
       s.table(name)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("user_id"), col("events"), col("total_value"))
         .orderBy("user_id")
     }),
     // D6 — bookmark semantics end-to-end (reference README.md:145): a file
     // source with checkpoint processes each file exactly once; the second
-    // AvailableNow run emits only newly-landed files. TierDSpec asserts the
+    // AvailableNow run emits only newly-landed files. StreamingSpec asserts the
     // no-reprocess property; here one pass over the events file.
     "stream_foreachbatch_pipeline" -> ((s, d) => withFewStatePartitions(s) {
       val sink = scratchDir("graft_fb_sink")
@@ -161,6 +167,12 @@ object TierD {
     "stream_foreachbatch_pipeline" ->
       """SELECT event_type, COUNT(*) AS cnt FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // D7: final mapGroupsWithState state per user == the batch aggregate;
+    // exact-decimal accumulation makes total_value order-independent.
+    "stream_custom_state" ->
+      """SELECT user_id, COUNT(*) AS events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_tumbling" ->
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS wstart,
         |       event_type, COUNT(*) AS cnt,

@@ -14,20 +14,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * executors and this operator scales with them. */
 object CustomState {
 
-  case class Ev(user_id: Long, value: Double, ts_micros: Long)
-  case class UserState(events: Long, total_value: Double, first_seen_micros: Long)
+  /** `value` travels as an exact 2-decimal BigDecimal so the running total is
+    * order-independent (double accumulation would depend on batch/arrival
+    * order and could never hash-match a batch oracle — SURVEY §7.4.2). */
+  case class Ev(user_id: Long, value: java.math.BigDecimal, ts_micros: Long)
+  case class UserState(events: Long, total_value: java.math.BigDecimal,
+      first_seen_micros: Long)
   case class UserStats(user_id: Long, events: Long, total_value: Double,
       first_seen_micros: Long)
 
   def updateUser(uid: Long, evs: Iterator[Ev],
       state: GroupState[UserState]): UserStats = {
-    var s = state.getOption.getOrElse(UserState(0L, 0.0, Long.MaxValue))
+    var s = state.getOption.getOrElse(
+      UserState(0L, java.math.BigDecimal.ZERO, Long.MaxValue))
     evs.foreach { e =>
-      s = UserState(s.events + 1, s.total_value + e.value,
+      s = UserState(s.events + 1, s.total_value.add(e.value),
         math.min(s.first_seen_micros, e.ts_micros))
     }
     state.update(s)
-    UserStats(uid, s.events, s.total_value, s.first_seen_micros)
+    UserStats(uid, s.events, s.total_value.doubleValue, s.first_seen_micros)
   }
 
   /** Attach the stateful per-user aggregation to an events stream with
@@ -37,7 +42,7 @@ object CustomState {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .selectExpr("user_id", "value",
+      .selectExpr("user_id", "CAST(value AS DECIMAL(18,2)) AS value",
         "unix_micros(ts) AS ts_micros")
       .as[Ev]
       .groupByKey(_.user_id)

@@ -76,6 +76,20 @@ class EtlSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() == 25)
   }
 
+  test("A8b: incremental path round-trips embedded newlines (multiLine)") {
+    import spark.implicits._
+    val src = tmpDir("bm_nl_src"); val ckpt = tmpDir("bm_nl_ckpt")
+    val sink = tmpDir("bm_nl_sink")
+    val rows = Seq((1L, "plain"), (2L, "line1\nline2"), (3L, "a,\"q\"\nb"))
+    CsvSource.write(rows.toDF("id", "s"), src)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    Incremental.runAvailableNow(spark, src, schema, ckpt, sink)
+    val back = spark.read.parquet(sink).orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(back == rows, s"incremental CSV read corrupted quoted newlines: $back")
+  }
+
   test("A9: suffix filter excludes non-matching files") {
     val src = tmpDir("ev_src"); val ckpt = tmpDir("ev_ckpt"); val sink = tmpDir("ev_sink")
     import graft.core.Tables

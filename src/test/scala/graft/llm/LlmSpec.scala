@@ -108,6 +108,34 @@ class LlmSpec extends SparkSpec {
     assert(topk == brute, s"spark=$topk brute=$brute")
   }
 
+  test("ANN: knn_lsh_bucketed recalls most of the true top pairs") {
+    // ground truth: the 50 highest-cosine pairs over all vectors (brute force)
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / math.sqrt(na * nb)
+    }
+    val brute = (for {
+      i <- vecs.indices.iterator
+      j <- (i + 1) until vecs.length
+    } yield (cos(vecs(i)._2, vecs(j)._2),
+        math.min(vecs(i)._1, vecs(j)._1), math.max(vecs(i)._1, vecs(j)._1)))
+      .toSeq.sortBy { case (s, a, b) => (-s, a, b) }
+      .take(50).map { case (_, a, b) => (a, b) }.toSet
+    val lsh = graft.SparkEntry.queries("knn_lsh_bucketed")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(lsh.contains).toDouble / brute.size
+    // 32 bands × 8 sign bits (OR-amplified): top pairs on this corpus sit
+    // near cosine 0.45 (per-plane agreement p≈0.65), giving expected recall
+    // ≈ 1-(1-0.65^8)^32 ≈ 2/3; require a majority recalled.
+    assert(recall >= 0.5, s"LSH recall vs brute force = $recall (< 0.5)")
+  }
+
   test("multimodal featurize preserves ids and emits fixed-shape features") {
     val media = Tables.documents(spark, sf).limit(50).select(
       col("doc_id"),

@@ -61,8 +61,10 @@ class PlanSpec extends SparkSpec {
 
   test("no query plans an unintended cartesian or nested-loop join") {
     // join_cross_theta IS the theta/BNLJ demo; knn_cosine_topk broadcasts a
-    // single-row query vector (BNLJ over 1 row — the cheap, intended shape).
-    val intended = Set("join_cross_theta", "knn_cosine_topk")
+    // single-row query vector (BNLJ over 1 row — the cheap, intended shape);
+    // knn_ivf_coarse broadcasts K=8 centroids for the linear N×K assignment
+    // pass (intentional, the IVF coarse-quantization step).
+    val intended = Set("join_cross_theta", "knn_cosine_topk", "knn_ivf_coarse")
     // ETL/streaming queries run real side effects — planning-only audit
     // covers the analytic surface.
     val sideEffecting = Set("scan_csv_serde", "infer_schema",
