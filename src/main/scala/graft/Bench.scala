@@ -14,7 +14,7 @@ object Bench {
     // initialization (~6s measured) so per-query numbers reflect per-query
     // cost, not which arbitrary query ran first. Deterministic name order
     // keeps runs comparable.
-    warmup(spark)
+    warmup(spark, sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // A crashed query reports -1.0, never a normal-looking elapsed time.
@@ -34,11 +34,18 @@ object Bench {
     spark.stop()
   }
 
-  private def warmup(spark: org.apache.spark.sql.SparkSession): Unit = {
+  private def warmup(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
     // batch: shuffle + codegen machinery
     spark.range(100000).groupBy((col("id") % 10).as("k"))
       .agg(sum(col("id"))).collect()
+    // parquet source + vectorized reader + HLL sketch init — otherwise the
+    // alphabetically-first query absorbs these one-time costs
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02)).collect()
+    } catch { case _: Throwable => () }
     // streaming: state store + streaming codegen machinery (one tiny
     // stateful query over a MemoryStream)
     try {

@@ -27,7 +27,11 @@ object Colocate {
     * Exchange-free. */
   def writeBucketed(df: DataFrame, key: String, table: String, buckets: Int,
       path: String): Unit =
-    df.write
+    // repartition by the key with numPartitions = numBuckets uses the same
+    // Murmur3 hash as the bucket id, so each task holds exactly one bucket
+    // and writes exactly one file — without it every task writes a file per
+    // bucket it sees (tasks × buckets files; the small-file problem at scale)
+    df.repartition(buckets, col(key)).write
       .bucketBy(buckets, key)
       .sortBy(key)
       .option("path", path)

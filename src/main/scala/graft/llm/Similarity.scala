@@ -61,15 +61,11 @@ object Similarity {
   val BandBits = 8
 
   /** All `Bands` band-bucket ids of a unit vector, as an array column.
-    * Each bucket = band tag + the band's sign bits; one codegen'd native
-    * dot product per plane (no interpreted lambdas). */
+    * One native expression computes the whole 256-plane projection matrix
+    * in a single fused loop per row — composing 256 separate dot-product
+    * expressions would overwhelm janino (graft.functions.SignBandBuckets). */
   def lshBandBuckets(v: Column, planes: Seq[Array[Double]]): Column =
-    array((0 until Bands).map { b =>
-      (0 until BandBits).map { i =>
-        val p = planes(b * BandBits + i)
-        when(dotD(v, typedLit(p.toSeq)) > 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _) + lit(b * 256L)
-    }: _*)
+    graft.functions.SignBandBuckets.sign_band_buckets(v, planes, BandBits)
 
   /** Near-dup dedup over an embedding table (vec_id, embedding, label):
     * each vector maps to the smallest earlier same-label vec_id whose cosine

@@ -153,7 +153,7 @@ object TierA {
       val big = lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity")
       val small = orders(s, d).select("o_orderkey", "o_orderstatus")
         .withColumnRenamed("o_orderkey", "l_orderkey")
-      Colocate.saltedJoin(big, small, "l_orderkey", col("l_linenumber"), 8)
+      Colocate.saltedJoin(big, small, "l_orderkey", col("l_linenumber"), 4)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_items"))
         .orderBy("o_orderstatus")
