@@ -121,6 +121,26 @@ object TierCFunctions {
           col("event_id"),
           get_json_object(col("props"), "$.k").cast("int").as("k_val"))
         .orderBy("event_id")
+    }),
+    // C42b — map/struct family: from_json to a typed map, key/value access,
+    // entry counting, map_concat, struct build + field access. Map key order
+    // is pinned by sort_array before joining (SURVEY §7.4.5: no map-ordering
+    // dependence in oracle-checked output).
+    "fn_struct_map" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val m = from_json(col("props"), MapType(StringType, IntegerType))
+      events(s, d)
+        .withColumn("m", m)
+        .select(
+          col("event_id"),
+          array_join(sort_array(map_keys(col("m"))), ",").as("keys"),
+          element_at(col("m"), "k").as("k_val"),
+          size(col("m")).as("n_entries"),
+          size(map_concat(col("m"), map(lit("graft_extra"), lit(1))))
+            .as("n_after_concat"),
+          struct(col("event_type").as("t"), col("user_id").as("u"))
+            .getField("t").as("type_field"))
+        .orderBy("event_id")
     })
   )
 
@@ -194,6 +214,14 @@ object TierCFunctions {
     "fn_json" ->
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_struct_map" ->
+      """SELECT event_id,
+        |       array_to_string(list_sort(json_keys(props)), ',') AS keys,
+        |       CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+        |       CAST(len(json_keys(props)) AS INT) AS n_entries,
+        |       CAST(len(json_keys(props)) + 1 AS INT) AS n_after_concat,
+        |       event_type AS type_field
         |FROM events ORDER BY event_id""".stripMargin
   )
 }

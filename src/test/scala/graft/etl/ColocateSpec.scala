@@ -31,6 +31,11 @@ class ColocateSpec extends SparkSpec {
         s"bucketed join still shuffles:\n$plan")
       assert(plan.contains("Bucketed: true"), s"bucket scan not used:\n$plan")
       assert(joined.count() == Tables.lineitem(spark, sf).count())
+      // pre-repartitioning by the bucket key means one data file per bucket,
+      // not tasks × buckets small files
+      val files = new java.io.File(s"$wh/o").listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+      assert(files == 4, s"expected 4 bucket files, found $files")
     } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)
