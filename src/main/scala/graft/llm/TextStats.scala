@@ -101,7 +101,9 @@ object TextStats {
         .orderBy("doc_id")
     }),
     // Document fingerprint via the custom codegen'd rolling-hash expression
-    // (rows-only; cross-checked against the interpreted path in a spec).
+    // (also cross-checked against the interpreted path in a spec). The
+    // polynomial-mod-2^64 fold is spelled out in the DuckDB oracle with
+    // HUGEINT arithmetic, so even the custom hash is differentially checked.
     "doc_fingerprint" -> ((s, d) => {
       documents(s, d)
         .select(col("doc_id"), rolling_hash(col("text")).as("fingerprint"))
@@ -193,6 +195,21 @@ object TextStats {
         |             j -> ord(text[CAST(16*f.i + j AS INT):CAST(16*f.i + j AS INT)]) / 256.0), 'sum') AS feature_sum
         |  FROM m CROSS JOIN range(0, 4) AS f(i)
         |  WHERE f.i < ceil(L / 16.0))
-        |SELECT doc_id, frame, feature_sum FROM frames ORDER BY doc_id, frame""".stripMargin
+        |SELECT doc_id, frame, feature_sum FROM frames ORDER BY doc_id, frame""".stripMargin,
+    // h = fold (h*31 + byte) over bytes last-to-first, mod 2^64 via natural
+    // long wraparound — replicated with HUGEINT modular arithmetic and
+    // mapped back to the signed BIGINT range.
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN m > 9223372036854775807::HUGEINT
+        |            THEN m - 18446744073709551616::HUGEINT ELSE m END AS BIGINT) AS fingerprint
+        |FROM (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(0::HUGEINT,
+        |        list_transform(range(length(text), 0, -1), i -> ord(text[i:i])::HUGEINT)),
+        |      (acc, x) -> (acc * 31 + x) % 18446744073709551616::HUGEINT) AS m
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin
   )
 }

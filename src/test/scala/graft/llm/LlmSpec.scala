@@ -108,6 +108,31 @@ class LlmSpec extends SparkSpec {
     assert(topk == brute, s"spark=$topk brute=$brute")
   }
 
+  test("sign_band_buckets matches a plain-Scala reference") {
+    import spark.implicits._
+    val planes = Similarity.hyperplanes(Similarity.Bands * Similarity.BandBits, 4)
+    val vecs = Seq(
+      (1L, Seq(0.5, -0.25, 0.125, 1.0)),
+      (2L, Seq(-1.0, 2.0, -3.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 0.0, 0.0)))
+    val viaSpark = vecs.toDF("id", "v")
+      .select(col("id"),
+        graft.functions.SignBandBuckets.sign_band_buckets(
+          col("v"), planes, Similarity.BandBits).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    def reference(v: Seq[Double]): Vector[Long] =
+      (0 until Similarity.Bands).map { b =>
+        (0 until Similarity.BandBits).foldLeft(b * 256L) { (acc, t) =>
+          val p = planes(b * Similarity.BandBits + t)
+          val s = v.indices.map(i => p(i) * v(i)).sum
+          if (s > 0) acc + (1L << t) else acc
+        }
+      }.toVector
+    vecs.foreach { case (id, v) =>
+      assert(viaSpark(id) == reference(v), s"bucket mismatch for vec $id")
+    }
+  }
+
   test("ANN: knn_lsh_bucketed recalls most of the true top pairs") {
     // ground truth: the 50 highest-cosine pairs over all vectors (brute force)
     val vecs = Tables.embeddings(spark, sf)
