@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import graft.functions.{CharNgramHashes, DotProduct, RollingHash, SortedIntersectCount}
+import graft.functions.{CharNgramHashes, DotProduct, MinHashArray, RollingHash, SignBandBuckets, SortedIntersectCount}
 
 /** Session extensions: registers graft's native expressions as SQL
   * functions so the whole library surface is reachable from `spark.sql`:
@@ -37,6 +37,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[CharNgramHashes].getName, "ngram_hashes"),
         exprs => CharNgramHashes(exprs(0),
           exprs(1).eval().asInstanceOf[Int])))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_array"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[MinHashArray].getName, "minhash_array"),
+        exprs => MinHashArray(exprs(0), exprs(1).eval().asInstanceOf[Int])))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("sign_band_buckets"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[SignBandBuckets].getName, "sign_band_buckets"),
+        exprs => SignBandBuckets.seeded(exprs(0),
+          exprs(1).eval().asInstanceOf[Int],
+          exprs(2).eval().asInstanceOf[Int],
+          exprs(3).eval().asInstanceOf[Int])))
   }
 }
 
@@ -69,5 +82,12 @@ object GraftSession {
       exprs => SortedIntersectCount(exprs(0), exprs(1)))
     registerFunction(spark, "ngram_hashes",
       exprs => CharNgramHashes(exprs(0), exprs(1).eval().asInstanceOf[Int]))
+    registerFunction(spark, "minhash_array",
+      exprs => MinHashArray(exprs(0), exprs(1).eval().asInstanceOf[Int]))
+    registerFunction(spark, "sign_band_buckets",
+      exprs => SignBandBuckets.seeded(exprs(0),
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int],
+        exprs(3).eval().asInstanceOf[Int]))
   }
 }

@@ -96,4 +96,14 @@ object SignBandBuckets {
     GraftBridge.column(SignBandBuckets(
       GraftBridge.expression(v),
       planes.flatten.toIndexedSeq, planes.length / bits, bits))
+
+  /** Expression with the standard seeded hyperplanes (seed 42, gaussian) —
+    * the SQL-facing form: `sign_band_buckets(vec, bands, bits, dim)`.
+    * Identical planes to [[graft.llm.Similarity]]'s generator. */
+  def seeded(child: Expression, bands: Int, bits: Int, dim: Int)
+      : SignBandBuckets = {
+    val rnd = new scala.util.Random(42)
+    val planes = Seq.fill(bands * bits)(Array.fill(dim)(rnd.nextGaussian()))
+    SignBandBuckets(child, planes.flatten.toIndexedSeq, bands, bits)
+  }
 }

@@ -11,12 +11,16 @@ class GraftSessionSpec extends SparkSpec {
       """SELECT rolling_hash('abc') AS rh,
         |       dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
         |       sorted_intersect_count(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS ic,
-        |       size(ngram_hashes('abcdef', 3)) AS ng
+        |       size(ngram_hashes('abcdef', 3)) AS ng,
+        |       size(minhash_array(array(7L, 9L), 32)) AS mh,
+        |       size(sign_band_buckets(array(1.0D, -2.0D, 0.5D, 3.0D), 32, 8, 4)) AS sb
         |""".stripMargin).head()
     assert(r.getLong(0) ==
       graft.functions.RollingHash.hashBytes("abc".getBytes("UTF-8")))
     assert(r.getDouble(1) == 11.0)
     assert(r.getInt(2) == 2)
     assert(r.getInt(3) == 4) // abc, bcd, cde, def
+    assert(r.getInt(4) == 32)
+    assert(r.getInt(5) == 32)
   }
 }
