@@ -479,6 +479,21 @@ object TierCWindow {
           last(col("o_orderkey")).over(full).as("last_order"))
         .orderBy("o_orderkey")
     }),
+    // C24b — event-time RANGE frame: trailing-7-day spend per customer.
+    // RANGE frames bound by an interval over the ORDER BY column are the
+    // time-series form row frames can't express (peer rows with equal
+    // timestamps aggregate together). DataFrame rangeBetween only takes
+    // longs, so this goes through the SQL entry point — same Catalyst plan.
+    "win_range_frame" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("wr_orders")
+      s.sql(
+        """SELECT o_orderkey, o_custkey,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+          |         PARTITION BY o_custkey ORDER BY o_orderdate
+          |         RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+          |         AS DOUBLE) AS spend_7d
+          |FROM wr_orders ORDER BY o_orderkey""".stripMargin)
+    }),
     // C27 — top-k per group: rank-filter, the scalable pattern (per-group
     // heap via window; no global sort of the fact table).
     "topk_per_group" -> ((s, d) => {
@@ -528,6 +543,13 @@ object TierCWindow {
          |       FIRST_VALUE(o_orderkey) $overCust ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_order,
          |       LAST_VALUE(o_orderkey) $overCust ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
          |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "win_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate
+        |         RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+        |         AS DOUBLE) AS spend_7d
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "topk_per_group" ->
       s"""SELECT o_orderstatus, rn, o_orderkey, o_totalprice FROM (
          |  SELECT o_orderstatus, o_orderkey, o_totalprice,
