@@ -97,9 +97,13 @@ object Similarity {
         .crossJoin(broadcast(q))
         .select(col("vec_id"),
           round(cosine(col("embedding"), col("qv")), 4).as("sim"))
+      // top-k FIRST via orderBy.limit (TakeOrderedAndProject: per-partition
+      // heaps, driver merges k·p rows) — a global row_number window would
+      // funnel every candidate through one partition at scale. Numbering
+      // happens after, over k rows only.
       val w = Window.orderBy(desc("sim"), asc("vec_id"))
-      sims.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 10)
+      sims.orderBy(desc("sim"), asc("vec_id")).limit(10)
+        .withColumn("rn", row_number().over(w))
         .select("rn", "vec_id")
         .orderBy("rn")
     }),
@@ -154,9 +158,10 @@ object Similarity {
       val sims = clustered.join(broadcast(probe), Seq("cell"))
         .filter(col("vec_id") =!= 0)
         .select(col("vec_id"), round(dotD(col("uv"), col("qv")), 4).as("sim"))
+      // same top-k-then-number shape as knn_cosine_topk (no global window)
       val w = Window.orderBy(desc("sim"), asc("vec_id"))
-      sims.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 10)
+      sims.orderBy(desc("sim"), asc("vec_id")).limit(10)
+        .withColumn("rn", row_number().over(w))
         .select("rn", "vec_id")
         .orderBy("rn")
     }),

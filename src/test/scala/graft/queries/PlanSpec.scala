@@ -42,6 +42,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k plan:\n$plan")
   }
 
+  test("E4: knn top-k takes per-partition heaps, not a global window") {
+    // the candidate ranking must go through orderBy.limit (TakeOrdered),
+    // never a row_number window over an un-partitioned ordering — that
+    // funnels every candidate row through a single partition at scale
+    val plan = executedPlan("knn_cosine_topk")
+    assert(plan.contains("TakeOrderedAndProject"), s"knn plan:\n$plan")
+  }
+
   test("C15: aggregation is partial+final (map-side combine)") {
     val plan = executedPlan("agg_groupby_having")
     assert(plan.contains("partial_"), s"no partial aggregation in:\n$plan")
