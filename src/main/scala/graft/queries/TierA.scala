@@ -158,6 +158,19 @@ object TierA {
         .agg(count(lit(1)).as("n_items"))
         .orderBy("o_orderstatus")
     }),
+    // A12 — small-file compaction: the lake-maintenance job every file-based
+    // pipeline needs (crawl output accumulates per-trigger small files; at
+    // 100 TB unbounded file counts kill planning and listing). Rewrite many
+    // small files into count-controlled bigger ones; contents must be
+    // lossless (oracle: equals the source table). EtlSpec asserts the file
+    // counts. At scale the coalesce target comes from size stats
+    // (bytes / target_file_size), not a constant.
+    "etl_compact_files" -> ((s, d) => {
+      val src = tmp("graft_compact_src"); val out = tmp("graft_compact_out")
+      nation(s, d).repartition(12).write.mode("overwrite").parquet(src)
+      s.read.parquet(src).coalesce(1).write.mode("overwrite").parquet(out)
+      s.read.parquet(out).orderBy("n_nationkey")
+    }),
     // A9 — event trigger with prefix/suffix filters (README.md:196-198):
     // prefix == watched dir, suffix == pathGlobFilter; the .txt decoy must
     // not be ingested.
@@ -217,6 +230,8 @@ object TierA {
         |       s_acctbal AS balance
         |FROM supplier ORDER BY supplier_id""".stripMargin,
     "bookmark_incremental" ->
+      """SELECT * FROM nation ORDER BY n_nationkey""",
+    "etl_compact_files" ->
       """SELECT * FROM nation ORDER BY n_nationkey""",
     "event_trigger_filtered" ->
       """SELECT * FROM region ORDER BY r_regionkey"""

@@ -103,6 +103,18 @@ class EtlSpec extends SparkSpec {
     assert(out.filter(col("r_name") === "DECOY").count() == 0)
   }
 
+  test("A12: compaction reduces file count without losing rows") {
+    import graft.core.Tables
+    val src = tmpDir("compact_src"); val out = tmpDir("compact_out")
+    Tables.nation(spark, sf).repartition(12).write.mode("overwrite").parquet(src)
+    def parquetFiles(dir: String): Int =
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(src) == 12)
+    spark.read.parquet(src).coalesce(1).write.mode("overwrite").parquet(out)
+    assert(parquetFiles(out) == 1, "compaction must merge to the target count")
+    assert(spark.read.parquet(out).count() == Tables.nation(spark, sf).count())
+  }
+
   test("A4: partition filters prune key=value directories at the scan") {
     val dir = tmpDir("part_prune")
     import graft.core.Tables

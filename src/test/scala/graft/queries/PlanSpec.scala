@@ -80,7 +80,8 @@ class PlanSpec extends SparkSpec {
       "workflow_dag", "bookmark_incremental", "event_trigger_filtered",
       "stream_watermark_late", "stream_dedup_stateful",
       "stream_foreachbatch_pipeline", "join_bucketed_colocated",
-      "scan_json", "scan_orc", "multimodal_meta", "multimodal_frames")
+      "scan_json", "scan_orc", "multimodal_meta", "multimodal_frames",
+      "etl_compact_files")
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(intended).filterNot(sideEffecting)
       .filter { name =>
