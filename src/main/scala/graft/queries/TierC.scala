@@ -494,13 +494,32 @@ object TierCWindow {
           |         AS DOUBLE) AS spend_7d
           |FROM wr_orders ORDER BY o_orderkey""".stripMargin)
     }),
-    // C27 — top-k per group: rank-filter, the scalable pattern (per-group
-    // heap via window; no global sort of the fact table).
+    // C27 — top-k per group: rank-filter. NB the window repartitions all
+    // rows into |groups| partitions — fine for high-cardinality keys; the
+    // 3-value o_orderstatus key at 100 TB wants topk_per_group_agg below.
     "topk_per_group" -> ((s, d) => {
       orders(s, d)
         .withColumn("rn", row_number().over(byStatus))
         .filter(col("rn") <= 3)
         .select("o_orderstatus", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderstatus", "rn")
+    }),
+    // C27b — the same top-3 via graft.operators.TopKAggregator: bounded
+    // per-group buffers inside partial aggregation, so only k rows per
+    // group per input partition cross the shuffle (no |groups|-partition
+    // funnel). Oracle-identical to the window form by construction.
+    "topk_per_group_agg" -> ((s, d) => {
+      import s.implicits._
+      val agg = new graft.operators.TopKAggregator(3).toColumn
+      orders(s, d)
+        .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+        .as[(String, Double, Long)]
+        .groupByKey(_._1).mapValues { case (_, price, key) => (price, key) }
+        .agg(agg)
+        .flatMap { case (st, top) =>
+          top.zipWithIndex.map { case ((price, key), i) => (st, i + 1, key, price) }
+        }
+        .toDF("o_orderstatus", "rn", "o_orderkey", "o_totalprice")
         .orderBy("o_orderstatus", "rn")
     })
   )
@@ -551,6 +570,13 @@ object TierCWindow {
         |         AS DOUBLE) AS spend_7d
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "topk_per_group" ->
+      s"""SELECT o_orderstatus, rn, o_orderkey, o_totalprice FROM (
+         |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+         |         ROW_NUMBER() $overStatus AS rn
+         |  FROM orders) t
+         |WHERE rn <= 3
+         |ORDER BY o_orderstatus, rn""".stripMargin,
+    "topk_per_group_agg" ->
       s"""SELECT o_orderstatus, rn, o_orderkey, o_totalprice FROM (
          |  SELECT o_orderstatus, o_orderkey, o_totalprice,
          |         ROW_NUMBER() $overStatus AS rn

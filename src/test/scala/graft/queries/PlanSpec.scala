@@ -55,6 +55,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_"), s"no partial aggregation in:\n$plan")
   }
 
+  test("C27b: aggregation top-k combines map-side (no group-count funnel)") {
+    // the TopKAggregator must run as partial+final aggregation so only k
+    // rows per group per input partition cross the shuffle
+    val plan = executedPlan("topk_per_group_agg")
+    assert(plan.contains("partial_"), s"no partial aggregation in:\n$plan")
+  }
+
   test("C17: approx distinct is within 5% of exact") {
     val approx = SparkEntryPlan("agg_approx_distinct")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
