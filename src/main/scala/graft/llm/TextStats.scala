@@ -109,6 +109,23 @@ object TextStats {
         .select(col("doc_id"), rolling_hash(col("text")).as("fingerprint"))
         .orderBy("doc_id")
     }),
+    // Decontamination (training-data pipeline op): flag corpus docs sharing
+    // any word 8-gram with a benchmark set (docs 0-49 stand in for an eval
+    // benchmark). 100 TB shape: the benchmark gram set is small and
+    // BROADCAST, so the corpus is never shuffled for the match — only the
+    // per-doc count aggregates. 8-gram overlap is the standard
+    // contamination test; short docs fall back to their full token string.
+    "text_decontaminate" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val grams = documents(s, d).select(col("doc_id"),
+        explode(transform(sequence(lit(1), greatest(size(toks) - 7, lit(1))),
+          i => concat_ws(" ", slice(toks, i, lit(8))))).as("g"))
+      val bench = grams.filter(col("doc_id") < 50).select("g").distinct()
+      val corpus = grams.filter(col("doc_id") >= 50)
+      corpus.join(broadcast(bench), Seq("g"))
+        .groupBy("doc_id").agg(countDistinct(col("g")).as("n_shared"))
+        .orderBy("doc_id")
+    }),
     // Multimodal binary-column plumbing (builder mandate): payloads as
     // opaque binary + typed metadata; "decode" is a deterministic stub
     // (real image/audio libs absent by design) but schema, batching and
@@ -196,6 +213,18 @@ object TextStats {
         |  FROM m CROSS JOIN range(0, 4) AS f(i)
         |  WHERE f.i < ceil(L / 16.0))
         |SELECT doc_id, frame, feature_sum FROM frames ORDER BY doc_id, frame""".stripMargin,
+    "text_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+        |  FROM toks CROSS JOIN range(1, 256) AS r(i)
+        |  WHERE i <= greatest(len(t) - 7, 1)),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 50),
+        |corpus AS (SELECT doc_id, g FROM grams WHERE doc_id >= 50)
+        |SELECT c.doc_id, COUNT(DISTINCT c.g) AS n_shared
+        |FROM corpus c JOIN bench b ON c.g = b.g
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     // h = fold (h*31 + byte) over bytes last-to-first, mod 2^64 via natural
     // long wraparound — replicated with HUGEINT modular arithmetic and
     // mapped back to the signed BIGINT range.
