@@ -21,6 +21,36 @@ class PropertySpec extends SparkSpec {
     Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(',', '"', '\\', '\n', ' ')))
       .map(_.mkString)
 
+  test("TopKAggregator is split-invariant: any partitioning gives sorted top-k") {
+    import org.scalacheck.Arbitrary.arbitrary
+    val agg = new graft.operators.TopKAggregator(3)
+    val rows = Gen.listOf(Gen.zip(Gen.chooseNum(-100.0, 100.0), arbitrary[Long]))
+    val prop = Prop.forAll(rows, Gen.chooseNum(0, 10)) { (xs, cut) =>
+      // reference: global sort
+      val expect = xs.sortBy { case (v, id) => (-v, id) }.take(3)
+      // aggregator: reduce two arbitrary splits independently, then merge —
+      // the partial-aggregation execution shape
+      val (l, r) = xs.splitAt(math.min(cut, xs.size))
+      val bufL = l.foldLeft(agg.zero)(agg.reduce)
+      val bufR = r.foldLeft(agg.zero)(agg.reduce)
+      agg.finish(agg.merge(bufL, bufR)).toList == expect
+    }
+    check(prop)
+  }
+
+  test("CSV PERMISSIVE mode nulls malformed cells instead of failing the read") {
+    val dir = tmpDir("csv_permissive")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/bad.csv"),
+      "id,n\n1,10\n2,not_a_number\n3,30\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("n", LongType)))
+    val back = CsvSource.read(spark, dir, Some(schema))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.isNullAt(1)))
+    assert(back.toSeq == Seq((1L, false), (2L, true), (3L, false)),
+      s"malformed cell handling: ${back.toSeq}")
+  }
+
   test("CSV write-then-read is the identity on adversarial strings") {
     import spark.implicits._
     // One batched property: sample N nasty strings, round-trip them together
