@@ -116,10 +116,14 @@ object TextStats {
     // per-doc count aggregates. 8-gram overlap is the standard
     // contamination test; short docs fall back to their full token string.
     "text_decontaminate" -> ((s, d) => {
+      // grams travel as 64-bit window hashes (one fused native pass), never
+      // as strings — the string form allocates n× the corpus bytes per scan.
+      // The DuckDB oracle intersects the plain string grams; counts agree
+      // absent a 64-bit collision (same discipline as dedup_ngram_jaccard).
       val toks = tokens(col("text"))
       val grams = documents(s, d).select(col("doc_id"),
-        explode(transform(sequence(lit(1), greatest(size(toks) - 7, lit(1))),
-          i => concat_ws(" ", slice(toks, i, lit(8))))).as("g"))
+        explode(graft.functions.TokenNgramHashes.token_ngram_hashes(
+          transform(toks, t => xxhash64(t)), 8)).as("g"))
       val bench = grams.filter(col("doc_id") < 50).select("g").distinct()
       val corpus = grams.filter(col("doc_id") >= 50)
       corpus.join(broadcast(bench), Seq("g"))
