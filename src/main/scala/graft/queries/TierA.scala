@@ -158,6 +158,36 @@ object TierA {
         .agg(count(lit(1)).as("n_items"))
         .orderBy("o_orderstatus")
     }),
+    // A13 — SCD-1 upsert (MERGE-by-PK) without a table format: load a base
+    // version, apply an update batch where updates win by primary key, and
+    // publish as a new version directory (object stores swap versions via
+    // manifest/rename; a lakehouse format would do this transactionally).
+    // The anti-join keeps untouched rows; updates overwrite matched keys.
+    "etl_upsert_scd1" -> ((s, d) => {
+      val out = tmp("graft_upsert")
+      val base = customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+      base.write.mode("overwrite").parquet(s"$out/v1")
+      val updates = base.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      val current = s.read.parquet(s"$out/v1")
+      val merged = updates.unionByName(
+        current.join(updates.select("c_custkey"), Seq("c_custkey"), "left_anti"))
+      merged.write.mode("overwrite").parquet(s"$out/v2")
+      s.read.parquet(s"$out/v2").orderBy("c_custkey")
+    }),
+    // A14 — data-quality report (the Glue Data Quality analogue): one pass
+    // computing the load-gate metrics a warehouse ingest checks — row count,
+    // PK uniqueness/nullability, value-range sanity, freshness bounds.
+    "etl_data_quality" -> ((s, d) => {
+      val o = orders(s, d)
+      o.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_distinct_pk"),
+        sum(when(col("o_orderkey").isNull, 1).otherwise(0)).as("n_null_pk"),
+        sum(when(col("o_totalprice") <= 0, 1).otherwise(0)).as("n_nonpositive_price"),
+        min(col("o_orderdate")).as("min_date"),
+        max(col("o_orderdate")).as("max_date"))
+    }),
     // A12 — small-file compaction: the lake-maintenance job every file-based
     // pipeline needs (crawl output accumulates per-trigger small files; at
     // 100 TB unbounded file counts kill planning and listing). Rewrite many
@@ -233,6 +263,19 @@ object TierA {
       """SELECT * FROM nation ORDER BY n_nationkey""",
     "etl_compact_files" ->
       """SELECT * FROM nation ORDER BY n_nationkey""",
+    "etl_upsert_scd1" ->
+      """SELECT c_custkey, c_name,
+        |       CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100
+        |            ELSE c_acctbal END AS c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "etl_data_quality" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       COUNT(DISTINCT o_orderkey) AS n_distinct_pk,
+        |       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_pk,
+        |       CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonpositive_price,
+        |       MIN(o_orderdate) AS min_date,
+        |       MAX(o_orderdate) AS max_date
+        |FROM orders""".stripMargin,
     "event_trigger_filtered" ->
       """SELECT * FROM region ORDER BY r_regionkey"""
   )
