@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import graft.functions.{CharNgramHashes, DotProduct, MinHashArray, RollingHash, SignBandBuckets, SortedIntersectCount}
+import graft.functions.{CharNgramHashes, DotProduct, MinHashArray, RollingHash, SignBandBuckets, SortedIntersectCount, TokenNgramHashes}
 
 /** Session extensions: registers graft's native expressions as SQL
   * functions so the whole library surface is reachable from `spark.sql`:
@@ -42,6 +42,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[MinHashArray].getName, "minhash_array"),
         exprs => MinHashArray(exprs(0), exprs(1).eval().asInstanceOf[Int])))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("token_ngram_hashes"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[TokenNgramHashes].getName, "token_ngram_hashes"),
+        exprs => TokenNgramHashes(exprs(0), exprs(1).eval().asInstanceOf[Int])))
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("sign_band_buckets"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
@@ -84,6 +89,8 @@ object GraftSession {
       exprs => CharNgramHashes(exprs(0), exprs(1).eval().asInstanceOf[Int]))
     registerFunction(spark, "minhash_array",
       exprs => MinHashArray(exprs(0), exprs(1).eval().asInstanceOf[Int]))
+    registerFunction(spark, "token_ngram_hashes",
+      exprs => TokenNgramHashes(exprs(0), exprs(1).eval().asInstanceOf[Int]))
     registerFunction(spark, "sign_band_buckets",
       exprs => SignBandBuckets.seeded(exprs(0),
         exprs(1).eval().asInstanceOf[Int],

@@ -30,23 +30,29 @@ case class MinHashArray(child: Expression, k: Int) extends UnaryExpression {
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // an empty hash array yields a null signature even if the child is
+  // non-nullable (mirrors array_min-over-empty in the composable form)
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_array"
 
-  /** Row kernel, shared by interpreted eval and codegen. */
-  def computeRow(a: Any): ArrayData = {
+  /** Row kernel, shared by interpreted eval and codegen. Degenerate inputs
+    * mirror the composable form exactly: an empty array yields null (like
+    * `array_min` over an empty transform), and a null element contributes
+    * `hashInt(seed, 42)` (xxhash64 skips null children, leaving the seed). */
+  def computeRow(a: Any): Any = {
     val arr = a.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    if (n == 0) return null
     val out = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val base = XXH64.hashLong(arr.getLong(i), 42L)
-        var s = 0
-        while (s < k) {
-          val m = XXH64.hashInt(s, base)
-          if (m < out(s)) out(s) = m
-          s += 1
-        }
+      val base =
+        if (arr.isNullAt(i)) 42L else XXH64.hashLong(arr.getLong(i), 42L)
+      var s = 0
+      while (s < k) {
+        val m = XXH64.hashInt(s, base)
+        if (m < out(s)) out(s) = m
+        s += 1
       }
       i += 1
     }
@@ -58,7 +64,16 @@ case class MinHashArray(child: Expression, k: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("minHashArray", this,
       classOf[MinHashArray].getName)
-    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.computeRow($a);")
+    val r = ctx.freshName("mhResult")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |Object $r = $self.computeRow($a);
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r;
+         |}
+       """.stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression)

@@ -19,11 +19,13 @@ import org.apache.spark.sql.types._
   * tight loop, no per-plane expression overhead.
   *
   * Output: `array<bigint>` of length `bands`; element `b` is
-  * `b * 256 + signBits(b)` — band-tagged so buckets from different bands
-  * never collide when exploded into one bucket-join column.
+  * `(b << bits) + signBits(b)` — band-tagged so buckets from different
+  * bands never collide when exploded into one bucket-join column.
   */
 case class SignBandBuckets(child: Expression, planes: Seq[Double],
     bands: Int, bits: Int) extends UnaryExpression {
+
+  require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")
 
   private val dim: Int = planes.length / (bands * bits)
 
@@ -61,7 +63,9 @@ case class SignBandBuckets(child: Expression, planes: Seq[Double],
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
-      var bucket = b * 256L
+      // band tag strides by 2^bits so buckets from different bands can
+      // never collide regardless of the configured band width
+      var bucket = b.toLong << bits
       var t = 0
       while (t < bits) {
         val off = (b * bits + t) * dim

@@ -221,9 +221,10 @@ object TextStats {
       """WITH toks AS (
         |  SELECT doc_id, str_split(text, ' ') AS t FROM documents),
         |grams AS (
-        |  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
-        |  FROM toks CROSS JOIN range(1, 256) AS r(i)
-        |  WHERE i <= greatest(len(t) - 7, 1)),
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(t) - 7, 1) + 1),
+        |                               i -> array_to_string(t[i:i+7], ' '))) AS g
+        |  FROM toks),
         |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 50),
         |corpus AS (SELECT doc_id, g FROM grams WHERE doc_id >= 50)
         |SELECT c.doc_id, COUNT(DISTINCT c.g) AS n_shared

@@ -13,7 +13,8 @@ class GraftSessionSpec extends SparkSpec {
         |       sorted_intersect_count(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS ic,
         |       size(ngram_hashes('abcdef', 3)) AS ng,
         |       size(minhash_array(array(7L, 9L), 32)) AS mh,
-        |       size(sign_band_buckets(array(1.0D, -2.0D, 0.5D, 3.0D), 32, 8, 4)) AS sb
+        |       size(sign_band_buckets(array(1.0D, -2.0D, 0.5D, 3.0D), 32, 8, 4)) AS sb,
+        |       size(token_ngram_hashes(array(1L, 2L, 3L, 4L, 5L), 3)) AS tg
         |""".stripMargin).head()
     assert(r.getLong(0) ==
       graft.functions.RollingHash.hashBytes("abc".getBytes("UTF-8")))
@@ -22,5 +23,6 @@ class GraftSessionSpec extends SparkSpec {
     assert(r.getInt(3) == 4) // abc, bcd, cde, def
     assert(r.getInt(4) == 32)
     assert(r.getInt(5) == 32)
+    assert(r.getInt(6) == 3) // 5 tokens, 3-gram windows: positions 1..3
   }
 }

@@ -122,7 +122,7 @@ class LlmSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
     def reference(v: Seq[Double]): Vector[Long] =
       (0 until Similarity.Bands).map { b =>
-        (0 until Similarity.BandBits).foldLeft(b * 256L) { (acc, t) =>
+        (0 until Similarity.BandBits).foldLeft(b.toLong << Similarity.BandBits) { (acc, t) =>
           val p = planes(b * Similarity.BandBits + t)
           val s = v.indices.map(i => p(i) * v(i)).sum
           if (s > 0) acc + (1L << t) else acc
