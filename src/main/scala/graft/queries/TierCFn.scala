@@ -270,6 +270,21 @@ object TierCSubquery {
           |FROM customer c JOIN co ON co.o_custkey = c.c_custkey
           |WHERE co.n_orders >= 5
           |ORDER BY c.c_custkey""".stripMargin)
+    }),
+    // C46 — LATERAL correlated subquery in FROM: top-2 account balances per
+    // nation. The lateral body is per-outer-row correlated with its own
+    // ORDER BY/LIMIT — the "top-n related rows per driving row" shape that
+    // plain IN/EXISTS subqueries can't express. Catalyst decorrelates it
+    // into a ranked join (no per-row re-execution).
+    "subq_lateral" -> ((s, d) => {
+      views(s, d)
+      s.sql(
+        """SELECT n.n_name, t.c_custkey, t.c_acctbal
+          |FROM nation n, LATERAL (
+          |  SELECT c_custkey, c_acctbal FROM customer
+          |  WHERE c_nationkey = n.n_nationkey
+          |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+          |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin)
     })
   )
 
@@ -292,6 +307,13 @@ object TierCSubquery {
         |SELECT c.c_custkey, c.c_name, co.n_orders, co.total_spent
         |FROM customer c JOIN co ON co.o_custkey = c.c_custkey
         |WHERE co.n_orders >= 5
-        |ORDER BY c.c_custkey""".stripMargin
+        |ORDER BY c.c_custkey""".stripMargin,
+    "subq_lateral" ->
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin
   )
 }
