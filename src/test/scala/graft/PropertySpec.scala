@@ -51,6 +51,24 @@ class PropertySpec extends SparkSpec {
       s"malformed cell handling: ${back.toSeq}")
   }
 
+  test("token_ngram_hashes matches a plain-Scala xxhash64 fold") {
+    import org.scalacheck.Arbitrary.arbitrary
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import spark.implicits._
+    val prop = Prop.forAll(Gen.listOf(arbitrary[Long]), Gen.chooseNum(1, 5)) {
+      (hs, n) =>
+        val viaSpark = Seq(Tuple1(hs)).toDF("h")
+          .select(graft.functions.TokenNgramHashes
+            .token_ngram_hashes(org.apache.spark.sql.functions.col("h"), n))
+          .head().getSeq[Long](0).toList
+        val expect = (0 until math.max(hs.length - n + 1, 1)).map { i =>
+          hs.slice(i, i + n).foldLeft(42L)((acc, h) => XXH64.hashLong(h, acc))
+        }.toList
+        viaSpark == expect
+    }
+    check(prop, tries = 15)
+  }
+
   test("CSV write-then-read is the identity on adversarial strings") {
     import spark.implicits._
     // One batched property: sample N nasty strings, round-trip them together
