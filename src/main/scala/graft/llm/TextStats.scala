@@ -109,6 +109,24 @@ object TextStats {
         .select(col("doc_id"), rolling_hash(col("text")).as("fingerprint"))
         .orderBy("doc_id")
     }),
+    // Deterministic train/val/test split (training-data pipeline op): the
+    // split must be a pure function of the stable document id — never
+    // rand() — so reruns, retries, and engines agree row-for-row and a doc
+    // can never migrate between splits as the corpus grows. Bucket = first
+    // two md5 hex digits mod 10 → 80/10/10; output is the per-language
+    // stratification report a dataset card needs.
+    "sample_split" -> ((s, d) => {
+      def hexVal(c: Column): Column =
+        when(ascii(c) >= 97, ascii(c) - 87).otherwise(ascii(c) - 48)
+      val hx = md5(col("doc_id").cast("string"))
+      val bucket =
+        (hexVal(substring(hx, 1, 1)) * 16 + hexVal(substring(hx, 2, 1))) % 10
+      documents(s, d)
+        .withColumn("split",
+          when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))
+        .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "split")
+    }),
     // Decontamination (training-data pipeline op): flag corpus docs sharing
     // any word 8-gram with a benchmark set (docs 0-49 stand in for an eval
     // benchmark). 100 TB shape: the benchmark gram set is small and
@@ -217,6 +235,19 @@ object TextStats {
         |  FROM m CROSS JOIN range(0, 4) AS f(i)
         |  WHERE f.i < ceil(L / 16.0))
         |SELECT doc_id, frame, feature_sum FROM frames ORDER BY doc_id, frame""".stripMargin,
+    "sample_split" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+        |b AS (
+        |  SELECT doc_id, lang,
+        |    ((CASE WHEN ord(hx[1:1]) >= 97 THEN ord(hx[1:1]) - 87 ELSE ord(hx[1:1]) - 48 END) * 16
+        |     + (CASE WHEN ord(hx[2:2]) >= 97 THEN ord(hx[2:2]) - 87 ELSE ord(hx[2:2]) - 48 END)) % 10 AS bucket
+        |  FROM h)
+        |SELECT lang,
+        |       CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       COUNT(*) AS n_docs
+        |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
     "text_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, str_split(text, ' ') AS t FROM documents),
