@@ -58,8 +58,10 @@ object TextStats {
         transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
       val stop = typedLit(LangMarkers.values.flatten.toSeq)
       val nStop = size(filter(toks, t => array_contains(stop, t)))
-      val nonAlnum = length(col("text")) -
-        length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
+      // regexp_replace STRIPS the matching (alnum+space) chars, so the
+      // length of what remains IS the non-alnum count (a round-1 version
+      // subtracted it from the total, silently counting alnum instead)
+      val nonAlnum = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
       documents(s, d).select(
           col("doc_id"),
           col("n_chars"),
@@ -107,6 +109,37 @@ object TextStats {
     "doc_fingerprint" -> ((s, d) => {
       documents(s, d)
         .select(col("doc_id"), rolling_hash(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+    // Quality-FILTER verdicts (training-data pipeline op): the keep/drop
+    // decision layered on the raw stats, Gopher/C4-style rule stack — token
+    // count bounds, mean token length bounds, stopword presence, symbol
+    // ratio cap. Emits keep + the first failing rule (the triage a corpus
+    // card reports). Rules are exact integer/single-division arithmetic so
+    // the verdict is oracle-hashable.
+    "text_quality_filter" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val nTok = size(toks)
+      val charSum = aggregate(
+        transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+      val meanLen = charSum.cast("double") / nTok
+      val stop = typedLit(LangMarkers.values.flatten.toSeq)
+      val nStop = size(filter(toks, t => array_contains(stop, t)))
+      val nonAlnum = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
+      val symbolRatio = nonAlnum.cast("double") / length(col("text"))
+      // bounds tuned to discriminate on this corpus (tokens 10-99, mean
+      // length 3.7-5.3, symbol-free): the short-doc and no-stopword rules
+      // actually fire; the others guard the degenerate directions
+      val rule = when(nTok < 20, "too_few_tokens")
+        .when(nTok > 5000, "too_many_tokens")
+        .when(meanLen < 2.0, "mean_token_too_short")
+        .when(meanLen > 12.0, "mean_token_too_long")
+        .when(symbolRatio > 0.3, "too_many_symbols")
+        .when(nStop === 0, "no_stopwords")
+        .otherwise("pass")
+      documents(s, d)
+        .select(col("doc_id"), rule.as("verdict"),
+          (rule === "pass").as("keep"))
         .orderBy("doc_id")
     }),
     // Deterministic train/val/test split (training-data pipeline op): the
@@ -187,7 +220,7 @@ object TextStats {
         |       CAST(len(list_filter(str_split(text, ' '),
         |                t -> list_contains(['the','and','of','to','in','el','la','de','que','y','der','die','und','das','ist','le','et','les','des'], t))) AS DOUBLE)
         |         / len(str_split(text, ' ')) AS stopword_ratio,
-        |       CAST(length(text) - length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        |       CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
         |         / length(text) AS non_alnum_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
     // Stub features are (byte & 0xff)/256 — exact dyadic rationals, so the
@@ -235,6 +268,29 @@ object TextStats {
         |  FROM m CROSS JOIN range(0, 4) AS f(i)
         |  WHERE f.i < ceil(L / 16.0))
         |SELECT doc_id, frame, feature_sum FROM frames ORDER BY doc_id, frame""".stripMargin,
+    "text_quality_filter" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |         len(str_split(text, ' ')) AS n_tok,
+        |         CAST(list_aggregate(list_transform(str_split(text, ' '), t -> length(t)), 'sum') AS DOUBLE)
+        |           / len(str_split(text, ' ')) AS mean_len,
+        |         len(list_filter(str_split(text, ' '),
+        |              t -> list_contains(['the','and','of','to','in','el','la','de','que','y','der','die','und','das','ist','le','et','les','des'], t))) AS n_stop,
+        |         CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        |           / length(text) AS symbol_ratio
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id,
+        |         CASE WHEN n_tok < 20 THEN 'too_few_tokens'
+        |              WHEN n_tok > 5000 THEN 'too_many_tokens'
+        |              WHEN mean_len < 2.0 THEN 'mean_token_too_short'
+        |              WHEN mean_len > 12.0 THEN 'mean_token_too_long'
+        |              WHEN symbol_ratio > 0.3 THEN 'too_many_symbols'
+        |              WHEN n_stop = 0 THEN 'no_stopwords'
+        |              ELSE 'pass' END AS verdict
+        |  FROM q)
+        |SELECT doc_id, verdict, verdict = 'pass' AS keep
+        |FROM v ORDER BY doc_id""".stripMargin,
     "sample_split" ->
       """WITH h AS (
         |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
