@@ -111,6 +111,21 @@ object TextStats {
         .select(col("doc_id"), rolling_hash(col("text")).as("fingerprint"))
         .orderBy("doc_id")
     }),
+    // Within-doc repetition (the Gopher repetition signal): the share of
+    // word-3-gram occurrences that are repeats of an earlier window.
+    // Boilerplate/templated docs score high and are drop candidates.
+    // Native window hashing (TokenNgramHashes); counts are exact integers,
+    // the ratio one IEEE division — fully hashable.
+    "text_repetition" -> ((s, d) => {
+      val grams = graft.functions.TokenNgramHashes.token_ngram_hashes(
+        transform(tokens(col("text")), t => xxhash64(t)), 3)
+      documents(s, d)
+        .select(col("doc_id"), size(grams).as("n_grams"),
+          size(array_distinct(grams)).as("n_distinct"))
+        .withColumn("dup_ratio",
+          (col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
+        .orderBy("doc_id")
+    }),
     // Quality-FILTER verdicts (training-data pipeline op): the keep/drop
     // decision layered on the raw stats, Gopher/C4-style rule stack — token
     // count bounds, mean token length bounds, stopword presence, symbol
@@ -268,6 +283,19 @@ object TextStats {
         |  FROM m CROSS JOIN range(0, 4) AS f(i)
         |  WHERE f.i < ceil(L / 16.0))
         |SELECT doc_id, frame, feature_sum FROM frames ORDER BY doc_id, frame""".stripMargin,
+    // The oracle counts distinct PLAIN 3-gram strings; the engine counts
+    // distinct window hashes — equal absent a 64-bit collision.
+    "text_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, greatest(len(str_split(text,' ')) - 2, 1) + 1),
+        |                        i -> array_to_string(str_split(text,' ')[i:i+2], ' ')) AS grams
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(grams) AS INT) AS n_grams,
+        |       CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+        |       CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams) AS dup_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
     "text_quality_filter" ->
       """WITH q AS (
         |  SELECT doc_id,
