@@ -25,6 +25,27 @@ object TextStats {
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "fr" -> Seq("le", "la", "et", "les", "des"))
 
+  /** The shared per-doc quality stats over `text` — ONE definition used by
+    * both the score report (text_quality) and the filter verdicts
+    * (text_quality_filter), so the two can never silently diverge. */
+  private case class QualityStats(nTok: Column, meanLen: Column,
+      nStop: Column, symbolRatio: Column)
+
+  private def qualityStats: QualityStats = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val charSum = aggregate(
+      transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+    val stop = typedLit(LangMarkers.values.flatten.toSeq)
+    val nStop = size(filter(toks, t => array_contains(stop, t)))
+    // regexp_replace STRIPS the matching (alnum+space) chars, so the
+    // length of what remains IS the non-alnum count (a round-1 version
+    // subtracted it from the total, silently counting alnum instead)
+    val nonAlnum = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
+    QualityStats(nTok, charSum.cast("double") / nTok, nStop,
+      nonAlnum.cast("double") / length(col("text")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E6 — corpus stats per (lang, source): doc counts, token counts, exact
     // char sums, stable mean chars (int sums + one double division).
@@ -52,23 +73,14 @@ object TextStats {
     // Quality scoring (builder mandate): length/punctuation/stopword ratios
     // + mean token length, all exact-int or single-division arithmetic.
     "text_quality" -> ((s, d) => {
-      val toks = tokens(col("text"))
-      val nTok = size(toks)
-      val charSum = aggregate(
-        transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
-      val stop = typedLit(LangMarkers.values.flatten.toSeq)
-      val nStop = size(filter(toks, t => array_contains(stop, t)))
-      // regexp_replace STRIPS the matching (alnum+space) chars, so the
-      // length of what remains IS the non-alnum count (a round-1 version
-      // subtracted it from the total, silently counting alnum instead)
-      val nonAlnum = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
+      val q = qualityStats
       documents(s, d).select(
           col("doc_id"),
           col("n_chars"),
-          nTok.as("n_tokens"),
-          (charSum.cast("double") / nTok).as("mean_token_len"),
-          (nStop.cast("double") / nTok).as("stopword_ratio"),
-          (nonAlnum.cast("double") / length(col("text"))).as("non_alnum_ratio"))
+          q.nTok.as("n_tokens"),
+          q.meanLen.as("mean_token_len"),
+          (q.nStop.cast("double") / q.nTok).as("stopword_ratio"),
+          q.symbolRatio.as("non_alnum_ratio"))
         .orderBy("doc_id")
     }),
     // Token counting, whitespace + BPE-ish estimate (~4 chars/subword,
@@ -118,7 +130,7 @@ object TextStats {
     // the ratio one IEEE division — fully hashable.
     "text_repetition" -> ((s, d) => {
       val grams = graft.functions.TokenNgramHashes.token_ngram_hashes(
-        transform(tokens(col("text")), t => xxhash64(t)), 3)
+        Dedup.tokenHashes(tokens(col("text"))), 3)
       documents(s, d)
         .select(col("doc_id"), size(grams).as("n_grams"),
           size(array_distinct(grams)).as("n_distinct"))
@@ -133,24 +145,16 @@ object TextStats {
     // card reports). Rules are exact integer/single-division arithmetic so
     // the verdict is oracle-hashable.
     "text_quality_filter" -> ((s, d) => {
-      val toks = tokens(col("text"))
-      val nTok = size(toks)
-      val charSum = aggregate(
-        transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
-      val meanLen = charSum.cast("double") / nTok
-      val stop = typedLit(LangMarkers.values.flatten.toSeq)
-      val nStop = size(filter(toks, t => array_contains(stop, t)))
-      val nonAlnum = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
-      val symbolRatio = nonAlnum.cast("double") / length(col("text"))
+      val q = qualityStats
       // bounds tuned to discriminate on this corpus (tokens 10-99, mean
       // length 3.7-5.3, symbol-free): the short-doc and no-stopword rules
       // actually fire; the others guard the degenerate directions
-      val rule = when(nTok < 20, "too_few_tokens")
-        .when(nTok > 5000, "too_many_tokens")
-        .when(meanLen < 2.0, "mean_token_too_short")
-        .when(meanLen > 12.0, "mean_token_too_long")
-        .when(symbolRatio > 0.3, "too_many_symbols")
-        .when(nStop === 0, "no_stopwords")
+      val rule = when(q.nTok < 20, "too_few_tokens")
+        .when(q.nTok > 5000, "too_many_tokens")
+        .when(q.meanLen < 2.0, "mean_token_too_short")
+        .when(q.meanLen > 12.0, "mean_token_too_long")
+        .when(q.symbolRatio > 0.3, "too_many_symbols")
+        .when(q.nStop === 0, "no_stopwords")
         .otherwise("pass")
       documents(s, d)
         .select(col("doc_id"), rule.as("verdict"),
@@ -161,14 +165,16 @@ object TextStats {
     // split must be a pure function of the stable document id — never
     // rand() — so reruns, retries, and engines agree row-for-row and a doc
     // can never migrate between splits as the corpus grows. Bucket = first
-    // two md5 hex digits mod 10 → 80/10/10; output is the per-language
-    // stratification report a dataset card needs.
+    // FOUR md5 hex digits mod 10 (two digits give 256 % 10 = 6 leftover
+    // states, biasing train to 80.47%; four digits shrink the bias to
+    // ~0.01%) → 80/10/10; output is the per-language stratification report
+    // a dataset card needs.
     "sample_split" -> ((s, d) => {
       def hexVal(c: Column): Column =
         when(ascii(c) >= 97, ascii(c) - 87).otherwise(ascii(c) - 48)
       val hx = md5(col("doc_id").cast("string"))
-      val bucket =
-        (hexVal(substring(hx, 1, 1)) * 16 + hexVal(substring(hx, 2, 1))) % 10
+      val bucket = (1 to 4).map(i => hexVal(substring(hx, i, 1)))
+        .reduce(_ * 16 + _) % 10
       documents(s, d)
         .withColumn("split",
           when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))
@@ -186,10 +192,9 @@ object TextStats {
       // as strings — the string form allocates n× the corpus bytes per scan.
       // The DuckDB oracle intersects the plain string grams; counts agree
       // absent a 64-bit collision (same discipline as dedup_ngram_jaccard).
-      val toks = tokens(col("text"))
       val grams = documents(s, d).select(col("doc_id"),
         explode(graft.functions.TokenNgramHashes.token_ngram_hashes(
-          transform(toks, t => xxhash64(t)), 8)).as("g"))
+          Dedup.tokenHashes(tokens(col("text"))), 8)).as("g"))
       val bench = grams.filter(col("doc_id") < 50).select("g").distinct()
       val corpus = grams.filter(col("doc_id") >= 50)
       corpus.join(broadcast(bench), Seq("g"))
@@ -324,8 +329,10 @@ object TextStats {
         |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
         |b AS (
         |  SELECT doc_id, lang,
-        |    ((CASE WHEN ord(hx[1:1]) >= 97 THEN ord(hx[1:1]) - 87 ELSE ord(hx[1:1]) - 48 END) * 16
-        |     + (CASE WHEN ord(hx[2:2]) >= 97 THEN ord(hx[2:2]) - 87 ELSE ord(hx[2:2]) - 48 END)) % 10 AS bucket
+        |    ((((CASE WHEN ord(hx[1:1]) >= 97 THEN ord(hx[1:1]) - 87 ELSE ord(hx[1:1]) - 48 END) * 16
+        |      + (CASE WHEN ord(hx[2:2]) >= 97 THEN ord(hx[2:2]) - 87 ELSE ord(hx[2:2]) - 48 END)) * 16
+        |      + (CASE WHEN ord(hx[3:3]) >= 97 THEN ord(hx[3:3]) - 87 ELSE ord(hx[3:3]) - 48 END)) * 16
+        |      + (CASE WHEN ord(hx[4:4]) >= 97 THEN ord(hx[4:4]) - 87 ELSE ord(hx[4:4]) - 48 END)) % 10 AS bucket
         |  FROM h)
         |SELECT lang,
         |       CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val'
