@@ -20,14 +20,33 @@ object Tables {
 
   /** Scratch dir for checkpoints/staging; prefers tmpfs (/dev/shm) so
     * streaming state-store commits don't pay disk fsync in local runs. On a
-    * real cluster these would live on the DFS. */
+    * real cluster these would live on the DFS. Every dir handed out is
+    * deleted on JVM exit — scratch must not outlive the process (a day of
+    * repeated runs otherwise strands thousands of checkpoint dirs in
+    * tmpfs). */
   def scratchDir(prefix: String): String = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     val base =
       if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
       else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    java.nio.file.Files.createTempDirectory(base, prefix).toString
+    val dir = java.nio.file.Files.createTempDirectory(base, prefix)
+    scratchCreated.add(dir)
+    dir.toString
   }
+
+  private val scratchCreated =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+
+  private val _cleanupHook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      scratchCreated.asScala.foreach { p =>
+        try {
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+        } catch { case _: Throwable => () } // best-effort; never block exit
+      }
+    }, "graft-scratch-cleanup"))
 
   /** Read one driver table. Path layout per /root/repo/TESTDATA.md. */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
