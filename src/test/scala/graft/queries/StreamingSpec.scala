@@ -66,6 +66,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D4b: stateful window state survives a stop/restart (checkpoint recovery)") {
+    import spark.implicits._
+    val srcDir = tmpDir("rec_src"); val ckpt = tmpDir("rec_ckpt")
+    val sink = tmpDir("rec_sink")
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("ts TIMESTAMP, kind STRING").parquet(srcDir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window($"ts", "1 hour").as("w"), $"kind")
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("w.start").as("wstart"), col("kind"), col("cnt"))
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // run 1: two rows in the 10:00 window — watermark still inside it, so
+    // nothing is emitted yet; the partial count lives only in the state store
+    Seq(ts("2024-01-01 10:05:00") -> "a", ts("2024-01-01 10:20:00") -> "a")
+      .toDF("ts", "kind").write.mode("append").parquet(srcDir)
+    runOnce()
+    assert(spark.read.schema("wstart TIMESTAMP, kind STRING, cnt LONG")
+      .parquet(sink).isEmpty, "window emitted before watermark passed")
+    // run 2 (fresh query instance, same checkpoint): one more 10:00-window
+    // row plus a row far ahead that closes the window. The final count must
+    // include the run-1 rows — provable only if state was recovered — and
+    // the window must be emitted exactly once.
+    Seq(ts("2024-01-01 10:40:00") -> "a", ts("2024-01-01 13:00:00") -> "a")
+      .toDF("ts", "kind").write.mode("append").parquet(srcDir)
+    runOnce()
+    val out = spark.read.parquet(sink)
+      .select(col("wstart").cast("string"), col("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(out.count(_._1 == "2024-01-01 10:00:00") == 1,
+      s"10:00 window not emitted exactly once: $out")
+    assert(out.toMap.apply("2024-01-01 10:00:00") == 3,
+      s"state lost across restart (expected 3 rows in 10:00 window): $out")
+  }
+
   test("D1: streaming tumbling counts equal the batch form") {
     val batch = graft.SparkEntry.queries("stream_tumbling")(spark, sf)
       .select(col("wstart").cast("string"), col("event_type"), col("cnt"))
