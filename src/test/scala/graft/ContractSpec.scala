@@ -29,6 +29,27 @@ class ContractSpec extends SparkSpec {
     assert(SparkEntry.queries.size == parts.map(_._2.size).sum)
   }
 
+  test("every query is either oracle-checked or on the justified unit-only list") {
+    // Adding a query without a DuckDB oracle is allowed ONLY for output
+    // DuckDB genuinely cannot reproduce (engine-local xxhash64 signatures,
+    // HLL sketches) — and each such key must carry a ScalaTest assertion.
+    // This list IS the justification record; grow it consciously.
+    val unitOnly = Set(
+      "agg_approx_distinct",  // HLL sketch (PlanSpec: ±5% of exact)
+      "minhash_signature",    // xxhash64 signatures (LlmSpec: aggregator parity)
+      "dedup_minhash_lsh",    // xxhash64 banding (LlmSpec: collision behavior)
+      "dedup_simhash",        // xxhash64 bit votes (LlmSpec fixtures)
+      "knn_lsh_bucketed")     // seeded gaussian planes (LlmSpec: recall)
+    val missing = SparkEntry.queries.keySet --
+      SparkEntry.oracleSql.keySet -- unitOnly
+    assert(missing.isEmpty,
+      s"queries with neither oracle nor unit-only justification: $missing")
+    val stale = unitOnly -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"unit-only list names unknown queries: $stale")
+    val both = unitOnly.intersect(SparkEntry.oracleSql.keySet)
+    assert(both.isEmpty, s"unit-only list names oracle-checked queries: $both")
+  }
+
   test("every oracleSql key has a queries entry") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle keys without query: $orphans")
