@@ -109,6 +109,11 @@ object Similarity {
     }),
     // E5 — nearest neighbour per probe vector within its label block
     // (probe set capped at vec_id < 200 so bench cost stays linear-ish).
+    // Scale honesty: label blocking bounds the pair space by the label
+    // cardinality only — at 100 TB a single label's block is still huge, so
+    // the production path composes IVF cells (knn_ivf_coarse) or LSH bands
+    // (knn_lsh_bucketed) INSIDE each label; this query is the exact,
+    // oracle-checkable per-label semantics those approximate.
     "knn_pairs_label" -> ((s, d) => {
       val unit = withUnitVec(embeddings(s, d), "embedding", "uv")
       val probes = unit.filter(col("vec_id") < 200)
