@@ -38,7 +38,7 @@ class ContractSpec extends SparkSpec {
       "agg_approx_distinct",  // HLL sketch (PlanSpec: ±5% of exact)
       "minhash_signature",    // xxhash64 signatures (LlmSpec: aggregator parity)
       "dedup_minhash_lsh",    // xxhash64 banding (LlmSpec: collision behavior)
-      "dedup_simhash",        // xxhash64 bit votes (LlmSpec fixtures)
+      "dedup_simhash",        // xxhash64 bit votes (LlmSpec: hamming behavior)
       "knn_lsh_bucketed")     // seeded gaussian planes (LlmSpec: recall)
     val missing = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- unitOnly

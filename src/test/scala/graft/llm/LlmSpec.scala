@@ -56,6 +56,25 @@ class LlmSpec extends SparkSpec {
     assert(!sharesBand(1L, 4L), "disjoint docs should not collide")
   }
 
+  test("SimHash: identical docs collide, near-dups stay close, disjoint far") {
+    import spark.implicits._
+    val base = (0 until 100).map(i => s"w$i")
+    val docs = Seq(
+      1L -> base.mkString(" "),
+      2L -> base.mkString(" "),                                   // identical
+      3L -> (base.take(90) ++ (0 until 10).map(i => s"x$i")).mkString(" "), // near
+      4L -> (0 until 100).map(i => s"z$i").mkString(" "))         // disjoint
+    val sh = Dedup.simhash(docs.toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(sh(1L) == sh(2L), "identical docs must share the fingerprint")
+    assert(hamming(sh(1L), sh(3L)) <= 16,
+      s"90%-overlap docs drifted ${hamming(sh(1L), sh(3L))} bits apart")
+    assert(hamming(sh(1L), sh(4L)) >= 20,
+      s"disjoint docs only ${hamming(sh(1L), sh(4L))} bits apart")
+  }
+
   test("typed MinHash aggregator equals the expression signatures") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
