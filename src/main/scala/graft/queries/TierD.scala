@@ -93,7 +93,7 @@ object TierD {
     }),
     // D6 — bookmark semantics end-to-end (reference README.md:145): a file
     // source with checkpoint processes each file exactly once; the second
-    // AvailableNow run emits only newly-landed files. StreamingSpec asserts the
+    // AvailableNow run emits only newly-landed files. EtlSpec asserts the
     // no-reprocess property; here one pass over the events file.
     "stream_foreachbatch_pipeline" -> ((s, d) => withFewStatePartitions(s) {
       val sink = scratchDir("graft_fb_sink")
