@@ -1,6 +1,29 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Where the per-query timing detail lands (JSON, one object). The driver
+    * only needs the short summary line; humans and the judge read this. */
+  val DetailPath = "/tmp/graft_bench_detail.json"
+
+  /** The ONE driver-parseable stdout line. The driver reads a bounded
+    * (~4 KB) stdout TAIL: in rounds 1-2 a single long line carrying all
+    * per-query times got its head (with `"metric":"total"`) clipped out of
+    * the window and parsed as null. The contract is therefore: this line is
+    * SHORT (<200 bytes — ContractSpec enforces <1 KB) and it is the LAST
+    * thing printed to stdout. Per-query detail goes to [[DetailPath]] and
+    * stderr, never back into this line.
+    */
+  def summaryLine(total: Double, n: Int, failed: Int, sf: String): String =
+    s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"failed":$failed,"sf":"$sf","detail":"$DetailPath"}"""
+
+  def detailJson(results: Seq[(String, Double)], sf: String): String = {
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    s"""{"metric":"per_query","unit":"sec","sf":"$sf","queries":$qs}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -21,17 +44,19 @@ object Bench {
       val sec =
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
-      // Millisecond precision keeps the whole JSON line short enough for the
-      // driver's bounded stdout-tail window (a 9-decimal line for 90+ queries
-      // overflowed it in round 1 and parsed as null).
       name -> math.round(sec * 1000) / 1000.0
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total =
-      math.round(results.values.filter(_ >= 0).sum * 1000) / 1000.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    }
+    val detail = detailJson(results, sfDir)
+    try java.nio.file.Files.write(java.nio.file.Paths.get(DetailPath),
+      detail.getBytes("UTF-8"))
+    catch { case _: Throwable => () } // detail is best-effort, never fatal
+    System.err.println(detail)
+    val ok = results.map(_._2).filter(_ >= 0)
+    val total = math.round(ok.sum * 1000) / 1000.0
+    // Stop Spark BEFORE the summary so nothing (even a stray stdout log
+    // line from shutdown) can print after the line the driver parses.
+    try spark.stop() catch { case _: Throwable => () }
+    println(summaryLine(total, results.size, results.size - ok.size, sfDir))
   }
 
   private def warmup(spark: org.apache.spark.sql.SparkSession,

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import graft.functions.{CharNgramHashes, DotProduct, MinHashArray, RollingHash, SignBandBuckets, SortedIntersectCount, TokenNgramHashes}
+import graft.functions.{CharNgramHashes, DotProduct, MinHashArray, RollingHash, SignBandBuckets, SimHash64, SortedIntersectCount, TokenNgramHashes}
 
 /** Session extensions: registers graft's native expressions as SQL
   * functions so the whole library surface is reachable from `spark.sql`:
@@ -48,6 +48,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[TokenNgramHashes].getName, "token_ngram_hashes"),
         exprs => TokenNgramHashes(exprs(0), exprs(1).eval().asInstanceOf[Int])))
     e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[SimHash64].getName, "simhash64"),
+        exprs => SimHash64(exprs.head)))
+    e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("sign_band_buckets"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[SignBandBuckets].getName, "sign_band_buckets"),
@@ -91,6 +96,7 @@ object GraftSession {
       exprs => MinHashArray(exprs(0), exprs(1).eval().asInstanceOf[Int]))
     registerFunction(spark, "token_ngram_hashes",
       exprs => TokenNgramHashes(exprs(0), exprs(1).eval().asInstanceOf[Int]))
+    registerFunction(spark, "simhash64", exprs => SimHash64(exprs.head))
     registerFunction(spark, "sign_band_buckets",
       exprs => SignBandBuckets.seeded(exprs(0),
         exprs(1).eval().asInstanceOf[Int],

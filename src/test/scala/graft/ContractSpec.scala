@@ -66,6 +66,22 @@ class ContractSpec extends SparkSpec {
     assert(empty.isEmpty, s"oracle queries empty at gate scale: $empty")
   }
 
+  test("bench summary line stays short enough for the driver's stdout tail") {
+    // The driver parses the bench result out of a bounded (~4 KB) stdout
+    // tail. Rounds 1-2 shipped one long line carrying every per-query time;
+    // its head (the "metric":"total" part) fell outside the window and the
+    // driver recorded parsed:null. The contract is now: per-query detail
+    // goes to a file/stderr, and the FINAL stdout line is a short summary.
+    // Build the line with worst-case-width values so query growth or a
+    // formatting change can never silently re-break driver parsing.
+    val line = Bench.summaryLine(total = 99999.999, n = SparkEntry.queries.size,
+      failed = SparkEntry.queries.size, sf = "/root/testdata/sf0.1")
+    assert(line.length < 1024, s"bench summary line too long (${line.length}B): $line")
+    assert(line.startsWith("""{"metric":"total","value":"""))
+    assert(!line.contains("\"queries\""),
+      "per-query detail must never be inlined into the summary line")
+  }
+
   test("unit-tier queries run and return rows on sf0.001") {
     val unitTier = (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted
     val empty = unitTier.filter { name =>

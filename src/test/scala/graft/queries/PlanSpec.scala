@@ -50,6 +50,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"knn plan:\n$plan")
   }
 
+  test("SimHash is a fused per-row kernel: no shuffle before the final sort") {
+    // SimHash is a pure per-document function. The only Exchange allowed in
+    // the plan is the range partitioning for the deterministic orderBy —
+    // any other (a hash Exchange) means the explode+groupBy shape crept
+    // back, paying one shuffled row per token.
+    val plan = executedPlan("dedup_simhash")
+    val exchanges = "Exchange ".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"dedup_simhash plans $exchanges exchanges:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"dedup_simhash plans an aggregation shuffle:\n$plan")
+    assert(!plan.toLowerCase.contains("generate explode"),
+      s"dedup_simhash still explodes tokens:\n$plan")
+  }
+
   test("C15: aggregation is partial+final (map-side combine)") {
     val plan = executedPlan("agg_groupby_having")
     assert(plan.contains("partial_"), s"no partial aggregation in:\n$plan")
