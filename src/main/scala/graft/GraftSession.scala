@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import graft.functions.{CharNgramHashes, DotProduct, MinHashArray, RollingHash, SignBandBuckets, SimHash64, SortedIntersectCount, TokenNgramHashes}
+import graft.functions.{CharNgramHashes, DotProduct, MinHashArray, RollingHash, SignBandBuckets, SimHash64, SortedIntersectCount, TokenNgramHashes, TokenStats}
 
 /** Session extensions: registers graft's native expressions as SQL
   * functions so the whole library surface is reachable from `spark.sql`:
@@ -47,6 +47,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[TokenNgramHashes].getName, "token_ngram_hashes"),
         exprs => TokenNgramHashes(exprs(0), exprs(1).eval().asInstanceOf[Int])))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("token_stats"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[TokenStats].getName, "token_stats"),
+        exprs => TokenStats.fromSql(exprs)))
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
@@ -97,6 +102,7 @@ object GraftSession {
     registerFunction(spark, "token_ngram_hashes",
       exprs => TokenNgramHashes(exprs(0), exprs(1).eval().asInstanceOf[Int]))
     registerFunction(spark, "simhash64", exprs => SimHash64(exprs.head))
+    registerFunction(spark, "token_stats", exprs => TokenStats.fromSql(exprs))
     registerFunction(spark, "sign_band_buckets",
       exprs => SignBandBuckets.seeded(exprs(0),
         exprs(1).eval().asInstanceOf[Int],

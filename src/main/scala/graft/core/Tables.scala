@@ -41,9 +41,15 @@ object Tables {
     new Thread(() => {
       import scala.jdk.CollectionConverters._
       scratchCreated.asScala.foreach { p =>
+        // per-path try/catch: one undeletable file (e.g. a state-store file
+        // a still-stopping streaming query holds open) must not abandon the
+        // rest of this dir, and a failed walk must not abandon other dirs
         try {
           java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+            .forEach { f =>
+              try { java.nio.file.Files.deleteIfExists(f); () }
+              catch { case _: Throwable => () }
+            }
         } catch { case _: Throwable => () } // best-effort; never block exit
       }
     }, "graft-scratch-cleanup"))

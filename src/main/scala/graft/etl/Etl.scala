@@ -121,15 +121,19 @@ case class Pipeline(crawl: () => DataFrame,
   * S3 object-create event filters (README.md:196-198) == path prefix
   * (source dir) + `pathGlobFilter` (suffix). */
 object Incremental {
+  /** One bookmark-semantics run. `multiLine` parses embedded newlines
+    * inside quoted fields (OpenCSVSerde fidelity — CsvSource.write
+    * legitimately emits them, so the default stays on); sources KNOWN to be
+    * newline-free can pass false to keep files splittable — multiLine
+    * forces whole-file reads, which at 100 TB means one task per object
+    * instead of one per 128 MB split. (A/B-measured on this corpus the
+    * parser-level cost at equal splits is small — see SURVEY §7.4b.) */
   def runAvailableNow(spark: SparkSession, srcDir: String, schema: StructType,
-      checkpoint: String, sinkDir: String, globFilter: Option[String] = None)
-      : Unit = {
-    // multiLine must match CsvSource.read: CsvSource.write legitimately emits
-    // quoted fields containing embedded newlines, and without it the
-    // incremental path would mis-split those records into corrupt rows.
+      checkpoint: String, sinkDir: String, globFilter: Option[String] = None,
+      multiLine: Boolean = true): Unit = {
     var reader = spark.readStream.schema(schema)
       .options(CsvSource.options)
-      .option("multiLine", "true")
+      .option("multiLine", multiLine.toString)
       .option("maxFilesPerTrigger", "1000")
     globFilter.foreach(g => reader = reader.option("pathGlobFilter", g))
     val q = reader.csv(srcDir)
@@ -141,5 +145,20 @@ object Incremental {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** Bookmark rewind (Glue: job-bookmark reset / disable, reference
+    * README.md:145 configures only "enable"): drop the checkpoint so the
+    * next run reprocesses every file in the source. Point the rerun at a
+    * fresh (or truncated) sink: the parquet stream sink keeps its own
+    * `_spark_metadata` commit log and silently skips batch ids it has
+    * already committed, so re-emitting into the old sink dir is a no-op —
+    * the same "reset rebuilds the target" workflow a Glue bookmark reset
+    * implies. Uses the Hadoop filesystem of the checkpoint path, so it
+    * works on any scheme the checkpoint itself works on (local, HDFS, S3A). */
+  def resetCheckpoint(spark: SparkSession, checkpoint: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(checkpoint)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(path, true)
   }
 }

@@ -26,6 +26,10 @@ case class SignBandBuckets(child: Expression, planes: Seq[Double],
     bands: Int, bits: Int) extends UnaryExpression {
 
   require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")
+  // the band tag strides by 2^bits, so the largest bucket id is
+  // bands·2^bits - 1 — it must fit in a long or band tags silently collide
+  require(bands >= 1 && bands.toLong <= (Long.MaxValue >> bits),
+    s"bands·2^bits must fit in a long, got bands=$bands bits=$bits")
 
   private val dim: Int = planes.length / (bands * bits)
 
@@ -57,7 +61,12 @@ case class SignBandBuckets(child: Expression, planes: Seq[Double],
     val v = new Array[Double](n)
     var k = 0
     while (k < n) {
-      v(k) = if (isFloat) arr.getFloat(k).toDouble else arr.getDouble(k)
+      // null elements project as 0.0 (no contribution to any plane dot) —
+      // the SQL surface accepts containsNull arrays and an unguarded getter
+      // would read garbage from the null slot
+      v(k) = if (arr.isNullAt(k)) 0.0
+        else if (isFloat) arr.getFloat(k).toDouble
+        else arr.getDouble(k)
       k += 1
     }
     val out = new Array[Long](bands)

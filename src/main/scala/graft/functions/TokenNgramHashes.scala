@@ -45,7 +45,14 @@ case class TokenNgramHashes(child: Expression, n: Int) extends UnaryExpression {
       var acc = 42L
       var j = i
       val end = math.min(i + n, len)
-      while (j < end) { acc = XXH64.hashLong(arr.getLong(j), acc); j += 1 }
+      while (j < end) {
+        // null slots leave the chain unchanged — exactly what multi-arg
+        // xxhash64 does with a null argument (and MinHashArray's documented
+        // null-element convention); the SQL surface accepts containsNull
+        // arrays, so an unguarded getLong would hash garbage here
+        if (!arr.isNullAt(j)) acc = XXH64.hashLong(arr.getLong(j), acc)
+        j += 1
+      }
       out(i) = acc
       i += 1
     }

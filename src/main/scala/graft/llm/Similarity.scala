@@ -69,14 +69,67 @@ object Similarity {
 
   /** Near-dup dedup over an embedding table (vec_id, embedding, label):
     * each vector maps to the smallest earlier same-label vec_id whose cosine
-    * exceeds `threshold`. */
-  def embeddingCosineDedup(emb: DataFrame, threshold: Double): DataFrame = {
+    * exceeds `threshold`. EXACT semantics (the DuckDB oracle replays it as
+    * an all-pairs threshold join).
+    *
+    * Scale design — why a salted grid and not LSH candidates: the pair work
+    * is inherently O(block²/grid) per task instead of O(block²) on one task.
+    * Each b-row lands in one of `grid` deterministic sub-blocks
+    * (xxhash64(b_id) mod grid); each a-row is replicated to all of them, so
+    * every (a, b) pair is examined exactly once but no single task ever
+    * holds a whole label block — the shape that kills a 1000-executor job
+    * when one label is hot. The cost is a grid× fan-out of the a-side rows;
+    * pick grid ≈ block_rows / rows_per_task at the target scale.
+    *
+    * Composing LSH bucket candidates instead (the sub-quadratic shape used
+    * by dedup_embedding_ann below) CANNOT keep these exact semantics on this
+    * corpus — measured at sf0.001/0.01/0.1, qualifying pairs sit at cosine
+    * 0.351-0.475 while the same-label background continuum runs right up to
+    * the 0.3498 threshold (median ~0.16, per-plane agreement p≈0.55-0.65).
+    * Banded sign-LSH recall is 1-(1-p^r)^B: driving it to 1.0 at p≈0.61
+    * needs so many bands that ~99% of background pairs become candidates —
+    * the quadratic join back again, plus band overhead. LSH separates
+    * near-dups from background only when the threshold sits in the high-p
+    * regime (≥0.9 cosine, the production dedup setting); at a low threshold
+    * the exact grid is the honest plan, and dedup_embedding_ann is the
+    * documented approximate alternative. */
+  def embeddingCosineDedup(emb: DataFrame, threshold: Double,
+      grid: Int = 8): DataFrame = {
     val unit = withUnitVec(emb, "embedding", "uv")
     val a = unit.select(col("vec_id").as("a_id"), col("uv").as("a_v"),
-      col("label"))
+        col("label"))
+      .withColumn("g", explode(sequence(lit(0), lit(grid - 1))))
     val b = unit.select(col("vec_id").as("b_id"), col("uv").as("b_v"),
-      col("label"))
-    a.join(b, Seq("label")).filter(col("b_id") < col("a_id"))
+        col("label"))
+      .withColumn("g", pmod(xxhash64(col("b_id")), lit(grid)).cast("int"))
+    a.join(b, Seq("label", "g")).filter(col("b_id") < col("a_id"))
+      .filter(dotD(col("a_v"), col("b_v")) > threshold)
+      .groupBy(col("a_id").as("vec_id"))
+      .agg(min(col("b_id")).as("keeper"))
+      .orderBy("vec_id")
+  }
+
+  /** LSH-candidate near-dup verdicts: same output contract as
+    * [[embeddingCosineDedup]] but pairs are generated by same-(label, band
+    * bucket) collisions instead of the exact grid — linear-ish candidate
+    * generation, then exact dot-product re-rank of candidates only. The
+    * verdict set is a subset of the exact one (recall measured in LlmSpec);
+    * at the production threshold regime (cosine ≥ 0.9, p ≥ 0.9 per plane)
+    * the same 32×8 banding recalls essentially everything. */
+  def embeddingCosineDedupAnn(emb: DataFrame, threshold: Double): DataFrame = {
+    val planes = hyperplanes(Bands * BandBits, 64)
+    val unit = withUnitVec(emb, "embedding", "uv")
+    val tagged = unit.select(col("vec_id"), col("label"),
+      explode(lshBandBuckets(col("uv"), planes)).as("bucket"))
+    // vectors are NOT replicated per band — only (vec_id, label, bucket)
+    // rows fan out Bands×; the vector fetches below are equi-joins on id
+    val cand = tagged.as("x").join(tagged.as("y"), Seq("label", "bucket"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("b_id"), col("y.vec_id").as("a_id"))
+      .distinct()
+    val av = unit.select(col("vec_id").as("a_id"), col("uv").as("a_v"))
+    val bv = unit.select(col("vec_id").as("b_id"), col("uv").as("b_v"))
+    cand.join(av, "a_id").join(bv, "b_id")
       .filter(dotD(col("a_v"), col("b_v")) > threshold)
       .groupBy(col("a_id").as("vec_id"))
       .agg(min(col("b_id")).as("keeper"))
@@ -141,6 +194,39 @@ object Similarity {
     // verdict set is oracle-hashable despite float similarity math.
     "dedup_embedding_cosine" -> ((s, d) =>
       embeddingCosineDedup(embeddings(s, d), threshold = 0.3498)),
+    // Approximate (LSH-candidate) variant of the same dedup: sub-quadratic
+    // candidate generation, exact re-rank, unit-tier (LlmSpec asserts the
+    // verdicts are a sound subset of the exact query's and measures recall).
+    "dedup_embedding_ann" -> ((s, d) =>
+      embeddingCosineDedupAnn(embeddings(s, d), threshold = 0.3498)),
+    // Approximate variant of knn_pairs_label: nearest same-label neighbour
+    // per probe, candidates from same-(label, band bucket) collisions only.
+    // The per-label pair space never materializes — the candidate join is
+    // linear in colliding rows, the shape that survives a hot label at
+    // 100 TB. Unit-tier: LlmSpec measures top-1 agreement vs the exact E5.
+    "knn_pairs_label_ann" -> ((s, d) => {
+      val planes = hyperplanes(Bands * BandBits, 64)
+      val unit = withUnitVec(embeddings(s, d), "embedding", "uv")
+      val tagged = unit.select(col("vec_id"), col("label"),
+        explode(lshBandBuckets(col("uv"), planes)).as("bucket"))
+      val probes = tagged.filter(col("vec_id") < 200)
+        .select(col("label"), col("bucket"), col("vec_id").as("a_id"))
+      val cands = tagged
+        .select(col("label"), col("bucket"), col("vec_id").as("b_id"))
+      val pairIds = probes.join(cands, Seq("label", "bucket"))
+        .filter(col("a_id") =!= col("b_id"))
+        .select("label", "a_id", "b_id").distinct()
+      val av = unit.select(col("vec_id").as("a_id"), col("uv").as("a_v"))
+      val bv = unit.select(col("vec_id").as("b_id"), col("uv").as("b_v"))
+      val pairs = pairIds.join(av, "a_id").join(bv, "b_id")
+        .select(col("label"), col("a_id"), col("b_id"),
+          round(dotD(col("a_v"), col("b_v")), 4).as("sim"))
+      val w = Window.partitionBy("a_id").orderBy(desc("sim"), asc("b_id"))
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("a_id", "b_id", "label")
+        .orderBy("a_id")
+    }),
     // IVF-style coarse-quantized ANN (the other builder-mandated scale path
     // besides LSH): K seed centroids (a production build would k-means; seeds
     // keep it deterministic), every vector assigned to its nearest centroid —

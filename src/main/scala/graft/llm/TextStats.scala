@@ -32,17 +32,19 @@ object TextStats {
       nStop: Column, symbolRatio: Column)
 
   private def qualityStats: QualityStats = {
-    val toks = tokens(col("text"))
-    val nTok = size(toks)
-    val charSum = aggregate(
-      transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
-    val stop = typedLit(LangMarkers.values.flatten.toSeq)
-    val nStop = size(filter(toks, t => array_contains(stop, t)))
+    // One fused TokenStats pass (token count, char sum, stopword hits) —
+    // the HOF aggregate/filter form interpreted a lambda per (token × use).
+    // The repeated getField references dedup via codegen subexpression
+    // elimination, so the array is still walked once per row.
+    val stats = graft.functions.TokenStats.token_stats(tokens(col("text")),
+      Seq(LangMarkers.values.flatten.toSeq))
+    val nTok = stats.getField("n_tok")
+    val nStop = stats.getField("hits").getItem(0)
     // regexp_replace STRIPS the matching (alnum+space) chars, so the
     // length of what remains IS the non-alnum count (a round-1 version
     // subtracted it from the total, silently counting alnum instead)
     val nonAlnum = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
-    QualityStats(nTok, charSum.cast("double") / nTok, nStop,
+    QualityStats(nTok, stats.getField("char_sum").cast("double") / nTok, nStop,
       nonAlnum.cast("double") / length(col("text")))
   }
 
@@ -84,16 +86,15 @@ object TextStats {
         .orderBy("doc_id")
     }),
     // Token counting, whitespace + BPE-ish estimate (~4 chars/subword,
-    // ceil per token — deterministic integer math).
+    // ceil per token — deterministic integer math, fused into the
+    // TokenStats kernel: ceil(len/4.0) == (len+3)/4 for int lengths).
     "text_tokens_bpe" -> ((s, d) => {
-      val toks = tokens(col("text"))
-      val bpe = aggregate(
-        transform(toks, t => ceil(length(t) / lit(4.0)).cast("long")),
-        lit(0L), (a, x) => a + x)
+      val stats = graft.functions.TokenStats.token_stats(
+        tokens(col("text")), Seq.empty)
       documents(s, d).select(
           col("doc_id"),
-          size(toks).as("ws_tokens"),
-          bpe.as("bpe_tokens"))
+          stats.getField("n_tok").as("ws_tokens"),
+          stats.getField("bpe_sum").as("bpe_tokens"))
         .orderBy("doc_id")
     }),
     // Language-ID heuristic: argmax of marker-hit counts, 'und' when nothing
@@ -101,10 +102,13 @@ object TextStats {
     // DuckDB SQL, and array_max over (hits, lang) structs ties to the
     // lexicographically-largest lang, mirrored by the CASE order fr>es>en>de.
     "text_langid" -> ((s, d) => {
-      val toks = tokens(col("text"))
-      val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
-        struct(
-          size(filter(toks, t => array_contains(typedLit(markers), t))).as("hits"),
+      // all four marker-hit counts come from ONE TokenStats pass (one
+      // lexicon per language) instead of four interpreted filter() walks
+      val langs = LangMarkers.toSeq.sortBy(_._1)
+      val stats = graft.functions.TokenStats.token_stats(
+        tokens(col("text")), langs.map(_._2))
+      val scored = langs.zipWithIndex.map { case ((lang, _), i) =>
+        struct(stats.getField("hits").getItem(i).as("hits"),
           lit(lang).as("lang"))
       }
       documents(s, d).select(

@@ -125,7 +125,9 @@ object TierCFunctions {
     // C42b — map/struct family: from_json to a typed map, key/value access,
     // entry counting, map_concat, struct build + field access. Map key order
     // is pinned by sort_array before joining (SURVEY §7.4.5: no map-ordering
-    // dependence in oracle-checked output).
+    // dependence in oracle-checked output). Assumes generator props carry no
+    // duplicate JSON keys: from_json dedups into a map while json_keys
+    // counts occurrences, so the two engines would diverge on n_entries.
     "fn_struct_map" -> ((s, d) => {
       import org.apache.spark.sql.types._
       val m = from_json(col("props"), MapType(StringType, IntegerType))
@@ -136,7 +138,14 @@ object TierCFunctions {
           array_join(sort_array(map_keys(col("m"))), ",").as("keys"),
           element_at(col("m"), "k").as("k_val"),
           size(col("m")).as("n_entries"),
-          size(map_concat(col("m"), map(lit("graft_extra"), lit(1))))
+          // upsert semantics, guarded: under the default
+          // spark.sql.mapKeyDedupPolicy=EXCEPTION an unconditional
+          // map_concat would THROW if props ever contained 'graft_extra';
+          // the branch only concats when the key is absent, and the oracle
+          // mirrors the same conditional (+1 only when absent)
+          when(array_contains(map_keys(col("m")), "graft_extra"),
+            size(col("m")))
+            .otherwise(size(map_concat(col("m"), map(lit("graft_extra"), lit(1)))))
             .as("n_after_concat"),
           struct(col("event_type").as("t"), col("user_id").as("u"))
             .getField("t").as("type_field"))
@@ -220,7 +229,9 @@ object TierCFunctions {
         |       array_to_string(list_sort(json_keys(props)), ',') AS keys,
         |       CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
         |       CAST(len(json_keys(props)) AS INT) AS n_entries,
-        |       CAST(len(json_keys(props)) + 1 AS INT) AS n_after_concat,
+        |       CAST(len(json_keys(props)) +
+        |            CASE WHEN list_contains(json_keys(props), 'graft_extra')
+        |                 THEN 0 ELSE 1 END AS INT) AS n_after_concat,
         |       event_type AS type_field
         |FROM events ORDER BY event_id""".stripMargin
   )

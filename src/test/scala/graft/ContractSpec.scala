@@ -39,7 +39,9 @@ class ContractSpec extends SparkSpec {
       "minhash_signature",    // xxhash64 signatures (LlmSpec: aggregator parity)
       "dedup_minhash_lsh",    // xxhash64 banding (LlmSpec: collision behavior)
       "dedup_simhash",        // xxhash64 bit votes (LlmSpec: hamming behavior)
-      "knn_lsh_bucketed")     // seeded gaussian planes (LlmSpec: recall)
+      "knn_lsh_bucketed",     // seeded gaussian planes (LlmSpec: recall)
+      "dedup_embedding_ann",  // LSH candidates (LlmSpec: sound subset + recall)
+      "knn_pairs_label_ann")  // LSH candidates (LlmSpec: top-1 agreement)
     val missing = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- unitOnly
     assert(missing.isEmpty,

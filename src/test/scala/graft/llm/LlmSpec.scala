@@ -180,6 +180,104 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall vs brute force = $recall (< 0.5)")
   }
 
+  test("ANN dedup verdicts are a sound subset of the exact query's") {
+    // dedup_embedding_ann generates pairs from LSH band collisions, then
+    // re-ranks exactly — so every verdict it emits must be genuine (the vec
+    // has SOME qualifying earlier neighbour: it appears in the exact output
+    // with keeper <= the ANN keeper), and at this corpus's low threshold
+    // (0.3498, per-plane agreement p≈0.61) the measured recall is ~0.5
+    // (sf0.001 0.50, sf0.01 0.58, sf0.1 0.54 — deterministic seeded planes).
+    val exact = graft.SparkEntry.queries("dedup_embedding_cosine")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ann = graft.SparkEntry.queries("dedup_embedding_ann")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ann.foreach { case (v, k) =>
+      assert(exact.contains(v), s"ANN invented a verdict for vec $v")
+      assert(k >= exact(v), s"ANN keeper $k beats the exact min ${exact(v)}")
+    }
+    val recall = ann.size.toDouble / exact.size
+    assert(recall >= 0.45, s"ANN dedup recall $recall < 0.45")
+  }
+
+  test("ANN dedup recalls everything in the production threshold regime") {
+    import spark.implicits._
+    // The low-threshold corpus caps LSH recall near 0.5 (documented in
+    // Similarity.embeddingCosineDedup). The production setting — near-dup
+    // clusters at cosine >= 0.99 against an orthogonal-ish background,
+    // threshold 0.95 — is the regime the 32×8 banding is built for:
+    // per-plane agreement p≈0.955, band hit 0.955^8≈0.69, miss probability
+    // (1-0.69)^32 ≈ 4e-17. There the ANN output must EQUAL the exact one.
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 12).flatMap { c =>
+      val base = Array.fill(64)(rnd.nextGaussian())
+      (0 until 5).map { j =>
+        val v = if (j == 0) base
+          else base.map(_ + 0.05 * rnd.nextGaussian()) // cosine ~0.998
+        ((c * 5 + j).toLong, v.toSeq, s"l${c % 3}")
+      }
+    }
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val exact = Similarity.embeddingCosineDedup(df, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val ann = Similarity.embeddingCosineDedupAnn(df, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(exact.nonEmpty, "planted clusters produced no exact verdicts")
+    assert(ann == exact,
+      s"high-threshold ANN diverged: missed=${exact -- ann} extra=${ann -- exact}")
+  }
+
+  test("ANN per-label top-1 agrees with exact on a measured share of probes") {
+    // Top-1 is the hardest target for OR-amplified LSH when the nearest
+    // neighbour sits in the background sim range (~0.2-0.3 cosine here):
+    // measured agreement is 0.33/0.41/0.38 at sf0.001/0.01/0.1. The spec
+    // pins soundness (every ANN pick is a real same-label neighbour) and
+    // the measured agreement floor.
+    val exact = graft.SparkEntry.queries("knn_pairs_label")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ann = graft.SparkEntry.queries("knn_pairs_label_ann")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val labels = Tables.embeddings(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    ann.foreach { case (a, b) =>
+      assert(a != b && labels(a) == labels(b),
+        s"ANN pick ($a,$b) crosses labels or self-pairs")
+      assert(exact.contains(a), s"ANN probe $a missing from exact probe set")
+    }
+    val agree = ann.count { case (a, b) => exact(a) == b }.toDouble / exact.size
+    assert(agree >= 0.3, s"ANN top-1 agreement $agree < 0.3")
+  }
+
+  test("token_stats kernel equals the composable HOF form") {
+    import spark.implicits._
+    // unicode rows guard the numChars-vs-bytes distinction; the lexicon
+    // rows guard exact-equality matching incl. duplicates across lexicons
+    val docs = Seq("the quick brown fox", "el perro y la casa",
+      "ünïcödé ✓ tokens here", "", "a bb ccc dddd eeeee",
+      "the the the and and of").toDF("text")
+    val lexicons = Seq(Seq("the", "and", "of"), Seq("el", "la", "y"))
+    val toks = split(col("text"), " ")
+    val kernel = graft.functions.TokenStats.token_stats(toks, lexicons)
+    val viaHof = docs.select(
+      size(toks).as("n_tok"),
+      aggregate(transform(toks, t => length(t).cast("long")),
+        lit(0L), (a, x) => a + x).as("char_sum"),
+      aggregate(transform(toks, t => ceil(length(t) / lit(4.0)).cast("long")),
+        lit(0L), (a, x) => a + x).as("bpe_sum"),
+      array(lexicons.map(lex =>
+        size(filter(toks, t => array_contains(typedLit(lex), t)))): _*).as("hits"))
+      .collect()
+    val viaKernel = docs.select(
+      kernel.getField("n_tok"), kernel.getField("char_sum"),
+      kernel.getField("bpe_sum"), kernel.getField("hits"))
+      .collect()
+    viaHof.zip(viaKernel).zipWithIndex.foreach { case ((h, k), i) =>
+      assert(h.getInt(0) == k.getInt(0), s"row $i n_tok")
+      assert(h.getLong(1) == k.getLong(1), s"row $i char_sum")
+      assert(h.getLong(2) == k.getLong(2), s"row $i bpe_sum")
+      assert(h.getSeq[Int](3) == k.getSeq[Int](3), s"row $i hits")
+    }
+  }
+
   test("multimodal featurize preserves ids and emits fixed-shape features") {
     val media = Tables.documents(spark, sf).limit(50).select(
       col("doc_id"),

@@ -64,6 +64,18 @@ class PlanSpec extends SparkSpec {
       s"dedup_simhash still explodes tokens:\n$plan")
   }
 
+  test("exact embedding dedup joins on the salted grid, never label alone") {
+    // The pair join must be keyed (label, g): a raw label-only self-join
+    // puts a whole label block's quadratic pair space on one task — the
+    // shape that dies when one label is hot at scale. The salt spreads the
+    // same exact pair space across `grid` sub-blocks per label.
+    val plan = executedPlan("dedup_embedding_cosine")
+    assert("""Join \[label#\d+, g#\d+\]""".r.findFirstIn(plan).isDefined,
+      s"pair join is not keyed on (label, g):\n$plan")
+    assert("""Join \[label#\d+\]""".r.findFirstIn(plan).isEmpty,
+      s"raw label-only pair join present:\n$plan")
+  }
+
   test("C15: aggregation is partial+final (map-side combine)") {
     val plan = executedPlan("agg_groupby_having")
     assert(plan.contains("partial_"), s"no partial aggregation in:\n$plan")
