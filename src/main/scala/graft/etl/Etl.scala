@@ -57,6 +57,22 @@ class Crawler(spark: SparkSession) {
 
   def schemaOf(table: String): Option[StructType] = registry.get(table)
 
+  /** One crawl run over a parent path: every child directory becomes its
+    * own table ("Create a single schema for each s3 path", README.md:117 —
+    * a crawler pointed at a lake prefix registers one table per dataset
+    * folder). Table names default to the directory names; re-crawls apply
+    * the same add-only evolution policy as single-path crawls. */
+  def crawlChildren(parent: String, format: String = "csv",
+      namePrefix: String = ""): Map[String, DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(parent)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).filter(_.isDirectory).sortBy(_.getPath.getName)
+      .map { st =>
+        val table = namePrefix + st.getPath.getName
+        table -> crawl(st.getPath.toString, table, format)
+      }.toMap
+  }
+
   def crawl(path: String, table: String, format: String = "csv"): DataFrame = {
     val inferred = format match {
       case "csv"     => CsvSource.read(spark, path).schema

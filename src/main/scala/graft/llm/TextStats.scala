@@ -205,6 +205,26 @@ object TextStats {
         .groupBy("doc_id").agg(countDistinct(col("g")).as("n_shared"))
         .orderBy("doc_id")
     }),
+    // PII / deny-list scrub (training-data pipeline op): redact emails,
+    // long digit runs (phone/account-number shapes) and a configurable
+    // deny-list of terms, reporting per-doc match counts + the scrubbed
+    // length. Patterns are kept to the regex dialect Java and RE2 share so
+    // the DuckDB oracle replays them verbatim. This corpus contains no
+    // digits or '@' (PII counts oracle-match at 0 — LlmSpec exercises the
+    // email/number paths on planted PII); the deny-list terms DO occur, so
+    // the scrub itself is non-vacuous. One scan, all codegen'd built-ins.
+    "text_scrub_pii" -> ((s, d) => {
+      val email = TextScrub.EmailPattern
+      val num = TextScrub.NumberPattern
+      val deny = TextScrub.denyPattern(TextScrub.DefaultDenyList)
+      documents(s, d).select(
+          col("doc_id"),
+          regexp_count(col("text"), lit(email)).as("n_email"),
+          regexp_count(col("text"), lit(num)).as("n_number"),
+          regexp_count(col("text"), lit(deny)).as("n_denied"),
+          length(TextScrub.scrub(col("text"))).as("n_chars_scrubbed"))
+        .orderBy("doc_id")
+    }),
     // Multimodal binary-column plumbing (builder mandate): payloads as
     // opaque binary + typed metadata; "decode" is a deterministic stub
     // (real image/audio libs absent by design) but schema, batching and
@@ -305,6 +325,21 @@ object TextStats {
         |       CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
         |       CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams) AS dup_ratio
         |FROM g ORDER BY doc_id""".stripMargin,
+    // Same patterns as TextScrub verbatim (Java and RE2 agree on this
+    // subset); DuckDB regexp_replace needs the 'g' flag to match Spark's
+    // replace-all default. Sequential email→number→deny order preserved.
+    "text_scrub_pii" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '[0-9][0-9 -]{6,}[0-9]')) AS INT) AS n_number,
+        |  CAST(len(regexp_extract_all(text, '\b(customer|dup)\b')) AS INT) AS n_denied,
+        |  CAST(length(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |        '[0-9][0-9 -]{6,}[0-9]', '[NUM]', 'g'),
+        |      '\b(customer|dup)\b', '[TERM]', 'g')) AS INT) AS n_chars_scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_quality_filter" ->
       """WITH q AS (
         |  SELECT doc_id,

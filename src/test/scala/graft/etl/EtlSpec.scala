@@ -58,6 +58,20 @@ class EtlSpec extends SparkSpec {
     assert(df2.count() == 5)
   }
 
+  test("A3b: one crawl run over a parent path registers one table per child") {
+    import graft.core.Tables
+    val parent = tmpDir("crawl_multi")
+    CsvSource.write(Tables.region(spark, sf), s"$parent/region_ds")
+    CsvSource.write(Tables.nation(spark, sf), s"$parent/nation_ds")
+    val crawler = new Crawler(spark)
+    val tables = crawler.crawlChildren(parent, namePrefix = "multi_")
+    assert(tables.keySet == Set("multi_region_ds", "multi_nation_ds"))
+    assert(crawler.schemaOf("multi_region_ds").get.fieldNames.toSeq ==
+      Seq("r_regionkey", "r_name"))
+    assert(spark.table("multi_nation_ds").count() == 25)
+    assert(spark.table("multi_region_ds").count() == 5)
+  }
+
   test("A8: bookmark runs never reprocess already-seen files") {
     val src = tmpDir("bm_src"); val ckpt = tmpDir("bm_ckpt"); val sink = tmpDir("bm_sink")
     import graft.core.Tables

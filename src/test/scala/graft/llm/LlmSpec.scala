@@ -247,6 +247,26 @@ class LlmSpec extends SparkSpec {
     assert(agree >= 0.3, s"ANN top-1 agreement $agree < 0.3")
   }
 
+  test("PII scrub redacts planted emails, numbers and deny terms") {
+    import spark.implicits._
+    // the corpus contains no digits/'@' (its oracle pins those counts at 0)
+    // — this test is where the email/number paths actually fire
+    val rows = Seq(
+      (1L, "contact me at jane.doe@example.com for details"),
+      (2L, "call 555-123-4567 or 555 987 6543 today"),
+      (3L, "the customer saw a dup record"),
+      (4L, "card 4111 1111 1111 1111 leaked"),
+      (5L, "clean text with nothing sensitive"))
+    val out = rows.toDF("doc_id", "text")
+      .select(col("doc_id"), TextScrub.scrub(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "contact me at [EMAIL] for details")
+    assert(out(2L) == "call [NUM] or [NUM] today")
+    assert(out(3L) == "the [TERM] saw a [TERM] record")
+    assert(out(4L) == "card [NUM] leaked")
+    assert(out(5L) == rows(4)._2, "clean text must pass through unchanged")
+  }
+
   test("token_stats kernel equals the composable HOF form") {
     import spark.implicits._
     // unicode rows guard the numChars-vs-bytes distinction; the lexicon
