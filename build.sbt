@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses ONE short JSON line out of a bounded stdout TAIL of
+// `sbt "runMain graft.Bench"`. Two sbt behaviors broke that in rounds 1-3:
+// (a) forked-run stdout is routed through sbt's logger and arrives prefixed
+//     with "[info] " — StdoutOutput passes the child's streams through raw;
+// (b) sbt prints "[success] Total time: ..." AFTER the program's last line.
+// Both must be off so the bench's bare JSON is genuinely the last line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not other settings —
+// lintUnused can't see that and needs the explicit exclusion.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -47,10 +47,12 @@ object Bench {
       name -> math.round(sec * 1000) / 1000.0
     }
     val detail = detailJson(results, sfDir)
+    // Detail goes ONLY to the file. Printing it (even to stderr) is unsafe:
+    // the driver captures stdout+stderr combined, and 3.5 KB of per-query
+    // detail eats most of the bounded tail window the summary must fit in.
     try java.nio.file.Files.write(java.nio.file.Paths.get(DetailPath),
       detail.getBytes("UTF-8"))
     catch { case _: Throwable => () } // detail is best-effort, never fatal
-    System.err.println(detail)
     val ok = results.map(_._2).filter(_ >= 0)
     val total = math.round(ok.sum * 1000) / 1000.0
     // Stop Spark BEFORE the summary so nothing (even a stray stdout log

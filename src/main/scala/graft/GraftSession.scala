@@ -1,7 +1,62 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import graft.functions.{CharNgramHashes, DotProduct, MinHashArray, RollingHash, SignBandBuckets, SimHash64, SortedIntersectCount, TokenNgramHashes, TokenStats}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions._
+
+/** The one registry of graft's native SQL functions, shared by the
+  * extensions path (`spark.sql.extensions=graft.GraftExtensions`) and the
+  * late-registration path (`GraftSession.register`). Every builder
+  * validates arity — and foldability where a literal is required — via
+  * [[SqlArgs]], so a misuse fails at plan time with the function name
+  * rather than deep inside `eval()` on an unresolved expression.
+  */
+private[graft] object GraftFunctions {
+
+  val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("rolling_hash", classOf[RollingHash], { exprs: Seq[Expression] =>
+      SqlArgs.arity("rolling_hash", exprs, 1, 1)
+      RollingHash(exprs.head)
+    }),
+    ("dot_product", classOf[DotProduct], { exprs: Seq[Expression] =>
+      SqlArgs.arity("dot_product", exprs, 2, 2)
+      DotProduct(exprs(0), exprs(1))
+    }),
+    ("sorted_intersect_count", classOf[SortedIntersectCount],
+      { exprs: Seq[Expression] =>
+        SqlArgs.arity("sorted_intersect_count", exprs, 2, 2)
+        SortedIntersectCount(exprs(0), exprs(1))
+      }),
+    ("ngram_hashes", classOf[CharNgramHashes], { exprs: Seq[Expression] =>
+      SqlArgs.arity("ngram_hashes", exprs, 2, 2)
+      CharNgramHashes(exprs(0), SqlArgs.foldableInt("ngram_hashes", exprs, 1, "n"))
+    }),
+    ("minhash_array", classOf[MinHashArray], { exprs: Seq[Expression] =>
+      SqlArgs.arity("minhash_array", exprs, 2, 2)
+      MinHashArray(exprs(0), SqlArgs.foldableInt("minhash_array", exprs, 1, "k"))
+    }),
+    ("token_ngram_hashes", classOf[TokenNgramHashes], { exprs: Seq[Expression] =>
+      SqlArgs.arity("token_ngram_hashes", exprs, 2, 2)
+      TokenNgramHashes(exprs(0),
+        SqlArgs.foldableInt("token_ngram_hashes", exprs, 1, "n"))
+    }),
+    ("token_stats", classOf[TokenStats], { exprs: Seq[Expression] =>
+      TokenStats.fromSql(exprs) // arity/foldability checked inside
+    }),
+    ("simhash64", classOf[SimHash64], { exprs: Seq[Expression] =>
+      SqlArgs.arity("simhash64", exprs, 1, 1)
+      SimHash64(exprs.head)
+    }),
+    ("sign_band_buckets", classOf[SignBandBuckets], { exprs: Seq[Expression] =>
+      SqlArgs.arity("sign_band_buckets", exprs, 4, 4)
+      SignBandBuckets.seeded(exprs(0),
+        SqlArgs.foldableInt("sign_band_buckets", exprs, 1, "bands"),
+        SqlArgs.foldableInt("sign_band_buckets", exprs, 2, "bitsPerBand"),
+        SqlArgs.foldableInt("sign_band_buckets", exprs, 3, "seed"))
+    }),
+  )
+}
 
 /** Session extensions: registers graft's native expressions as SQL
   * functions so the whole library surface is reachable from `spark.sql`:
@@ -15,57 +70,11 @@ import graft.functions.{CharNgramHashes, DotProduct, MinHashArray, RollingHash, 
   * `spark.sql.extensions=graft.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_hash"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[RollingHash].getName, "rolling_hash"),
-        exprs => RollingHash(exprs.head)))
-    e.injectFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[DotProduct].getName, "dot_product"),
-        exprs => DotProduct(exprs(0), exprs(1))))
-    e.injectFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_intersect_count"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
-        exprs => SortedIntersectCount(exprs(0), exprs(1))))
-    e.injectFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("ngram_hashes"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[CharNgramHashes].getName, "ngram_hashes"),
-        exprs => CharNgramHashes(exprs(0),
-          exprs(1).eval().asInstanceOf[Int])))
-    e.injectFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_array"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[MinHashArray].getName, "minhash_array"),
-        exprs => MinHashArray(exprs(0), exprs(1).eval().asInstanceOf[Int])))
-    e.injectFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("token_ngram_hashes"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[TokenNgramHashes].getName, "token_ngram_hashes"),
-        exprs => TokenNgramHashes(exprs(0), exprs(1).eval().asInstanceOf[Int])))
-    e.injectFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("token_stats"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[TokenStats].getName, "token_stats"),
-        exprs => TokenStats.fromSql(exprs)))
-    e.injectFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[SimHash64].getName, "simhash64"),
-        exprs => SimHash64(exprs.head)))
-    e.injectFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("sign_band_buckets"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[SignBandBuckets].getName, "sign_band_buckets"),
-        exprs => SignBandBuckets.seeded(exprs(0),
-          exprs(1).eval().asInstanceOf[Int],
-          exprs(2).eval().asInstanceOf[Int],
-          exprs(3).eval().asInstanceOf[Int])))
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, clazz, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name), builder))
+    }
 }
 
 /** The library's front door: a SparkSession tuned the way every graft
@@ -91,22 +100,8 @@ object GraftSession {
     * shell or notebook session built without `spark.sql.extensions`). */
   def register(spark: SparkSession): Unit = {
     import org.apache.spark.sql.GraftBridge.registerFunction
-    registerFunction(spark, "rolling_hash", exprs => RollingHash(exprs.head))
-    registerFunction(spark, "dot_product", exprs => DotProduct(exprs(0), exprs(1)))
-    registerFunction(spark, "sorted_intersect_count",
-      exprs => SortedIntersectCount(exprs(0), exprs(1)))
-    registerFunction(spark, "ngram_hashes",
-      exprs => CharNgramHashes(exprs(0), exprs(1).eval().asInstanceOf[Int]))
-    registerFunction(spark, "minhash_array",
-      exprs => MinHashArray(exprs(0), exprs(1).eval().asInstanceOf[Int]))
-    registerFunction(spark, "token_ngram_hashes",
-      exprs => TokenNgramHashes(exprs(0), exprs(1).eval().asInstanceOf[Int]))
-    registerFunction(spark, "simhash64", exprs => SimHash64(exprs.head))
-    registerFunction(spark, "token_stats", exprs => TokenStats.fromSql(exprs))
-    registerFunction(spark, "sign_band_buckets",
-      exprs => SignBandBuckets.seeded(exprs(0),
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int],
-        exprs(3).eval().asInstanceOf[Int]))
+    GraftFunctions.builders.foreach { case (name, _, builder) =>
+      registerFunction(spark, name, builder)
+    }
   }
 }

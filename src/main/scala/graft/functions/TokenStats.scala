@@ -104,15 +104,21 @@ object TokenStats {
     * `token_stats(toks, array(array('the','and'), array('le','la')))` with
     * a foldable lexicon literal. */
   def fromSql(exprs: Seq[Expression]): TokenStats = {
+    SqlArgs.arity("token_stats", exprs, 1, 2)
     val lex: Seq[Seq[String]] =
       if (exprs.size < 2) Nil
-      else {
-        val outer = exprs(1).eval().asInstanceOf[ArrayData]
-        (0 until outer.numElements()).map { i =>
-          val inner = outer.getArray(i)
-          (0 until inner.numElements())
-            .map(j => inner.getUTF8String(j).toString)
-        }
+      else SqlArgs.foldable("token_stats", exprs, 1, "lexicons") match {
+        case outer: ArrayData =>
+          (0 until outer.numElements()).map { i =>
+            val inner = outer.getArray(i)
+            if (inner == null) throw new IllegalArgumentException(
+              "token_stats lexicons must not contain null arrays")
+            (0 until inner.numElements())
+              .map(j => inner.getUTF8String(j).toString)
+          }
+        case other => throw new IllegalArgumentException(
+          "token_stats argument 2 (lexicons) must be array<array<string>>, " +
+            s"got ${other.getClass.getSimpleName}")
       }
     TokenStats(exprs.head, lex)
   }

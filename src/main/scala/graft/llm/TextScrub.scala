@@ -29,9 +29,23 @@ object TextScrub {
   /** Example deny-list (project-specific in production). */
   val DefaultDenyList: Seq[String] = Seq("customer", "dup")
 
-  /** One alternation pattern for the whole deny-list, word-bounded. */
+  /** Metacharacters escaped in deny-list terms. Only punctuation with
+    * regex meaning is escaped (never letters/digits — `\d` would *create*
+    * a metacharacter); backslash-punct is a literal in both Java regex and
+    * RE2, so the escaped pattern stays oracle-portable. */
+  private val Meta: Set[Char] = "\\.[]{}()*+-?^$|/".toSet
+
+  private def escapeTerm(t: String): String =
+    t.flatMap(c => if (Meta(c)) s"\\$c" else c.toString)
+
+  /** One alternation pattern for the whole deny-list, word-bounded. Terms
+    * are regex-escaped (they are literal words, not patterns). An empty
+    * list yields `[^\s\S]` — a valid never-matching pattern in both Java
+    * and RE2 — because the naive `\b()\b` matches at EVERY word boundary
+    * and would stamp [TERM] throughout the document. */
   def denyPattern(terms: Seq[String]): String =
-    terms.mkString("\\b(", "|", ")\\b")
+    if (terms.isEmpty) "[^\\s\\S]"
+    else terms.map(escapeTerm).mkString("\\b(", "|", ")\\b")
 
   /** Scrubbed text: email → [EMAIL], digit runs → [NUM], deny terms →
     * [TERM], applied in that fixed order. */
@@ -39,6 +53,7 @@ object TextScrub {
       denyList: Seq[String] = DefaultDenyList): Column = {
     val t1 = regexp_replace(text, EmailPattern, "[EMAIL]")
     val t2 = regexp_replace(t1, NumberPattern, "[NUM]")
-    regexp_replace(t2, denyPattern(denyList), "[TERM]")
+    if (denyList.isEmpty) t2
+    else regexp_replace(t2, denyPattern(denyList), "[TERM]")
   }
 }

@@ -84,6 +84,23 @@ class ContractSpec extends SparkSpec {
       "per-query detail must never be inlined into the summary line")
   }
 
+  test("build.sbt keeps the bench's stdout shape driver-parseable") {
+    // Round 3 proved the line itself isn't enough: the driver launches the
+    // bench via `sbt "runMain graft.Bench"`, and with sbt's defaults the
+    // forked program's stdout arrives wrapped as "[info] {...}" and sbt
+    // appends "[success] Total time: ..." AFTER it — the driver saw no
+    // bare-JSON last line and recorded parsed:null for three rounds. The
+    // two settings below are what make the real invocation emit the bare
+    // summary as the genuinely last line (verified end-to-end in round 4);
+    // this test pins them so a build refactor can't silently drop them.
+    val buildSbt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("build.sbt")), "UTF-8")
+    assert(buildSbt.contains("OutputStrategy.StdoutOutput"),
+      "run / outputStrategy must pass forked stdout through unprefixed")
+    assert(buildSbt.contains("showSuccess := false"),
+      "showSuccess must stay off so '[success]' never trails the summary")
+  }
+
   test("unit-tier queries run and return rows on sf0.001") {
     val unitTier = (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted
     val empty = unitTier.filter { name =>

@@ -25,4 +25,25 @@ class GraftSessionSpec extends SparkSpec {
     assert(r.getInt(5) == 32)
     assert(r.getInt(6) == 3) // 5 tokens, 3-gram windows: positions 1..3
   }
+
+  test("SQL surface rejects wrong arity and non-literal literals clearly") {
+    GraftSession.register(spark)
+    def failsWith(sql: String, fragment: String): Unit = {
+      val e = intercept[Throwable](spark.sql(sql).collect())
+      val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains(fragment),
+        s"expected error mentioning '$fragment', got: $msgs")
+    }
+    // extra args used to be silently dropped (simhash64('a','b') ran on 'a')
+    failsWith("SELECT simhash64(array(1L), 'extra')", "1 argument")
+    failsWith("SELECT token_stats(array('a'), array(array('x')), 'extra')",
+      "1 to 2 argument")
+    // non-foldable where a literal is required used to die inside eval()
+    // with an unresolved-expression stack trace
+    failsWith("SELECT minhash_array(array(id), cast(id AS INT)) FROM range(3)",
+      "must be a literal")
+    failsWith("SELECT token_stats(array('a'), id) FROM range(3)",
+      "must be a literal")
+  }
 }

@@ -267,6 +267,29 @@ class LlmSpec extends SparkSpec {
     assert(out(5L) == rows(4)._2, "clean text must pass through unchanged")
   }
 
+  test("deny-list scrub handles empty lists and regex metacharacters") {
+    import spark.implicits._
+    val docs = Seq((1L, "code 9X99 and price 9.99 today"))
+      .toDF("doc_id", "text")
+    // empty deny list: nothing redacted — the naive '\b()\b' pattern used
+    // to match at every word boundary and stamp [TERM] everywhere
+    val none = docs.select(TextScrub.scrub(col("text"), Nil).as("s"))
+      .head().getString(0)
+    assert(none == "code 9X99 and price 9.99 today")
+    // a term's '.' is a literal, not a wildcard: unescaped '9.99' would
+    // redact '9X99' too
+    val dot = docs.select(TextScrub.scrub(col("text"), Seq("9.99")).as("s"))
+      .head().getString(0)
+    assert(dot == "code 9X99 and price [TERM] today")
+    // raw 'c++' is a possessive quantifier in Java (matches any run of
+    // c's) and a syntax error in RE2 — escaped, it is just the literal
+    import java.util.regex.Pattern
+    assert(Pattern.compile("\\b(c++)\\b").matcher("ccc").find(),
+      "sanity: the unescaped term really did match arbitrary 'c' runs")
+    assert(!Pattern.compile(TextScrub.denyPattern(Seq("c++")))
+      .matcher("ccc").find())
+  }
+
   test("token_stats kernel equals the composable HOF form") {
     import spark.implicits._
     // unicode rows guard the numChars-vs-bytes distinction; the lexicon
