@@ -25,6 +25,20 @@ object TextStats {
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "fr" -> Seq("le", "la", "et", "les", "des"))
 
+  /** Fold of md5 hex digits [from, from+3] of the stringified id into an
+    * int in [0, 16^4) — the engine-agnostic deterministic-hash primitive
+    * behind sample_split / stratified_sample / pack_sequences sharding
+    * (pure function of the stable id: reruns, retries and engines agree;
+    * four digits keep modulo bias ≤ ~0.02%). `from` is 1-based to match
+    * SQL substring. */
+  private def md5Fold(idCol: Column, from: Int): Column = {
+    def hexVal(c: Column): Column =
+      when(ascii(c) >= 97, ascii(c) - 87).otherwise(ascii(c) - 48)
+    val hx = md5(idCol.cast("string"))
+    (from until from + 4).map(i => hexVal(substring(hx, i, 1)))
+      .reduce(_ * 16 + _)
+  }
+
   /** The shared per-doc quality stats over `text` — ONE definition used by
     * both the score report (text_quality) and the filter verdicts
     * (text_quality_filter), so the two can never silently diverge. */
@@ -174,11 +188,7 @@ object TextStats {
     // ~0.01%) → 80/10/10; output is the per-language stratification report
     // a dataset card needs.
     "sample_split" -> ((s, d) => {
-      def hexVal(c: Column): Column =
-        when(ascii(c) >= 97, ascii(c) - 87).otherwise(ascii(c) - 48)
-      val hx = md5(col("doc_id").cast("string"))
-      val bucket = (1 to 4).map(i => hexVal(substring(hx, i, 1)))
-        .reduce(_ * 16 + _) % 10
+      val bucket = md5Fold(col("doc_id"), 1) % 10
       documents(s, d)
         .withColumn("split",
           when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))
@@ -223,6 +233,54 @@ object TextStats {
           regexp_count(col("text"), lit(num)).as("n_number"),
           regexp_count(col("text"), lit(deny)).as("n_denied"),
           length(TextScrub.scrub(col("text"))).as("n_chars_scrubbed"))
+        .orderBy("doc_id")
+    }),
+    // Stratified sampling (training-data pipeline op): per-language keep
+    // rates applied as a pure function of doc_id (md5 digits 5-8, DISJOINT
+    // from sample_split's digits 1-4 so split and sample stay independent)
+    // — never rand(), so reruns/engines agree row-for-row and rates can be
+    // audited. 100 TB shape: one scan, the verdict is per-row arithmetic
+    // with no shuffle before the final small report aggregation.
+    "stratified_sample" -> ((s, d) => {
+      val rate = when(col("lang") === "en", 60)
+        .when(col("lang").isin("es", "de"), 30)
+        .when(col("lang") === "zh", 45)
+        .when(col("lang") === "fr", 15)
+        .otherwise(20)
+      val kept = md5Fold(col("doc_id"), 5) % 100 < rate
+      documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(kept.cast("long")).as("n_kept"))
+        .orderBy("lang")
+    }),
+    // Sequence packing (training-data pipeline op): the standard pretraining
+    // concat-and-chunk — documents are laid out in a deterministic stream
+    // per shard and cut into fixed 512-token blocks; a doc is addressed by
+    // its (shard, stream offset, first/last block). 100 TB shape: the
+    // running sum is a window WITHIN a shard (shards = md5(doc_id) digits
+    // 1-4 folded % 8 here; thousands in production), never a global orderBy — the
+    // packing of each shard is independent, so parallelism scales with the
+    // shard count while the layout stays a pure function of doc ids.
+    "pack_sequences" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val blockLen = 512
+      val nTok = graft.functions.TokenStats.token_stats(
+        tokens(col("text")), Seq.empty).getField("n_tok").cast("long")
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      documents(s, d)
+        .select(col("doc_id"),
+          (md5Fold(col("doc_id"), 1) % 8).cast("int").as("shard"),
+          nTok.as("n_tok"))
+        .withColumn("stream_end", sum(col("n_tok")).over(w))
+        .select(col("doc_id"), col("shard"), col("n_tok"),
+          (col("stream_end") - col("n_tok")).as("offset"),
+          // exact floor division: offsets ≪ 2^53, so the double detour is safe
+          floor((col("stream_end") - col("n_tok")) / blockLen).cast("long")
+            .as("block_first"),
+          floor((col("stream_end") - 1) / blockLen).cast("long")
+            .as("block_last"))
         .orderBy("doc_id")
     }),
     // Multimodal binary-column plumbing (builder mandate): payloads as
@@ -378,6 +436,48 @@ object TextStats {
         |            ELSE 'test' END AS split,
         |       COUNT(*) AS n_docs
         |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    // md5 digits 5-8 (disjoint from sample_split's 1-4); rates must match
+    // the Spark when-chain exactly.
+    "stratified_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+        |b AS (
+        |  SELECT lang,
+        |    ((((CASE WHEN ord(hx[5:5]) >= 97 THEN ord(hx[5:5]) - 87 ELSE ord(hx[5:5]) - 48 END) * 16
+        |      + (CASE WHEN ord(hx[6:6]) >= 97 THEN ord(hx[6:6]) - 87 ELSE ord(hx[6:6]) - 48 END)) * 16
+        |      + (CASE WHEN ord(hx[7:7]) >= 97 THEN ord(hx[7:7]) - 87 ELSE ord(hx[7:7]) - 48 END)) * 16
+        |      + (CASE WHEN ord(hx[8:8]) >= 97 THEN ord(hx[8:8]) - 87 ELSE ord(hx[8:8]) - 48 END)) % 100 AS pct,
+        |    CASE WHEN lang = 'en' THEN 60
+        |         WHEN lang IN ('es','de') THEN 30
+        |         WHEN lang = 'zh' THEN 45
+        |         WHEN lang = 'fr' THEN 15
+        |         ELSE 20 END AS rate
+        |  FROM h)
+        |SELECT lang, COUNT(*) AS n_total,
+        |       CAST(SUM(CASE WHEN pct < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM b GROUP BY lang ORDER BY lang""".stripMargin,
+    // Same md5 digits 1-4 fold as sample_split, % 8 for the shard; the
+    // running sum is a per-shard window (ROWS frame, exact BIGINT), and
+    // '//' is DuckDB's integer floor division.
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(((((CASE WHEN ord(hx[1:1]) >= 97 THEN ord(hx[1:1]) - 87 ELSE ord(hx[1:1]) - 48 END) * 16
+        |      + (CASE WHEN ord(hx[2:2]) >= 97 THEN ord(hx[2:2]) - 87 ELSE ord(hx[2:2]) - 48 END)) * 16
+        |      + (CASE WHEN ord(hx[3:3]) >= 97 THEN ord(hx[3:3]) - 87 ELSE ord(hx[3:3]) - 48 END)) * 16
+        |      + (CASE WHEN ord(hx[4:4]) >= 97 THEN ord(hx[4:4]) - 87 ELSE ord(hx[4:4]) - 48 END)) % 8 AS INT) AS shard,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents)),
+        |w AS (
+        |  SELECT doc_id, shard, n_tok,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS stream_end
+        |  FROM t)
+        |SELECT doc_id, shard, n_tok,
+        |       stream_end - n_tok AS "offset",
+        |       CAST((stream_end - n_tok) // 512 AS BIGINT) AS block_first,
+        |       CAST((stream_end - 1) // 512 AS BIGINT) AS block_last
+        |FROM w ORDER BY doc_id""".stripMargin,
     "text_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, str_split(text, ' ') AS t FROM documents),
