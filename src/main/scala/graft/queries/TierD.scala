@@ -91,6 +91,41 @@ object TierD {
         .select(col("user_id"), col("events"), col("total_value"))
         .orderBy("user_id")
     }),
+    // D8 — stream-stream interval join (the double-sided-state operator the
+    // rest of Tier D doesn't exercise): click→purchase attribution per user
+    // within 15 minutes. Both sides are watermarked and the join condition
+    // is event-time-bounded, so each side's state is evicted once the other
+    // side's watermark passes it — bounded state at 100 TB, the whole point
+    // of the operator. For a finite AvailableNow input an inner stream-stream
+    // join emits exactly the batch interval join, so the oracle replays it
+    // as plain SQL — the state machinery is differentially checked.
+    "stream_stream_join" -> ((s, d) => withFewStatePartitions(s) {
+      val name = s"ssj_out_${java.lang.Long.toHexString(System.nanoTime)}"
+      val ev = eventsStream(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "30 minutes")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("value").as("p_value"))
+        .withWatermark("p_ts", "30 minutes")
+      val joined = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 15 MINUTES"))
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", scratchDir("graft_ssj_ckpt"))
+        .start()
+      q.awaitTermination()
+      // compact per-user attribution report over the joined pairs
+      s.table(name)
+        .groupBy(col("c_user").as("user_id"))
+        .agg(count(lit(1)).as("n_attributed"),
+          decSum(col("p_value")).as("attributed_value"))
+        .orderBy("user_id")
+    }),
     // D6 — bookmark semantics end-to-end (reference README.md:145): a file
     // source with checkpoint processes each file exactly once; the second
     // AvailableNow run emits only newly-landed files. EtlSpec asserts the
@@ -173,6 +208,18 @@ object TierD {
       """SELECT user_id, COUNT(*) AS events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // D8: inner stream-stream interval join over a finite input == the batch
+    // interval join; decimal-exact value sum keeps the double hashable.
+    "stream_stream_join" ->
+      """SELECT c.user_id, COUNT(*) AS n_attributed,
+        |       CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+        |FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |      WHERE event_type = 'click') c
+        |JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        |      WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 15 MINUTE
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
     "stream_tumbling" ->
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS wstart,
         |       event_type, COUNT(*) AS cnt,

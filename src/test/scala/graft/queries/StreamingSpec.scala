@@ -105,6 +105,39 @@ class StreamingSpec extends SparkSpec {
       s"state lost across restart (expected 3 rows in 10:00 window): $out")
   }
 
+  test("D8: stream-stream join matches across micro-batches (double-sided state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicksIn = MemoryStream[(Timestamp, Long)]
+    val buysIn = MemoryStream[(Timestamp, Long)]
+    val clicks = clicksIn.toDF().toDF("c_ts", "c_user")
+      .withWatermark("c_ts", "30 minutes")
+    val buys = buysIn.toDF().toDF("p_ts", "p_user")
+      .withWatermark("p_ts", "30 minutes")
+    val joined = clicks.join(buys,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 15 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssj_spec")
+      .outputMode("append").start()
+    try {
+      // batch 1: clicks only — nothing can be emitted, rows must be HELD
+      clicksIn.addData(ts("2024-01-01 10:00:00") -> 1L,
+        ts("2024-01-01 10:00:00") -> 2L)
+      q.processAllAvailable()
+      assert(spark.table("ssj_spec").isEmpty)
+      // batch 2: purchases arrive — user 1 inside the 15-min bound (match
+      // against batch-1 state), user 2 outside it (no match)
+      buysIn.addData(ts("2024-01-01 10:10:00") -> 1L,
+        ts("2024-01-01 10:20:00") -> 2L)
+      q.processAllAvailable()
+      val users = spark.table("ssj_spec").select("c_user")
+        .collect().map(_.getLong(0)).toSeq
+      assert(users == Seq(1L),
+        s"expected exactly user 1's cross-batch match, got $users")
+    } finally q.stop()
+  }
+
   test("D1: streaming tumbling counts equal the batch form") {
     val batch = graft.SparkEntry.queries("stream_tumbling")(spark, sf)
       .select(col("wstart").cast("string"), col("event_type"), col("cnt"))
