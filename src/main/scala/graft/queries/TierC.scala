@@ -293,6 +293,21 @@ object TierCAgg {
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
         .orderBy("l_returnflag")
     }),
+    // C17b — approximate percentiles (GK sketch, the profiling companion to
+    // the HLL sketch above): mergeable partial sketches, so percentile
+    // estimation is one map-side-combined pass at any scale instead of a
+    // per-group sort. Unit-tier like agg_approx_distinct — DuckDB cannot
+    // replay the sketch; PlanSpec brackets each estimate between exact
+    // order statistics at rank ±1%.
+    "agg_approx_percentile" -> ((s, d) => {
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.95)),
+          lit(10000)).as("pcts"))
+        .select(col("l_returnflag"),
+          element_at(col("pcts"), 1).as("p50"),
+          element_at(col("pcts"), 2).as("p95"))
+        .orderBy("l_returnflag")
+    }),
     // C18 — ROLLUP grouping sets.
     "agg_rollup" -> ((s, d) => {
       lineitem(s, d).rollup("l_returnflag", "l_linestatus")

@@ -76,6 +76,18 @@ class PlanSpec extends SparkSpec {
       s"raw label-only pair join present:\n$plan")
   }
 
+  test("sequence packing windows per shard, never a single global stream") {
+    // The running token sum must hash-partition on `shard` so each shard's
+    // stream packs independently — a window over the whole corpus order
+    // would funnel 100 TB through one task. The only single-partition step
+    // allowed is the final contract orderBy's range exchange.
+    val plan = executedPlan("pack_sequences")
+    assert(plan.contains("hashpartitioning(shard"),
+      s"window is not shard-partitioned:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"pack_sequences funnels through a single partition:\n$plan")
+  }
+
   test("C15: aggregation is partial+final (map-side combine)") {
     val plan = executedPlan("agg_groupby_having")
     assert(plan.contains("partial_"), s"no partial aggregation in:\n$plan")
@@ -97,6 +109,25 @@ class PlanSpec extends SparkSpec {
     exact.foreach { case (k, e) =>
       val a = approx(k)
       assert(math.abs(a - e).toDouble / e <= 0.05, s"flag $k: approx=$a exact=$e")
+    }
+  }
+
+  test("C17b: approx percentiles land inside the exact rank band") {
+    // GK sketch with accuracy 10000 ⇒ rank error ≤ n/10000; brackets with
+    // the exact order statistics at q ± 1% (much looser) per group.
+    val approx = SparkEntryPlan("agg_approx_percentile")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.49, 0.51, 0.94, 0.96))").as("p"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[Double](1)).toMap
+    exact.foreach { case (k, bands) =>
+      val (p50, p95) = approx(k)
+      assert(p50 >= bands(0) && p50 <= bands(1),
+        s"flag $k: p50=$p50 outside exact band [${bands(0)}, ${bands(1)}]")
+      assert(p95 >= bands(2) && p95 <= bands(3),
+        s"flag $k: p95=$p95 outside exact band [${bands(2)}, ${bands(3)}]")
     }
   }
 
