@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables._
 import graft.functions.RollingHash.rolling_hash
@@ -60,6 +61,23 @@ object TextStats {
     val nonAlnum = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
     QualityStats(nTok, stats.getField("char_sum").cast("double") / nTok, nStop,
       nonAlnum.cast("double") / length(col("text")))
+  }
+
+  /** The keep/drop rule stack shared by text_quality_filter and the
+    * corpus_curation pipeline (ONE definition, like qualityStats — the
+    * filter report and the pipeline gate can never silently diverge).
+    * Bounds tuned to discriminate on this corpus (tokens 10-99, mean
+    * length 3.7-5.3, symbol-free): the short-doc and no-stopword rules
+    * actually fire; the others guard the degenerate directions. */
+  private def qualityRule: Column = {
+    val q = qualityStats
+    when(q.nTok < 20, "too_few_tokens")
+      .when(q.nTok > 5000, "too_many_tokens")
+      .when(q.meanLen < 2.0, "mean_token_too_short")
+      .when(q.meanLen > 12.0, "mean_token_too_long")
+      .when(q.symbolRatio > 0.3, "too_many_symbols")
+      .when(q.nStop === 0, "no_stopwords")
+      .otherwise("pass")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -163,17 +181,7 @@ object TextStats {
     // card reports). Rules are exact integer/single-division arithmetic so
     // the verdict is oracle-hashable.
     "text_quality_filter" -> ((s, d) => {
-      val q = qualityStats
-      // bounds tuned to discriminate on this corpus (tokens 10-99, mean
-      // length 3.7-5.3, symbol-free): the short-doc and no-stopword rules
-      // actually fire; the others guard the degenerate directions
-      val rule = when(q.nTok < 20, "too_few_tokens")
-        .when(q.nTok > 5000, "too_many_tokens")
-        .when(q.meanLen < 2.0, "mean_token_too_short")
-        .when(q.meanLen > 12.0, "mean_token_too_long")
-        .when(q.symbolRatio > 0.3, "too_many_symbols")
-        .when(q.nStop === 0, "no_stopwords")
-        .otherwise("pass")
+      val rule = qualityRule
       documents(s, d)
         .select(col("doc_id"), rule.as("verdict"),
           (rule === "pass").as("keep"))
@@ -263,7 +271,6 @@ object TextStats {
     // packing of each shard is independent, so parallelism scales with the
     // shard count while the layout stays a pure function of doc ids.
     "pack_sequences" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val blockLen = 512
       val nTok = graft.functions.TokenStats.token_stats(
         tokens(col("text")), Seq.empty).getField("n_tok").cast("long")
@@ -282,6 +289,46 @@ object TextStats {
           floor((col("stream_end") - 1) / blockLen).cast("long")
             .as("block_last"))
         .orderBy("doc_id")
+    }),
+    // The capstone: the whole training-data curation pipeline as ONE
+    // composed dataflow — quality gate → exact dedup → benchmark
+    // decontamination → deterministic split — ending in the (lang, split)
+    // dataset-card report. Every stage reuses the SAME shared definition
+    // its standalone query uses (qualityRule, sha2 min-per-hash, broadcast
+    // 8-gram benchmark set, md5Fold split), so the pipeline is exactly the
+    // composition of the audited operators. 100 TB shape: three scans of
+    // the corpus (stats+gate, gram explode, report), one window shuffle
+    // keyed by content hash, one broadcast semi-join — no quadratic stage.
+    "corpus_curation" -> ((s, d) => {
+      val docs = documents(s, d)
+      // stage 1: quality gate
+      val kept = docs.filter(qualityRule === "pass")
+      // stage 2: exact dedup — keep the smallest doc_id per content hash
+      val wHash = Window.partitionBy("cc_h").orderBy("doc_id")
+      val deduped = kept.withColumn("cc_h", sha2(col("text"), 256))
+        .withColumn("cc_rn", row_number().over(wHash))
+        .filter(col("cc_rn") === 1).drop("cc_h", "cc_rn")
+      // stage 3: decontamination vs the benchmark docs (0-49, full corpus —
+      // a benchmark doc that failed quality is still contamination)
+      val grams8 = graft.functions.TokenNgramHashes.token_ngram_hashes(
+        Dedup.tokenHashes(tokens(col("text"))), 8)
+      val bench = docs.filter(col("doc_id") < 50)
+        .select(explode(grams8).as("g")).distinct()
+      val corpusGrams = deduped.filter(col("doc_id") >= 50)
+        .select(col("doc_id"), explode(grams8).as("g"))
+      val contaminated = corpusGrams.join(broadcast(bench), Seq("g"))
+        .select("doc_id").distinct()
+      val clean = deduped.filter(col("doc_id") >= 50)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      // stage 4: deterministic split (same md5 digits 1-4 as sample_split)
+      val bucket = md5Fold(col("doc_id"), 1) % 10
+      clean
+        .withColumn("split",
+          when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(tokens(col("text"))).cast("long")).as("sum_tokens"))
+        .orderBy("lang", "split")
     }),
     // Multimodal binary-column plumbing (builder mandate): payloads as
     // opaque binary + typed metadata; "decode" is a deterministic stub
@@ -435,6 +482,57 @@ object TextStats {
         |       CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val'
         |            ELSE 'test' END AS split,
         |       COUNT(*) AS n_docs
+        |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    // Each CTE replays the corresponding standalone oracle verbatim:
+    // quality rule stack (text_quality_filter), sha256 min-per-hash
+    // (dedup_exact_text), string 8-grams vs the engine's 64-bit window
+    // hashes (text_decontaminate — equal absent a collision), md5 digit
+    // fold split (sample_split).
+    "corpus_curation" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |         len(str_split(text, ' ')) AS n_tok,
+        |         CAST(list_aggregate(list_transform(str_split(text, ' '), t -> length(t)), 'sum') AS DOUBLE)
+        |           / len(str_split(text, ' ')) AS mean_len,
+        |         len(list_filter(str_split(text, ' '),
+        |              t -> list_contains(['the','and','of','to','in','el','la','de','que','y','der','die','und','das','ist','le','et','les','des'], t))) AS n_stop,
+        |         CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        |           / length(text) AS symbol_ratio
+        |  FROM documents),
+        |kept AS (
+        |  SELECT d.* FROM documents d JOIN q USING (doc_id)
+        |  WHERE NOT (q.n_tok < 20 OR q.n_tok > 5000 OR q.mean_len < 2.0
+        |             OR q.mean_len > 12.0 OR q.symbol_ratio > 0.3 OR q.n_stop = 0)),
+        |dd AS (
+        |  SELECT * FROM (
+        |    SELECT k.*, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        |    FROM kept k) t
+        |  WHERE rn = 1),
+        |grams AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(str_split(text,' ')) - 7, 1) + 1),
+        |                               i -> array_to_string(str_split(text,' ')[i:i+7], ' '))) AS g
+        |  FROM documents),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 50),
+        |contaminated AS (
+        |  SELECT DISTINCT gr.doc_id
+        |  FROM grams gr JOIN bench b ON gr.g = b.g
+        |  WHERE gr.doc_id >= 50 AND gr.doc_id IN (SELECT doc_id FROM dd)),
+        |clean AS (
+        |  SELECT * FROM dd
+        |  WHERE doc_id >= 50 AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |b AS (
+        |  SELECT doc_id, lang, text,
+        |    ((((CASE WHEN ord(hx[1:1]) >= 97 THEN ord(hx[1:1]) - 87 ELSE ord(hx[1:1]) - 48 END) * 16
+        |      + (CASE WHEN ord(hx[2:2]) >= 97 THEN ord(hx[2:2]) - 87 ELSE ord(hx[2:2]) - 48 END)) * 16
+        |      + (CASE WHEN ord(hx[3:3]) >= 97 THEN ord(hx[3:3]) - 87 ELSE ord(hx[3:3]) - 48 END)) * 16
+        |      + (CASE WHEN ord(hx[4:4]) >= 97 THEN ord(hx[4:4]) - 87 ELSE ord(hx[4:4]) - 48 END)) % 10 AS bucket
+        |  FROM (SELECT doc_id, lang, text, md5(CAST(doc_id AS VARCHAR)) AS hx FROM clean))
+        |SELECT lang,
+        |       CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS sum_tokens
         |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
     // md5 digits 5-8 (disjoint from sample_split's 1-4); rates must match
     // the Spark when-chain exactly.
