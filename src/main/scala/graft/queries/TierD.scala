@@ -155,11 +155,16 @@ object TierD {
     * is a store instance with per-batch commit overhead, so 32 partitions for
     * a 100k-row demo stream triples its cost. Temporarily cap the shuffle
     * partitions for the streaming run (state partitioning is fixed at the
-    * first checkpoint anyway), restore afterwards. */
+    * first checkpoint anyway), restore afterwards. Cap measured at sf0.1
+    * (quiet, 3 runs each): stateful dedup 2.2s/1.75s/1.55s and the
+    * stream-stream join 3.6s/2.7s/2.26s at 8/4/2 partitions — commit
+    * overhead, not parallelism, dominates a local demo stream. 4 keeps most
+    * of the win without collapsing the demo to near-serial; a cluster run
+    * would size this by key cardinality instead of using this helper. */
   private def withFewStatePartitions[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, math.min(prev.toInt, 8).toString)
+    s.conf.set(key, math.min(prev.toInt, 4).toString)
     try body finally s.conf.set(key, prev)
   }
 
