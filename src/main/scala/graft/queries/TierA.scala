@@ -175,6 +175,36 @@ object TierA {
       merged.write.mode("overwrite").parquet(s"$out/v2")
       s.read.parquet(s"$out/v2").orderBy("c_custkey")
     }),
+    // A13b — SCD-2 upsert (history-preserving merge): instead of
+    // overwriting matched keys (SCD-1 above), the old row is CLOSED
+    // (valid_to = effective date, is_current = false) and the new row
+    // opened — the warehouse dimension-history pattern every Glue→Redshift
+    // load eventually needs. Same update batch as SCD-1 (custkey % 10,
+    // +100 balance) with a fixed effective date so the result is a pure
+    // function of the base table. One union of three disjoint linear
+    // branches (untouched / closed / opened) — no shuffle beyond the
+    // update-key joins, which broadcast (updates ≪ base at scale).
+    "etl_upsert_scd2" -> ((s, d) => {
+      val openFrom = to_date(lit("2024-01-01"))
+      val effective = to_date(lit("2024-06-01"))
+      val farFuture = to_date(lit("9999-12-31"))
+      val base = customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+        .withColumn("valid_from", openFrom)
+      val updates = base.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+        .withColumn("valid_from", effective)
+      val updKeys = updates.select("c_custkey")
+      val untouched = base.join(broadcast(updKeys), Seq("c_custkey"), "left_anti")
+        .withColumn("valid_to", farFuture).withColumn("is_current", lit(true))
+      val closed = base.join(broadcast(updKeys), Seq("c_custkey"), "left_semi")
+        .withColumn("valid_to", effective).withColumn("is_current", lit(false))
+      val opened = updates
+        .withColumn("valid_to", farFuture).withColumn("is_current", lit(true))
+      untouched.unionByName(closed).unionByName(opened)
+        .select("c_custkey", "c_name", "c_acctbal", "valid_from", "valid_to",
+          "is_current")
+        .orderBy("c_custkey", "valid_from")
+    }),
     // A14 — data-quality report (the Glue Data Quality analogue): one pass
     // computing the load-gate metrics a warehouse ingest checks — row count,
     // PK uniqueness/nullability, value-range sanity, freshness bounds.
@@ -268,6 +298,20 @@ object TierA {
         |       CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100
         |            ELSE c_acctbal END AS c_acctbal
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // history rows: untouched keys keep one open row; updated keys get the
+    // original closed at the effective date plus the new open row
+    "etl_upsert_scd2" ->
+      """SELECT c_custkey, c_name, c_acctbal,
+        |       DATE '2024-01-01' AS valid_from,
+        |       CASE WHEN c_custkey % 10 = 0 THEN DATE '2024-06-01'
+        |            ELSE DATE '9999-12-31' END AS valid_to,
+        |       c_custkey % 10 <> 0 AS is_current
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal + 100,
+        |       DATE '2024-06-01', DATE '9999-12-31', true
+        |FROM customer WHERE c_custkey % 10 = 0
+        |ORDER BY c_custkey, valid_from""".stripMargin,
     "etl_data_quality" ->
       """SELECT COUNT(*) AS n_rows,
         |       COUNT(DISTINCT o_orderkey) AS n_distinct_pk,
