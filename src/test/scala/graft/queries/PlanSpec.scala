@@ -88,6 +88,16 @@ class PlanSpec extends SparkSpec {
       s"pack_sequences funnels through a single partition:\n$plan")
   }
 
+  test("token near-dup joins on the salted block grid, never the block alone") {
+    // same discipline as the embedding grid: the pair join must carry the
+    // salt key g so a hot (first-token, length) block spreads over grid
+    // tasks instead of one
+    val plan = executedPlan("dedup_near_jaccard")
+    assert("""Join \[blk_tok#\d+, blk_len#\d+L?, g#\d+\]""".r
+      .findFirstIn(plan).isDefined,
+      s"pair join is not keyed on (blk_tok, blk_len, g):\n$plan")
+  }
+
   test("C15: aggregation is partial+final (map-side combine)") {
     val plan = executedPlan("agg_groupby_having")
     assert(plan.contains("partial_"), s"no partial aggregation in:\n$plan")
