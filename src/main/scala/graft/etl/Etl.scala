@@ -77,6 +77,8 @@ class Crawler(spark: SparkSession) {
     val inferred = format match {
       case "csv"     => CsvSource.read(spark, path).schema
       case "parquet" => spark.read.parquet(path).schema
+      case "json"    => spark.read.json(path).schema
+      case "orc"     => spark.read.orc(path).schema
       case other     => sys.error(s"unsupported crawl format: $other")
     }
     val merged = registry.get(table) match {
@@ -87,6 +89,8 @@ class Crawler(spark: SparkSession) {
     val df = format match {
       case "csv"     => CsvSource.read(spark, path, Some(merged))
       case "parquet" => spark.read.schema(merged).parquet(path)
+      case "json"    => spark.read.schema(merged).json(path)
+      case "orc"     => spark.read.schema(merged).orc(path)
     }
     df.createOrReplaceTempView(table)
     df

@@ -58,6 +58,24 @@ class EtlSpec extends SparkSpec {
     assert(df2.count() == 5)
   }
 
+  test("A3c: crawler infers and registers every lake format the engine reads") {
+    import graft.core.Tables
+    val crawler = new Crawler(spark)
+    val nation = Tables.nation(spark, sf)
+    val jd = tmpDir("crawl_json"); val od = tmpDir("crawl_orc")
+    nation.write.mode("overwrite").json(jd)
+    nation.write.mode("overwrite").orc(od)
+    assert(crawler.crawl(jd, "crawl_spec_json", "json").count() == 25)
+    assert(crawler.crawl(od, "crawl_spec_orc", "orc").count() == 25)
+    // ORC preserves the written schema exactly; JSON infers (alphabetical
+    // field order, widened ints) but must keep all columns
+    assert(crawler.schemaOf("crawl_spec_orc").get.fieldNames.toSeq ==
+      nation.schema.fieldNames.toSeq)
+    assert(crawler.schemaOf("crawl_spec_json").get.fieldNames.sorted.toSeq ==
+      nation.schema.fieldNames.sorted.toSeq)
+    assert(spark.table("crawl_spec_json").count() == 25)
+  }
+
   test("A3b: one crawl run over a parent path registers one table per child") {
     import graft.core.Tables
     val parent = tmpDir("crawl_multi")
