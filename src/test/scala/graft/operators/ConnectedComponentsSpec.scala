@@ -42,4 +42,29 @@ class ConnectedComponentsSpec extends SparkSpec {
     val path = (0L until 63L).map(i => (i, i + 1))
     assertThrows[IllegalArgumentException](cc(path, 64, maxIter = 2))
   }
+
+  test("random graphs match a plain union-find (frontier+jump cross-check)") {
+    // the distributed loop now skips stable vertices and jumps pointers —
+    // both are easy places for a subtle soundness bug, so check the exact
+    // fixpoint against the textbook sequential algorithm on varied shapes
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 4) {
+      val n = 20 + trial * 10
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      // always attach the larger root under the smaller, so every final
+      // root IS its component's minimum — the operator's output contract
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(v => v.toLong -> find(v).toLong).toMap
+      val got = cc(edges, n)
+      assert(got == expected, s"trial $trial (n=$n): diff=${
+        got.toSet.diff(expected.toSet).take(5)}")
+    }
+  }
 }
