@@ -126,6 +126,29 @@ object TierD {
           decSum(col("p_value")).as("attributed_value"))
         .orderBy("user_id")
     }),
+    // D9 — stream-static enrichment join: the streaming fact side joined to
+    // a static dimension (the most common production streaming shape — the
+    // Glue-pipeline analogue is event ingest enriched against the crawled
+    // customer table before the warehouse load). The static side is
+    // BROADCAST — no stream-side shuffle, no state: the dimension is
+    // re-resolved per micro-batch, which is exactly how a slowly-changing
+    // dim should behave. Stateless, so AvailableNow output == batch join.
+    "stream_static_join" -> ((s, d) => withFewStatePartitions(s) {
+      val name = s"ssd_out_${java.lang.Long.toHexString(System.nanoTime)}"
+      val dim = customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      val enriched = eventsStream(s, d)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      val q = enriched.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", scratchDir("graft_ssd_ckpt"))
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
+        .orderBy("c_mktsegment", "event_type")
+    }),
     // D6 — bookmark semantics end-to-end (reference README.md:145): a file
     // source with checkpoint processes each file exactly once; the second
     // AvailableNow run emits only newly-landed files. EtlSpec asserts the
@@ -213,6 +236,13 @@ object TierD {
       """SELECT user_id, COUNT(*) AS events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // D9: stateless enrichment — AvailableNow output equals the batch join.
+    "stream_static_join" ->
+      """SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c_mktsegment, event_type
+        |ORDER BY c_mktsegment, event_type""".stripMargin,
     // D8: inner stream-stream interval join over a finite input == the batch
     // interval join; decimal-exact value sum keeps the double hashable.
     "stream_stream_join" ->
