@@ -38,14 +38,29 @@ object TextScrub {
   private def escapeTerm(t: String): String =
     t.flatMap(c => if (Meta(c)) s"\\$c" else c.toString)
 
-  /** One alternation pattern for the whole deny-list, word-bounded. Terms
-    * are regex-escaped (they are literal words, not patterns). An empty
-    * list yields `[^\s\S]` — a valid never-matching pattern in both Java
-    * and RE2 — because the naive `\b()\b` matches at EVERY word boundary
-    * and would stamp [TERM] throughout the document. */
+  private def isWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_'
+
+  /** A term anchored with `\b` only on its word-char ends. `\b` asserts a
+    * word/non-word transition, so `\bc\+\+\b` can NEVER match "use c++ "
+    * (no transition between '+' and space) — a term starting or ending in
+    * punctuation must drop that side's anchor or it is silently dead. */
+  private def anchoredTerm(t: String): String = {
+    val pre = if (isWordChar(t.head)) "\\b" else ""
+    val post = if (isWordChar(t.last)) "\\b" else ""
+    pre + escapeTerm(t) + post
+  }
+
+  /** One alternation pattern for the whole deny-list, word-bounded
+    * per-term (anchors only on word-char ends — see [[anchoredTerm]]).
+    * Terms are regex-escaped (they are literal words, not patterns). An
+    * empty list yields `[^\s\S]` — a valid never-matching pattern in both
+    * Java and RE2 — because the naive `\b()\b` matches at EVERY word
+    * boundary and would stamp [TERM] throughout the document. */
   def denyPattern(terms: Seq[String]): String =
     if (terms.isEmpty) "[^\\s\\S]"
-    else terms.map(escapeTerm).mkString("\\b(", "|", ")\\b")
+    else terms.map(anchoredTerm).mkString("(", "|", ")")
 
   /** Scrubbed text: email → [EMAIL], digit runs → [NUM], deny terms →
     * [TERM], applied in that fixed order. */

@@ -63,13 +63,22 @@ object ConnectedComponents {
         .select(col("cc_id"), col("cc_comp").as("cc_old"),
           least(col("cc_comp"), coalesce(col("cc_nbr"), col("cc_comp")))
             .as("cc_p"))
-      // pointer jump: comp ← comp(comp). Labels are always existing vertex
-      // ids (min over self ∪ neighbours), so the inner join never drops a
-      // row; least() is belt-and-braces monotonicity (comp(x) ≤ x).
-      val m = prop.select(col("cc_id").as("m_id"), col("cc_p").as("m_comp"))
-      val step = prop.join(m, col("cc_p") === col("m_id"))
+      // pointer jump: comp ← comp(comp), restricted to the frontier. The
+      // jump can only lower v's label when label(v)'s OWN label moved this
+      // round, so the build side is just this round's changed vertices —
+      // per-round jump work tracks the frontier, not O(V) (an all-vertices
+      // build side kept late rounds at full-graph cost after the frontier
+      // had collapsed to a handful). A rewrite the restricted jump misses
+      // (v's label changed but its target was already stable) still
+      // arrives via edge propagation in a later round — the jump is an
+      // accelerator, the edge-min step alone is the correct fixpoint.
+      // least() is belt-and-braces monotonicity (comp(x) ≤ x).
+      val m = prop.filter(col("cc_p") =!= col("cc_old"))
+        .select(col("cc_id").as("m_id"), col("cc_p").as("m_comp"))
+      val step = prop.join(m, col("cc_p") === col("m_id"), "left")
         .select(col("cc_id"), col("cc_old"),
-          least(col("cc_p"), col("m_comp")).as("cc_comp"))
+          least(col("cc_p"), coalesce(col("m_comp"), col("cc_p")))
+            .as("cc_comp"))
         .localCheckpoint()
       delta = step.filter(col("cc_comp") =!= col("cc_old"))
         .select("cc_id", "cc_comp")

@@ -99,6 +99,14 @@ object TierD {
     // of the operator. For a finite AvailableNow input an inner stream-stream
     // join emits exactly the batch interval join, so the oracle replays it
     // as plain SQL — the state machinery is differentially checked.
+    // Batch-equality caveat: if the source ever split into multiple
+    // micro-batches with cross-batch event-time disorder beyond the
+    // watermark, clicks could be evicted before a late matching purchase
+    // arrived and the differential check would diverge. Holds here because
+    // (a) AvailableNow over this parquet dir reads all files in ONE batch
+    // (no maxFilesPerTrigger is set), so no state is ever evicted
+    // mid-input; (b) the 30-min watermark is double the 15-min join window
+    // as headroom, not a substitute for (a).
     "stream_stream_join" -> ((s, d) => withFewStatePartitions(s) {
       val name = s"ssj_out_${java.lang.Long.toHexString(System.nanoTime)}"
       val ev = eventsStream(s, d)

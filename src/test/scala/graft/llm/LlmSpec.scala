@@ -288,6 +288,14 @@ class LlmSpec extends SparkSpec {
       "sanity: the unescaped term really did match arbitrary 'c' runs")
     assert(!Pattern.compile(TextScrub.denyPattern(Seq("c++")))
       .matcher("ccc").find())
+    // …and it must actually FIRE on real text: a trailing '\b' after '+'
+    // (non-word char) can never match before a space, so the anchor is
+    // dropped on non-word ends — 'c++' redacts, 'c' alone stays intact
+    val cpp = docs.select(TextScrub.scrub(
+        lit("use c++ not c here, c++!"), Seq("c++")).as("s"))
+      .head().getString(0)
+    assert(cpp == "use [TERM] not c here, [TERM]!",
+      s"'c++' deny term must redact in normal text, got: $cpp")
   }
 
   test("token_stats kernel equals the composable HOF form") {
