@@ -256,6 +256,79 @@ object Similarity {
         .select("rn", "vec_id")
         .orderBy("rn")
     }),
+    // Int8 symmetric quantization of the embedding column (training-data
+    // pipeline op): per-vector scale = 127/max|x|, q_i = floor(x·scale+0.5)
+    // — the storage/serving compression step (4× smaller than float32).
+    // Zero shuffle: pure per-row array math; scale and q are exact IEEE
+    // (float→double exact, one multiply, half-up via floor(x+0.5) — the
+    // SAME formula in both engines, because round() half-even vs half-up
+    // conventions differ but floor does not). |q| ≤ 127 by construction:
+    // the max-magnitude component maps to exactly ±127, so no clamp.
+    "embed_quantize" -> ((s, d) => {
+      embeddings(s, d)
+        .withColumn("scale", lit(127.0) /
+          array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+        .withColumn("q", transform(col("embedding"),
+          x => floor(x.cast("double") * col("scale") + 0.5).cast("int")))
+        .select(col("vec_id"), col("scale"), col("q"),
+          aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("q_sum"))
+        .orderBy("vec_id")
+    }),
+    // Spherical k-means (Lloyd) centroid TRAINING — the step knn_ivf_coarse
+    // points at ("a production build would k-means the centroids"): K=8
+    // seeds, two unrolled Lloyd iterations (assign to max-cosine centroid →
+    // recenter to the normalized per-cell mean), then the trained cells'
+    // sizes + leading centroid coordinates as the report. Everything stays
+    // a single lazy plan — no per-iteration collect/count on the driver.
+    // Cross-engine float discipline: unit vectors and centroids are
+    // quantized to 1e-6 (so per-dim mean sums are EXACT decimals in both
+    // engines) and assignment similarity to 1e-4 with the c_id tiebreak
+    // (the knn discipline). 100 TB shape: assignment is a broadcast
+    // cross-join with map-side max-struct combine (N skinny rows cross the
+    // shuffle, not N×K); recentering aggregates 64·K cells. The group key
+    // carries the vector payload here for a one-shuffle plan; production
+    // would keep (id → cell) and co-partitioned vectors.
+    "kmeans_lloyd" -> ((s, d) => {
+      val K = 8
+      // uv6: unit-normalized, 1e-6-quantized double vector
+      val embD = transform(col("embedding"), x => x.cast("double"))
+      val unit = embeddings(s, d).select(col("vec_id"),
+        transform(embD, x => round(x / sqrt(dotD(embD, embD)), 6)).as("uv"))
+      // cell of the max-(csim, -c_id) centroid, via ONE hash agg whose
+      // partial combine collapses the K candidate rows map-side
+      def assign(cents: DataFrame): DataFrame =
+        unit.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("uv"),
+            struct(round(dotD(col("uv"), col("c_v")), 4).as("csim"),
+              (-col("c_id")).as("cneg")).as("cand"))
+          .groupBy(col("vec_id"), col("uv"))
+          .agg(max(col("cand")).as("best"))
+          .select(col("vec_id"), col("uv"),
+            (-col("best.cneg")).as("cell"))
+      // normalized per-cell mean: decimal-exact per-dim sums (order-
+      // independent), one IEEE division, re-normalized and re-quantized
+      def recenter(assigned: DataFrame): DataFrame = {
+        val means = assigned
+          .select(col("cell"), posexplode(col("uv")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos")
+          .agg((sum(col("x").cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("m"))
+        means.groupBy("cell")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            t => t.getField("m")).as("cm"))
+          .select(col("cell").as("c_id"),
+            transform(col("cm"), x => round(x / norm(col("cm")), 6)).as("c_v"))
+      }
+      var cents = unit.filter(col("vec_id") < K)
+        .select(col("vec_id").as("c_id"), col("uv").as("c_v"))
+      for (_ <- 1 to 2) cents = recenter(assign(cents))
+      assign(cents)
+        .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+        .join(cents.select(col("c_id").as("cell"),
+          round(element_at(col("c_v"), 1), 4).as("c0"),
+          round(element_at(col("c_v"), 2), 4).as("c1")), "cell")
+        .orderBy("cell")
+    }),
     // ANN scale path — banded sign-projection LSH: candidates collide in
     // any of the 32 bands, then exact cosine re-ranks candidates only
     // (rows-only check; LlmSpec asserts recall against brute force).
@@ -312,6 +385,76 @@ object Similarity {
         |  ON a.label = b.label AND b.vec_id < a.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.3498
         |GROUP BY a.vec_id ORDER BY a.vec_id""".stripMargin,
+    // exact IEEE agreement: float→double casts, one multiply, floor-half-up
+    // — no round() anywhere, so engine rounding conventions can't diverge
+    "embed_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |         127.0 / list_max(list_transform(embedding,
+        |                            x -> abs(CAST(x AS DOUBLE)))) AS scale
+        |  FROM embeddings),
+        |qq AS (
+        |  SELECT vec_id, scale,
+        |         list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT)) AS q
+        |  FROM s)
+        |SELECT vec_id, scale, q, CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum
+        |FROM qq ORDER BY vec_id""".stripMargin,
+    // two unrolled Lloyd iterations; the assignment replays as a per-vector
+    // row_number argmax (semantics, not the Spark plan), the means as exact
+    // DECIMAL(18,6) sums of the 1e-6-quantized unit vectors
+    "kmeans_lloyd" ->
+      """WITH ud AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |u AS (
+        |  SELECT vec_id,
+        |         list_transform(e, x -> round(x / sqrt(list_inner_product(e, e)), 6)) AS uv
+        |  FROM ud),
+        |c0 AS (SELECT vec_id AS c_id, uv AS c_v FROM u WHERE vec_id < 8),
+        |a1 AS (
+        |  SELECT vec_id, uv, cell FROM (
+        |    SELECT u.vec_id, u.uv, c.c_id AS cell,
+        |           row_number() OVER (PARTITION BY u.vec_id
+        |             ORDER BY round(list_inner_product(u.uv, c.c_v), 4) DESC, c.c_id) AS rn
+        |    FROM u CROSS JOIN c0 c) t
+        |  WHERE rn = 1),
+        |s1 AS (
+        |  SELECT cell, i, CAST(SUM(CAST(uv[i] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM a1 CROSS JOIN range(1, 65) AS r(i) GROUP BY cell, i),
+        |c1m AS (SELECT cell, list(m ORDER BY i) AS cm FROM s1 GROUP BY cell),
+        |c1 AS (
+        |  SELECT cell AS c_id,
+        |         list_transform(cm, x -> round(x / sqrt(list_inner_product(cm, cm)), 6)) AS c_v
+        |  FROM c1m),
+        |a2 AS (
+        |  SELECT vec_id, uv, cell FROM (
+        |    SELECT u.vec_id, u.uv, c.c_id AS cell,
+        |           row_number() OVER (PARTITION BY u.vec_id
+        |             ORDER BY round(list_inner_product(u.uv, c.c_v), 4) DESC, c.c_id) AS rn
+        |    FROM u CROSS JOIN c1 c) t
+        |  WHERE rn = 1),
+        |s2 AS (
+        |  SELECT cell, i, CAST(SUM(CAST(uv[i] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM a2 CROSS JOIN range(1, 65) AS r(i) GROUP BY cell, i),
+        |c2m AS (SELECT cell, list(m ORDER BY i) AS cm FROM s2 GROUP BY cell),
+        |c2 AS (
+        |  SELECT cell AS c_id,
+        |         list_transform(cm, x -> round(x / sqrt(list_inner_product(cm, cm)), 6)) AS c_v
+        |  FROM c2m),
+        |a3 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT u.vec_id, c.c_id AS cell,
+        |           row_number() OVER (PARTITION BY u.vec_id
+        |             ORDER BY round(list_inner_product(u.uv, c.c_v), 4) DESC, c.c_id) AS rn
+        |    FROM u CROSS JOIN c2 c) t
+        |  WHERE rn = 1)
+        |SELECT a.cell, COUNT(*) AS n_vectors, c.c0, c.c1
+        |FROM a3 a
+        |JOIN (SELECT c_id, round(c_v[1], 4) AS c0, round(c_v[2], 4) AS c1 FROM c2) c
+        |  ON a.cell = c.c_id
+        |GROUP BY a.cell, c.c0, c.c1
+        |ORDER BY a.cell""".stripMargin,
     "knn_ivf_coarse" ->
       """WITH cent AS (
         |  SELECT vec_id AS c_id, embedding AS c_v FROM embeddings WHERE vec_id < 8),

@@ -330,6 +330,66 @@ object TextStats {
           sum(size(tokens(col("text"))).cast("long")).as("sum_tokens"))
         .orderBy("lang", "split")
     }),
+    // Vocabulary extraction (training-data pipeline op): the corpus's top-50
+    // tokens by occurrence count with document frequency — the first step of
+    // any tokenizer/vocab build. 100 TB shape: one explode → one hash agg
+    // with map-side combine (vocab-sized, not corpus-sized, crosses the
+    // shuffle), then TakeOrdered per-partition heaps for the top-k — never a
+    // global sort of the vocabulary. Ranks are (count desc, token asc) so
+    // ties are deterministic.
+    "vocab_topk" -> ((s, d) => {
+      val tok = documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      val counts = tok.groupBy("token")
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"))
+      val w = Window.orderBy(desc("n_occurrences"), asc("token"))
+      counts.orderBy(desc("n_occurrences"), asc("token")).limit(50)
+        .withColumn("rank", row_number().over(w))
+        .select("rank", "token", "n_occurrences", "n_docs")
+        .orderBy("rank")
+    }),
+    // TF-IDF top terms per document (training-data pipeline op): the
+    // classic relevance weighting — tf(doc, term) × ln(N / df(term)) — kept
+    // oracle-hashable by quantizing the score to 1e-4 before ranking (ties
+    // fall to the token tiebreak, the same discipline as the knn queries).
+    // 100 TB shape: tf is one explode+agg; df derives from tf (one more
+    // vocab-sized agg); N arrives as a broadcast 1-row cross join, never a
+    // collected driver constant; the final per-doc top-3 windows on doc_id
+    // (high cardinality — no funnel).
+    "tfidf_topk" -> ((s, d) => {
+      val docs = documents(s, d)
+      val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_total"))
+      val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("token"),
+          round(col("tf") * log(col("n_total").cast("double") / col("df")), 4)
+            .as("tfidf"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("token"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select("doc_id", "rn", "token", "tfidf")
+        .orderBy("doc_id", "rn")
+    }),
+    // Importance-weighted sampling (training-data pipeline op): per-doc keep
+    // rate proportional to length (clamped 10-90%), applied as a pure
+    // function of doc_id — md5 digits 9-12, disjoint from sample_split's
+    // 1-4 and stratified_sample's 5-8, so all three decisions stay
+    // independent. Length buckets stand in for the model-scored quality
+    // weights a production pipeline would use; the mechanism (deterministic
+    // hash vs per-row rate, never rand()) is the point. Integer floor
+    // division only — a double→int cast would round in DuckDB but truncate
+    // in Spark.
+    "weighted_sample" -> ((s, d) => {
+      val rate = least(lit(90L), greatest(lit(10L), floor(col("n_chars") / 20)))
+      val kept = md5Fold(col("doc_id"), 9) % 100 < rate
+      documents(s, d).groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(kept.cast("long")).as("n_kept"),
+          sum(when(kept, col("n_chars")).otherwise(0).cast("long")).as("kept_chars"))
+        .orderBy("lang")
+    }),
     // Multimodal binary-column plumbing (builder mandate): payloads as
     // opaque binary + typed metadata; "decode" is a deterministic stub
     // (real image/audio libs absent by design) but schema, batching and
@@ -589,6 +649,52 @@ object TextStats {
         |SELECT c.doc_id, COUNT(DISTINCT c.g) AS n_shared
         |FROM corpus c JOIN bench b ON c.g = b.g
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "vocab_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
+        |c AS (
+        |  SELECT token, COUNT(*) AS n_occurrences,
+        |         COUNT(DISTINCT doc_id) AS n_docs
+        |  FROM tok GROUP BY token)
+        |SELECT CAST(rank AS INT) AS rank, token, n_occurrences, n_docs FROM (
+        |  SELECT token, n_occurrences, n_docs,
+        |         row_number() OVER (ORDER BY n_occurrences DESC, token) AS rank
+        |  FROM c) t
+        |WHERE rank <= 50 ORDER BY rank""".stripMargin,
+    "tfidf_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token,
+        |         round(tf.tf * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+        |                          / df.df), 4) AS tfidf
+        |  FROM tf JOIN df USING (token))
+        |SELECT doc_id, CAST(rn AS INT) AS rn, token, tfidf FROM (
+        |  SELECT doc_id, token, tfidf,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY tfidf DESC, token) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    // md5 digits 9-12 (disjoint from 1-4 split and 5-8 stratified); floor
+    // division for the rate (CAST would round in DuckDB, truncate in Spark)
+    "weighted_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+        |b AS (
+        |  SELECT lang, n_chars,
+        |    ((((CASE WHEN ord(hx[9:9]) >= 97 THEN ord(hx[9:9]) - 87 ELSE ord(hx[9:9]) - 48 END) * 16
+        |      + (CASE WHEN ord(hx[10:10]) >= 97 THEN ord(hx[10:10]) - 87 ELSE ord(hx[10:10]) - 48 END)) * 16
+        |      + (CASE WHEN ord(hx[11:11]) >= 97 THEN ord(hx[11:11]) - 87 ELSE ord(hx[11:11]) - 48 END)) * 16
+        |      + (CASE WHEN ord(hx[12:12]) >= 97 THEN ord(hx[12:12]) - 87 ELSE ord(hx[12:12]) - 48 END)) % 100 AS pct,
+        |    least(90, greatest(10, CAST(floor(n_chars / 20.0) AS BIGINT))) AS rate
+        |  FROM h)
+        |SELECT lang, COUNT(*) AS n_total,
+        |       CAST(SUM(CASE WHEN pct < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(SUM(CASE WHEN pct < rate THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM b GROUP BY lang ORDER BY lang""".stripMargin,
     // h = fold (h*31 + byte) over bytes last-to-first, mod 2^64 via natural
     // long wraparound — replicated with HUGEINT modular arithmetic and
     // mapped back to the signed BIGINT range.

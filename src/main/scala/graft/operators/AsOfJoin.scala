@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — for every left row, the single right row with the
+  * largest right time ≤ the left time on the same key (the "state as of
+  * this event" lookup: latest price tick, latest account snapshot, latest
+  * purchase before a click). Spark has no ASOF JOIN operator; the naive
+  * encodings are a range join that explodes to every ≤ pair before picking
+  * the max, or a correlated max-subquery that rewrites to the same thing.
+  *
+  * This is the union-and-carry encoding instead: tag both inputs, union
+  * them, sort each key's rows by (time, side) in ONE shuffle, and let a
+  * running `last(payload, ignoreNulls)` window carry the most recent right
+  * payload onto every left row. Cost is a single hash Exchange on the key +
+  * one sort — identical to the shuffle a plain equi-join would pay, with no
+  * pair blow-up in between (PlanSpec asserts the plan contains no Join node
+  * at all).
+  *
+  * 100 TB design: per-key work is linear in that key's rows, so the
+  * operator survives any key cardinality; a single HOT key serializes into
+  * one task's sort — the standard mitigation is range-splitting the key's
+  * timeline into salted chunks and carrying each chunk's last payload into
+  * the next as a boundary row (the same carry trick, applied once more at
+  * chunk granularity). Right rows must be unique per (key, time) — callers
+  * pre-aggregate duplicates (AsOfJoinSpec asserts the contract) — otherwise
+  * "the" latest row is ill-defined no matter the engine.
+  */
+object AsOfJoin {
+
+  /** Left rows with a `payload` struct column holding the latest right-side
+    * columns (all of `right` minus the key) at or before the left time —
+    * null when no right row precedes (left-outer semantics).
+    *
+    * @param left      probe side; all its columns survive
+    * @param right     lookup side, unique per (key, rightTime)
+    * @param key       equi-join key column names (present on both sides)
+    * @param leftTime  left ordering column (orderable: timestamp/date/num)
+    * @param rightTime right ordering column (same type as leftTime)
+    * @param payload   name of the output struct column
+    */
+  def backward(left: DataFrame, right: DataFrame, key: Seq[String],
+      leftTime: String, rightTime: String,
+      payload: String = "asof"): DataFrame = {
+    val payloadCols = right.columns.filterNot(c => key.contains(c))
+    val r = right.select(
+      key.map(col) ++ Seq(
+        col(rightTime).as("__asof_t"),
+        lit(0).as("__asof_side"),
+        struct(payloadCols.map(col): _*).as(payload)): _*)
+    val l = left
+      .withColumn("__asof_t", col(leftTime))
+      .withColumn("__asof_side", lit(1))
+    // right rows sort BEFORE left rows at the same time (side 0 < 1), so
+    // "at or before" is inclusive; the frame ends at the current row, so a
+    // left row never sees a later right row
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col("__asof_t"), col("__asof_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn(payload, last(col(payload), ignoreNulls = true).over(w))
+      .filter(col("__asof_side") === 1)
+      .drop("__asof_t", "__asof_side")
+  }
+}

@@ -168,6 +168,29 @@ object TierCJoins {
           max(p("p_retailprice")).as("max_retail"))
         .orderBy("p_brand")
     }),
+    // C12b — backward AS-OF join (graft.operators.AsOfJoin): every click
+    // event picks up the user's latest purchase at or before it. Spark has
+    // no ASOF operator; the union-and-carry encoding pays ONE hash shuffle
+    // on the key and no pair explosion (PlanSpec asserts the plan contains
+    // no Join node). The DuckDB oracle is the genuinely independent check:
+    // its native ASOF LEFT JOIN, not a replay of the union trick. The
+    // purchase side pre-aggregates per (user, ts) — AsOfJoin's uniqueness
+    // contract — and 30-min-windowed attribution stays with D8; this is the
+    // unbounded "state as of the event" lookup that join can't express.
+    "join_asof" -> ((s, d) => {
+      val e = events(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("p_ts"))
+        .agg(count(lit(1)).as("n_p"), decSum(col("value")).as("p_value"))
+      graft.operators.AsOfJoin.backward(clicks, purchases,
+          key = Seq("user_id"), leftTime = "ts", rightTime = "p_ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof.p_ts").as("p_ts"), col("asof.n_p").as("n_p"),
+          col("asof.p_value").as("p_value"))
+        .orderBy("event_id")
+    }),
     // C13 — 5-way star join region→nation→customer→orders→lineitem with
     // exact-decimal revenue. Dims broadcast; fact joins shuffle on keys.
     "join_multiway" -> ((s, d) => {
@@ -237,6 +260,18 @@ object TierCJoins {
         |       MAX(p_retailprice) AS max_retail
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    // the oracle's ASOF LEFT JOIN is DuckDB's own operator — an independent
+    // implementation of the semantics, not a replay of the union trick
+    "join_asof" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  event_type, value FROM events),
+        |c AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS p_ts, COUNT(*) AS n_p,
+        |             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS p_value
+        |      FROM e WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id, c.ts, p.p_ts, p.n_p, p.p_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.p_ts
+        |ORDER BY c.event_id""".stripMargin,
     "join_multiway" ->
       """SELECT r_name, n_name,
         |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
@@ -359,6 +394,31 @@ object TierCAgg {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
     }),
+    // C20b — PIVOT: long→wide reshape, revenue per order-year × status.
+    // The pivot values are declared explicitly — with them, pivot is ONE
+    // pass (a groupBy(year) whose aggregates are status-conditional, no
+    // extra job); omitting them triggers a distinct-values collect first,
+    // the thing to never do at 100 TB.
+    "pivot_wide" -> ((s, d) => {
+      orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .groupBy("o_year")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(decSum(col("o_totalprice")))
+        .orderBy("o_year")
+    }),
+    // C20c — UNPIVOT (melt): wide→long reshape of a per-nation report into
+    // (key, metric, value) rows — the inverse of pivot_wide. Unpivot is a
+    // zero-shuffle expression-level expansion (each input row emits one row
+    // per value column); both measures cast to double for one value column.
+    "unpivot_long" -> ((s, d) => {
+      customer(s, d).groupBy("c_nationkey")
+        .agg(count(lit(1)).cast("double").as("n_customers"),
+          decSum(col("c_acctbal")).as("sum_acctbal"))
+        .unpivot(Array(col("c_nationkey")),
+          Array(col("n_customers"), col("sum_acctbal")), "metric", "value")
+        .orderBy("c_nationkey", "metric")
+    }),
     // C21 — deterministic array agg, surfaced as a joined string so the
     // cross-engine hash is list-representation-independent (SURVEY §7.4.6).
     "agg_collect_sorted" -> ((s, d) => {
@@ -432,7 +492,25 @@ object TierCAgg {
     "agg_collect_sorted" ->
       """SELECT l_orderkey,
         |       array_to_string(list(l_linenumber ORDER BY l_linenumber), ',') AS linenumbers
-        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "pivot_wide" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'O'
+        |                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "O",
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'P'
+        |                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "P"
+        |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
+    "unpivot_long" ->
+      """WITH w AS (
+        |  SELECT c_nationkey, CAST(COUNT(*) AS DOUBLE) AS n_customers,
+        |         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |  FROM customer GROUP BY c_nationkey)
+        |SELECT c_nationkey, 'n_customers' AS metric, n_customers AS value FROM w
+        |UNION ALL
+        |SELECT c_nationkey, 'sum_acctbal' AS metric, sum_acctbal AS value FROM w
+        |ORDER BY c_nationkey, metric""".stripMargin
   )
 }
 
@@ -536,6 +614,30 @@ object TierCWindow {
         }
         .toDF("o_orderstatus", "rn", "o_orderkey", "o_totalprice")
         .orderBy("o_orderstatus", "rn")
+    }),
+    // C23b — batch gap-sessionization: the lag→flag→cumsum→aggregate window
+    // pipeline (the batch twin of D3's session_window, which only session
+    // semantics streaming exposes). New session when >30 min elapses since
+    // the user's previous event. Flags depend only on ts VALUES, so
+    // equal-timestamp tie order can't change the result. 100 TB shape: one
+    // hash shuffle on user_id shared by both windows and the final
+    // aggregation — Catalyst reuses the single sort.
+    "sessionize_batch" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts")
+      val newS = when(lag(col("ts"), 1).over(byUser).isNull ||
+        col("ts") >= lag(col("ts"), 1).over(byUser) +
+          expr("INTERVAL 30 MINUTES"), 1).otherwise(0)
+      events(s, d)
+        .select(col("user_id"), col("ts"), col("value"))
+        .withColumn("sid", sum(newS).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          decSum(col("value")).as("sum_value"))
+        .drop("sid")
+        .orderBy("user_id", "session_start")
     })
   )
 
@@ -597,7 +699,26 @@ object TierCWindow {
          |         ROW_NUMBER() $overStatus AS rn
          |  FROM orders) t
          |WHERE rn <= 3
-         |ORDER BY o_orderstatus, rn""".stripMargin
+         |ORDER BY o_orderstatus, rn""".stripMargin,
+    "sessionize_batch" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }
 

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the union-and-carry backward as-of join — the join_asof
+  * oracle (DuckDB's native ASOF LEFT JOIN) checks the real corpus; these pin
+  * the edge semantics: inclusive same-time ties, no-predecessor nulls,
+  * per-key isolation, and a random cross-check against the naive
+  * range-join-then-max encoding the operator exists to avoid. */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("latest right at-or-before each left time; nulls when none precedes") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"),
+      (2L, 10L, "d"), (3L, 10L, "e"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 7L, 100.0), (1L, 15L, 200.0), (2L, 10L, 300.0))
+      .toDF("k", "rt", "v")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "t", "rt")
+      .select(col("tag"), col("asof.rt").as("rt"), col("asof.v").as("v"))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(out("a") == (Some(7L), Some(100.0)), "10 sees rt=7, not 15")
+    assert(out("b") == (Some(15L), Some(200.0)), "20 sees the later rt=15")
+    assert(out("c") == (None, None), "5 precedes every right row")
+    assert(out("d") == (Some(10L), Some(300.0)),
+      "same-time right row is included (inclusive as-of)")
+    assert(out("e") == (None, None), "key 3 has no right rows at all")
+  }
+
+  test("left columns and row multiplicity survive untouched") {
+    val left = Seq((1L, 10L), (1L, 10L), (1L, 20L)).toDF("k", "t")
+    val right = Seq((1L, 5L, "x")).toDF("k", "rt", "p")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "t", "rt")
+    assert(out.columns.toSeq == Seq("k", "t", "asof"),
+      "left schema + one payload struct, no temp columns")
+    assert(out.count() == 3, "duplicate left rows each keep their match")
+  }
+
+  test("random data matches the naive range-join-then-latest encoding") {
+    val rnd = new scala.util.Random(11)
+    val left = Seq.fill(300)(
+      (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong)).toDF("k", "t")
+    // distinct (k, rt): the operator's uniqueness contract
+    val right = Seq.fill(200)(
+      (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong))
+      .distinct.map { case (k, t) => (k, t, k * 1000 + t) }
+      .toDF("k", "rt", "v")
+    val got = AsOfJoin.backward(left, right, Seq("k"), "t", "rt")
+      .select(col("k"), col("t"), col("asof.rt").as("rt"), col("asof.v").as("v"))
+    left.createOrReplaceTempView("aol")
+    right.createOrReplaceTempView("aor")
+    val naive = spark.sql(
+      """SELECT l.k, l.t, r.rt, r.v
+        |FROM aol l
+        |LEFT JOIN (
+        |  SELECT l.k, l.t, MAX(r.rt) AS mrt
+        |  FROM aol l JOIN aor r ON l.k = r.k AND r.rt <= l.t
+        |  GROUP BY l.k, l.t) m ON l.k = m.k AND l.t = m.t
+        |LEFT JOIN aor r ON r.k = m.k AND r.rt = m.mrt""".stripMargin)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(key(got) == key(naive), "as-of disagrees with the naive encoding")
+  }
+}

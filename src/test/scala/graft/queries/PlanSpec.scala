@@ -98,6 +98,29 @@ class PlanSpec extends SparkSpec {
       s"pair join is not keyed on (blk_tok, blk_len, g):\n$plan")
   }
 
+  test("C12b: as-of join plans NO join operator — one union-and-carry window") {
+    // the whole point of the union encoding: no pair space, no Join node;
+    // the carry window hash-partitions on the key
+    val plan = executedPlan("join_asof")
+    assert(!plan.contains("Join"), s"as-of planned a join:\n$plan")
+    assert(plan.contains("hashpartitioning(user_id"),
+      s"carry window is not key-partitioned:\n$plan")
+  }
+
+  test("vocab top-k takes per-partition heaps, not a global sort") {
+    val plan = executedPlan("vocab_topk")
+    assert(plan.contains("TakeOrderedAndProject"), s"vocab plan:\n$plan")
+  }
+
+  test("kmeans assignment combines map-side and plans no window funnel") {
+    // the argmax-centroid step must be a partial+final max-struct agg (N
+    // skinny rows cross the shuffle, not N×K) and never a per-vector
+    // row_number window
+    val plan = executedPlan("kmeans_lloyd")
+    assert(plan.contains("partial_max"), s"no partial max combine:\n$plan")
+    assert(!plan.contains("Window"), s"kmeans plans a window:\n$plan")
+  }
+
   test("C15: aggregation is partial+final (map-side combine)") {
     val plan = executedPlan("agg_groupby_having")
     assert(plan.contains("partial_"), s"no partial aggregation in:\n$plan")
@@ -146,7 +169,11 @@ class PlanSpec extends SparkSpec {
     // single-row query vector (BNLJ over 1 row — the cheap, intended shape);
     // knn_ivf_coarse broadcasts K=8 centroids for the linear N×K assignment
     // pass (intentional, the IVF coarse-quantization step).
-    val intended = Set("join_cross_theta", "knn_cosine_topk", "knn_ivf_coarse")
+    // tfidf_topk broadcasts a single-row corpus count; kmeans_lloyd
+    // broadcasts the K=8 centroids per Lloyd iteration (both the linear
+    // broadcast-pass shape, not a pair explosion)
+    val intended = Set("join_cross_theta", "knn_cosine_topk", "knn_ivf_coarse",
+      "tfidf_topk", "kmeans_lloyd")
     // ETL/streaming queries run real side effects — planning-only audit
     // covers the analytic surface.
     val sideEffecting = Set("scan_csv_serde", "infer_schema",
