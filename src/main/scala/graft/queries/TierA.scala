@@ -205,6 +205,38 @@ object TierA {
           "is_current")
         .orderBy("c_custkey", "valid_from")
     }),
+    // A13c — snapshot diff between two published versions: the audit step
+    // after any SCD publish ("what did this load change?") — added /
+    // deleted / updated / unchanged counts from ONE co-partitioned
+    // full-outer join on the PK, with row payloads compared as structs.
+    // v2 applies updates (custkey % 10: +100 balance), deletes (% 97) and
+    // inserts (% 103, re-keyed +1e6), so every status is exercised; the
+    // oracle recomputes the four counts from the same pure predicates.
+    "etl_snapshot_diff" -> ((s, d) => {
+      val out = tmp("graft_snapdiff")
+      val base = customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+      base.write.mode("overwrite").parquet(s"$out/v1")
+      val updates = base.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      val added = base.filter(col("c_custkey") % 103 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 1000000L)
+      val v2 = updates.unionByName(
+          base.join(updates.select("c_custkey"), Seq("c_custkey"), "left_anti"))
+        .filter(col("c_custkey") % 97 =!= 0)
+        .unionByName(added)
+      v2.write.mode("overwrite").parquet(s"$out/v2")
+      val a = s.read.parquet(s"$out/v1").select(col("c_custkey"),
+        struct(col("c_name"), col("c_acctbal")).as("v1"))
+      val b = s.read.parquet(s"$out/v2").select(col("c_custkey"),
+        struct(col("c_name"), col("c_acctbal")).as("v2"))
+      a.join(b, Seq("c_custkey"), "full_outer")
+        .select(when(col("v1").isNull, "added")
+          .when(col("v2").isNull, "deleted")
+          .when(col("v1") === col("v2"), "unchanged")
+          .otherwise("updated").as("status"))
+        .groupBy("status").agg(count(lit(1)).as("n"))
+        .orderBy("status")
+    }),
     // A14 — data-quality report (the Glue Data Quality analogue): one pass
     // computing the load-gate metrics a warehouse ingest checks — row count,
     // PK uniqueness/nullability, value-range sanity, freshness bounds.
@@ -293,6 +325,21 @@ object TierA {
       """SELECT * FROM nation ORDER BY n_nationkey""",
     "etl_compact_files" ->
       """SELECT * FROM nation ORDER BY n_nationkey""",
+    // pure functions of c_custkey: the same predicates the publish applied
+    "etl_snapshot_diff" ->
+      """SELECT * FROM (
+        |  SELECT 'added' AS status, COUNT(*) AS n FROM customer
+        |  WHERE c_custkey % 103 = 0
+        |  UNION ALL
+        |  SELECT 'deleted' AS status, COUNT(*) AS n FROM customer
+        |  WHERE c_custkey % 97 = 0
+        |  UNION ALL
+        |  SELECT 'unchanged' AS status, COUNT(*) AS n FROM customer
+        |  WHERE c_custkey % 10 <> 0 AND c_custkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT 'updated' AS status, COUNT(*) AS n FROM customer
+        |  WHERE c_custkey % 10 = 0 AND c_custkey % 97 <> 0) t
+        |ORDER BY status""".stripMargin,
     "etl_upsert_scd1" ->
       """SELECT c_custkey, c_name,
         |       CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100

@@ -191,6 +191,28 @@ object TierCJoins {
           col("asof.p_value").as("p_value"))
         .orderBy("event_id")
     }),
+    // C12c — PURE interval join (no natural equi key) via time-binning:
+    // sampled order windows [o_orderdate, +3d] × every lineitem ship date.
+    // Written naively this is a theta join — a cartesian pair space at
+    // scale. Binning manufactures the equi key: each interval explodes to
+    // its 4 day-bins, points join on their exact day — a plain hash join
+    // (PlanSpec asserts no nested-loop join survives), with pair work
+    // linear in true matches. The residual containment predicate is
+    // subsumed by day-granular bins here; sub-day bounds would keep it as
+    // a post-join filter. The DuckDB oracle runs the raw theta join — an
+    // independent plan for the same semantics.
+    "join_interval_binned" -> ((s, d) => {
+      val iv = orders(s, d).filter(col("o_orderkey") % 197 === 0)
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val bins = iv.withColumn("bin", explode(sequence(col("o_orderdate"),
+        col("o_orderdate") + expr("INTERVAL 3 DAYS"), expr("INTERVAL 1 DAY"))))
+      val pts = lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+      bins.join(pts, col("l_shipdate") === col("bin"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(count(lit(1)).as("n_ship"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy("o_orderkey")
+    }),
     // C13 — 5-way star join region→nation→customer→orders→lineitem with
     // exact-decimal revenue. Dims broadcast; fact joins shuffle on keys.
     "join_multiway" -> ((s, d) => {
@@ -260,6 +282,18 @@ object TierCJoins {
         |       MAX(p_retailprice) AS max_retail
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    // the oracle runs the raw theta join the binning avoids — independent
+    // plan, same semantics
+    "join_interval_binned" ->
+      """SELECT o.o_orderkey, o.o_orderdate,
+        |       COUNT(*) AS n_ship, COUNT(DISTINCT l.l_orderkey) AS n_orders
+        |FROM (SELECT o_orderkey, o_orderdate FROM orders
+        |      WHERE o_orderkey % 197 = 0) o
+        |JOIN lineitem l
+        |  ON l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate <= o.o_orderdate + INTERVAL 3 DAY
+        |GROUP BY o.o_orderkey, o.o_orderdate
+        |ORDER BY o.o_orderkey""".stripMargin,
     // the oracle's ASOF LEFT JOIN is DuckDB's own operator — an independent
     // implementation of the semantics, not a replay of the union trick
     "join_asof" ->
@@ -394,6 +428,61 @@ object TierCAgg {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
     }),
+    // C16b — incremental aggregate maintenance: a materialized per-customer
+    // aggregate is updated by MERGING a delta batch's aggregate into it —
+    // sum-of-sums and sum-of-counts — never by re-reading base rows. THE
+    // pattern that turns a 100 TB nightly recompute into a delta-sized job:
+    // the merge input is two vocabulary-sized aggregate tables. Partial
+    // sums stay exact decimals until the final surface cast, so
+    // merge-then-recompute equality is bit-exact — and the oracle IS the
+    // full recompute, so that equality is what the gate checks.
+    "agg_incremental_merge" -> ((s, d) => {
+      def aggOf(df: DataFrame) = df.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("t"))
+      val base = aggOf(orders(s, d).filter(col("o_orderkey") % 10 =!= 0))
+      val delta = aggOf(orders(s, d).filter(col("o_orderkey") % 10 === 0))
+      base.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(sum(col("n")).as("n_orders"),
+          sum(col("t")).cast("double").as("total"))
+        .orderBy("o_custkey")
+    }),
+    // C14d — data-profiling histogram: fixed-width value buckets with
+    // counts, per-bucket min/max, and mass share. One map-side-combined
+    // pass; the share divides by a global-window total over the ~30 bucket
+    // rows (post-aggregation — never a funnel of raw rows).
+    "profile_histogram" -> ((s, d) => {
+      val h = orders(s, d)
+        .groupBy(floor(col("o_totalprice") / 20000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+      h.withColumn("pct",
+          col("n").cast("double") / sum(col("n")).over(Window.partitionBy()))
+        .orderBy("bucket")
+    }),
+    // C14e — z-score outlier detection over a derived metric (per-customer
+    // spend): moments from exact decimal sums (the agg_variance
+    // discipline), so mean/stddev/z are bit-identical across engines and
+    // the |z| > 2.5 verdict set is oracle-hashable with no threshold-gap
+    // caveat. 100 TB shape: one groupBy for the metric, a 1-row broadcast
+    // of the moments, one linear verdict scan.
+    "zscore_outliers" -> ((s, d) => {
+      val spend = orders(s, d).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("decimal(18,2)").as("s"))
+      val m = spend.agg(count(lit(1)).as("n_cust"),
+        sum(col("s")).cast("double").as("s1"),
+        sum(col("s") * col("s")).cast("double").as("s2"))
+      val z = (col("s").cast("double") - col("s1") / col("n_cust")) /
+        sqrt((col("s2") - col("s1") * col("s1") / col("n_cust")) /
+          (col("n_cust") - 1))
+      spend.crossJoin(broadcast(m))
+        .filter(abs(z) > 2.5)
+        .select(col("o_custkey"), col("n_orders"),
+          col("s").cast("double").as("spend"), round(z, 4).as("z"))
+        .orderBy("o_custkey")
+    }),
     // C20b — PIVOT: long→wide reshape, revenue per order-year × status.
     // The pivot values are declared explicitly — with them, pivot is ONE
     // pass (a groupBy(year) whose aggregates are status-conditional, no
@@ -493,6 +582,36 @@ object TierCAgg {
       """SELECT l_orderkey,
         |       array_to_string(list(l_linenumber ORDER BY l_linenumber), ',') AS linenumbers
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    // the oracle is the FULL recompute — the merge must equal it exactly
+    "agg_incremental_merge" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "profile_histogram" ->
+      """WITH h AS (
+        |  SELECT CAST(floor(o_totalprice / 20000) AS BIGINT) AS bucket,
+        |         COUNT(*) AS n, MIN(o_totalprice) AS min_price,
+        |         MAX(o_totalprice) AS max_price
+        |  FROM orders GROUP BY 1)
+        |SELECT bucket, n, min_price, max_price,
+        |       CAST(n AS DOUBLE) / CAST((SELECT SUM(n) FROM h) AS DOUBLE) AS pct
+        |FROM h ORDER BY bucket""".stripMargin,
+    "zscore_outliers" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, COUNT(*) AS n_orders,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s
+        |  FROM orders GROUP BY o_custkey),
+        |m AS (
+        |  SELECT COUNT(*) AS n_cust, CAST(SUM(s) AS DOUBLE) AS s1,
+        |         CAST(SUM(s * s) AS DOUBLE) AS s2
+        |  FROM spend),
+        |calc AS (
+        |  SELECT o_custkey, n_orders, CAST(s AS DOUBLE) AS spend,
+        |         (CAST(s AS DOUBLE) - s1 / n_cust)
+        |           / sqrt((s2 - s1 * s1 / n_cust) / (n_cust - 1)) AS z
+        |  FROM spend, m)
+        |SELECT o_custkey, n_orders, spend, round(z, 4) AS z
+        |FROM calc WHERE abs(z) > 2.5 ORDER BY o_custkey""".stripMargin,
     "pivot_wide" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
         |       CAST(SUM(CASE WHEN o_orderstatus = 'F'

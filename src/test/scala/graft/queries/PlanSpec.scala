@@ -107,6 +107,17 @@ class PlanSpec extends SparkSpec {
       s"carry window is not key-partitioned:\n$plan")
   }
 
+  test("C12c: binned interval join hash-joins on the bin, never nested-loop") {
+    // the whole point of binning: the no-equi-key theta join becomes a
+    // plain equi join on the manufactured day-bin key
+    val plan = executedPlan("join_interval_binned")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"no equi join on the bin key:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"interval join fell back to a pair-space plan:\n$plan")
+  }
+
   test("vocab top-k takes per-partition heaps, not a global sort") {
     val plan = executedPlan("vocab_topk")
     assert(plan.contains("TakeOrderedAndProject"), s"vocab plan:\n$plan")
@@ -172,8 +183,10 @@ class PlanSpec extends SparkSpec {
     // tfidf_topk broadcasts a single-row corpus count; kmeans_lloyd
     // broadcasts the K=8 centroids per Lloyd iteration (both the linear
     // broadcast-pass shape, not a pair explosion)
+    // tfidf_topk/zscore_outliers broadcast a single-row corpus-level
+    // aggregate; kmeans_lloyd broadcasts the K=8 centroids per iteration
     val intended = Set("join_cross_theta", "knn_cosine_topk", "knn_ivf_coarse",
-      "tfidf_topk", "kmeans_lloyd")
+      "tfidf_topk", "kmeans_lloyd", "zscore_outliers")
     // ETL/streaming queries run real side effects — planning-only audit
     // covers the analytic surface.
     val sideEffecting = Set("scan_csv_serde", "infer_schema",
@@ -182,7 +195,7 @@ class PlanSpec extends SparkSpec {
       "stream_watermark_late", "stream_dedup_stateful",
       "stream_foreachbatch_pipeline", "join_bucketed_colocated",
       "scan_json", "scan_orc", "multimodal_meta", "multimodal_frames",
-      "etl_compact_files", "etl_upsert_scd1")
+      "etl_compact_files", "etl_upsert_scd1", "etl_snapshot_diff")
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(intended).filterNot(sideEffecting)
       .filter { name =>
