@@ -40,10 +40,15 @@ object AsOfJoin {
     * @param leftTime  left ordering column (orderable: timestamp/date/num)
     * @param rightTime right ordering column (same type as leftTime)
     * @param payload   name of the output struct column
+    * @param tolerance max staleness: a carried right row older than
+    *                  `leftTime - tolerance` is nulled out (an interval
+    *                  expression for time columns, a number for numerics) —
+    *                  pandas merge_asof's `tolerance`. None = unbounded.
     */
   def backward(left: DataFrame, right: DataFrame, key: Seq[String],
       leftTime: String, rightTime: String,
-      payload: String = "asof"): DataFrame = {
+      payload: String = "asof",
+      tolerance: Option[Column] = None): DataFrame = {
     val payloadCols = right.columns.filterNot(c => key.contains(c))
     val r = right.select(
       key.map(col) ++ Seq(
@@ -59,9 +64,15 @@ object AsOfJoin {
     val w = Window.partitionBy(key.map(col): _*)
       .orderBy(col("__asof_t"), col("__asof_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r, allowMissingColumns = true)
+    val carried = l.unionByName(r, allowMissingColumns = true)
       .withColumn(payload, last(col(payload), ignoreNulls = true).over(w))
       .filter(col("__asof_side") === 1)
-      .drop("__asof_t", "__asof_side")
+    // staleness bound: applied AFTER the carry (a bounded window frame
+    // can't express it — the frame is in rows, the bound is in time)
+    tolerance.fold(carried) { tol =>
+      carried.withColumn(payload,
+        when(col(s"$payload.$rightTime") >= col("__asof_t") - tol,
+          col(payload)))
+    }.drop("__asof_t", "__asof_side")
   }
 }

@@ -75,11 +75,15 @@ object ConnectedComponents {
       // least() is belt-and-braces monotonicity (comp(x) ≤ x).
       val m = prop.filter(col("cc_p") =!= col("cc_old"))
         .select(col("cc_id").as("m_id"), col("cc_p").as("m_comp"))
+      // lazy checkpoint: the delta count below is the round's ONE job — it
+      // materializes the checkpoint as a side effect (an eager checkpoint
+      // plus a separate count paid two scheduled jobs per round, and the
+      // fixed per-job cost, not data, dominates the loop locally)
       val step = prop.join(m, col("cc_p") === col("m_id"), "left")
         .select(col("cc_id"), col("cc_old"),
           least(col("cc_p"), coalesce(col("m_comp"), col("cc_p")))
             .as("cc_comp"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       delta = step.filter(col("cc_comp") =!= col("cc_old"))
         .select("cc_id", "cc_comp")
       changed = delta.count()

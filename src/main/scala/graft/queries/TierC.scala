@@ -377,6 +377,25 @@ object TierCAgg {
           element_at(col("pcts"), 2).as("p95"))
         .orderBy("l_returnflag")
     }),
+    // C17c — mergeable HLL sketches (Spark 4's DataSketches surface): two
+    // halves of the fact table are sketched INDEPENDENTLY, the binary
+    // sketches union without re-reading rows, and the estimate comes off
+    // the merged sketch. The 100 TB pattern behind incremental distinct
+    // counting: persist sketch-aggregate tables per batch, merge them at
+    // query time — rows are touched once ever. Unit-tier (sketch output;
+    // PlanSpec asserts the merged estimate within 5% of exact, and that it
+    // EQUALS the single-pass sketch of the whole table — the mergeability
+    // contract).
+    "agg_hll_merge" -> ((s, d) => {
+      def sk(df: DataFrame) = df.groupBy("o_orderstatus")
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      val a = sk(orders(s, d).filter(col("o_orderkey") % 2 === 0))
+      val b = sk(orders(s, d).filter(col("o_orderkey") % 2 =!= 0))
+      a.unionByName(b)
+        .groupBy("o_orderstatus")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_cust"))
+        .orderBy("o_orderstatus")
+    }),
     // C18 — ROLLUP grouping sets.
     "agg_rollup" -> ((s, d) => {
       lineitem(s, d).rollup("l_returnflag", "l_linestatus")

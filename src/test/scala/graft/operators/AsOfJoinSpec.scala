@@ -39,6 +39,17 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.count() == 3, "duplicate left rows each keep their match")
   }
 
+  test("tolerance nulls out matches staler than the bound") {
+    val left = Seq((1L, 100L, "a"), (1L, 110L, "b")).toDF("k", "t", "tag")
+    val right = Seq((1L, 95L, "x")).toDF("k", "rt", "p")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "t", "rt",
+        tolerance = Some(lit(10L)))
+      .select(col("tag"), col("asof.p").as("p"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out("a") == Some("x"), "staleness 5 <= 10 survives")
+    assert(out("b") == None, "staleness 15 > 10 is nulled out")
+  }
+
   test("random data matches the naive range-join-then-latest encoding") {
     val rnd = new scala.util.Random(11)
     val left = Seq.fill(300)(

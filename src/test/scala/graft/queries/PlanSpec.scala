@@ -156,6 +156,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("C17c: merged HLL sketches equal the single-pass sketch, within 5% of exact") {
+    val merged = SparkEntryPlan("agg_hll_merge")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // mergeability contract: union of the two half sketches must equal the
+    // sketch of the whole table (HLL union is exact over sketches)
+    val single = Tables.orders(spark, sf).groupBy("o_orderstatus")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == single, s"merged=$merged single-pass=$single")
+    val exact = Tables.orders(spark, sf).groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(merged(k) - e).toDouble / e <= 0.05,
+        s"status $k: approx=${merged(k)} exact=$e")
+    }
+  }
+
   test("C17b: approx percentiles land inside the exact rank band") {
     // GK sketch with accuracy 10000 ⇒ rank error ≤ n/10000; brackets with
     // the exact order statistics at q ± 1% (much looser) per group.
