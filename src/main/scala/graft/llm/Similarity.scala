@@ -136,6 +136,58 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Spherical k-means (Lloyd) training shared by kmeans_lloyd and
+    * ivf_index_build: K=8 seeds, two iterations, returns (trained
+    * centroids, final assignment). Scale/determinism discipline:
+    *  - uv6: unit-normalized, 1e-6-quantized double vectors. The norm is a
+    *    per-ROW column, never recomputed inside the per-element lambda —
+    *    HOF lambdas are interpreted per element, so an embedded dot
+    *    product would cost 64 dots per row (measured: seconds, not millis).
+    *    Materialized ONCE (the MLlib-style cache every iterative trainer
+    *    does): three assignment passes read executor-local blocks.
+    *  - assignment: cell of the max-(csim, -c_id) centroid via ONE hash
+    *    agg whose partial combine collapses the K candidate rows map-side.
+    *  - recenter: decimal-exact per-dim sums (order-independent), one IEEE
+    *    division, re-normalized and re-quantized to 1e-6.
+    *  - the K-row centroid table localCheckpoints between iterations (the
+    *    ConnectedComponents discipline) — without it, iteration i's plan
+    *    re-executes every earlier iteration inside its own lineage
+    *    (measured 6.5s → 2.4s at sf0.1). */
+  private def lloydTrain(s: SparkSession, d: String,
+      k: Int = 8, iters: Int = 2): (DataFrame, DataFrame) = {
+    val unit = embeddings(s, d)
+      .withColumn("ed", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("nrm", sqrt(dotD(col("ed"), col("ed"))))
+      .select(col("vec_id"),
+        transform(col("ed"), x => round(x / col("nrm"), 6)).as("uv"))
+      .localCheckpoint()
+    def assign(cents: DataFrame): DataFrame =
+      unit.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("uv"),
+          struct(round(dotD(col("uv"), col("c_v")), 4).as("csim"),
+            (-col("c_id")).as("cneg")).as("cand"))
+        .groupBy(col("vec_id"), col("uv"))
+        .agg(max(col("cand")).as("best"))
+        .select(col("vec_id"), col("uv"),
+          (-col("best.cneg")).as("cell"))
+    def recenter(assigned: DataFrame): DataFrame = {
+      val means = assigned
+        .select(col("cell"), posexplode(col("uv")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg((sum(col("x").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("m"))
+      means.groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          t => t.getField("m")).as("cm"))
+        .select(col("cell").as("c_id"),
+          transform(col("cm"), x => round(x / norm(col("cm")), 6)).as("c_v"))
+    }
+    var cents = unit.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("uv").as("c_v"))
+    for (_ <- 1 to iters) cents = recenter(assign(cents)).localCheckpoint()
+    (cents, assign(cents))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E4 — exact top-10 cosine neighbours of vec_id=0. Similarity itself is
     // engine-local float math, so only the *ranking* (with PK tiebreak) is
@@ -289,58 +341,30 @@ object Similarity {
     // carries the vector payload here for a one-shuffle plan; production
     // would keep (id → cell) and co-partitioned vectors.
     "kmeans_lloyd" -> ((s, d) => {
-      val K = 8
-      // uv6: unit-normalized, 1e-6-quantized double vector. The norm is a
-      // per-ROW column, never recomputed inside the per-element lambda —
-      // HOF lambdas are interpreted per element, so an embedded dot product
-      // would cost 64 dots per row (measured: seconds, not millis)
-      // materialized ONCE (the MLlib-style cache every iterative trainer
-      // does): three assignment passes then read the normalized vectors
-      // from executor-local blocks instead of re-scanning + re-normalizing
-      val unit = embeddings(s, d)
-        .withColumn("ed", transform(col("embedding"), x => x.cast("double")))
-        .withColumn("nrm", sqrt(dotD(col("ed"), col("ed"))))
-        .select(col("vec_id"),
-          transform(col("ed"), x => round(x / col("nrm"), 6)).as("uv"))
-        .localCheckpoint()
-      // cell of the max-(csim, -c_id) centroid, via ONE hash agg whose
-      // partial combine collapses the K candidate rows map-side
-      def assign(cents: DataFrame): DataFrame =
-        unit.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("uv"),
-            struct(round(dotD(col("uv"), col("c_v")), 4).as("csim"),
-              (-col("c_id")).as("cneg")).as("cand"))
-          .groupBy(col("vec_id"), col("uv"))
-          .agg(max(col("cand")).as("best"))
-          .select(col("vec_id"), col("uv"),
-            (-col("best.cneg")).as("cell"))
-      // normalized per-cell mean: decimal-exact per-dim sums (order-
-      // independent), one IEEE division, re-normalized and re-quantized
-      def recenter(assigned: DataFrame): DataFrame = {
-        val means = assigned
-          .select(col("cell"), posexplode(col("uv")).as(Seq("pos", "x")))
-          .groupBy("cell", "pos")
-          .agg((sum(col("x").cast("decimal(18,6)")).cast("double") /
-            count(lit(1))).as("m"))
-        means.groupBy("cell")
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-            t => t.getField("m")).as("cm"))
-          .select(col("cell").as("c_id"),
-            transform(col("cm"), x => round(x / norm(col("cm")), 6)).as("c_v"))
-      }
-      var cents = unit.filter(col("vec_id") < K)
-        .select(col("vec_id").as("c_id"), col("uv").as("c_v"))
-      // localCheckpoint the K-row centroid table between iterations — the
-      // ConnectedComponents discipline: without it, iteration i's plan
-      // re-executes every earlier iteration's assignment pass inside its
-      // own lineage (measured 6.5s → ~1s at sf0.1), and plan depth, not
-      // data, dominates. K×dim is trivially materializable at any scale.
-      for (_ <- 1 to 2) cents = recenter(assign(cents)).localCheckpoint()
-      assign(cents)
+      val (cents, assigned) = lloydTrain(s, d)
+      assigned
         .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
         .join(cents.select(col("c_id").as("cell"),
           round(element_at(col("c_v"), 1), 4).as("c0"),
           round(element_at(col("c_v"), 2), 4).as("c1")), "cell")
+        .orderBy("cell")
+    }),
+    // The composed ANN-index BUILD: the trained centroids (same lloydTrain
+    // as kmeans_lloyd — one definition, the corpus_curation discipline)
+    // plus per-cell posting lists — sizes, id range, and the sorted head.
+    // This is the artifact knn_ivf_coarse queries against; at 100 TB the
+    // postings write out partitioned BY cell so a probe reads one
+    // partition. Sorted-prefix string keeps the list representation
+    // cross-engine hashable (§7.4.6).
+    "ivf_index_build" -> ((s, d) => {
+      val (_, assigned) = lloydTrain(s, d)
+      assigned.groupBy("cell")
+        .agg(count(lit(1)).as("n_vectors"),
+          min(col("vec_id")).as("min_vec"),
+          max(col("vec_id")).as("max_vec"),
+          array_join(transform(
+            slice(sort_array(collect_list(col("vec_id"))), 1, 8),
+            x => x.cast("string")), ",").as("posting_head"))
         .orderBy("cell")
     }),
     // ANN scale path — banded sign-projection LSH: candidates collide in
@@ -469,6 +493,58 @@ object Similarity {
         |  ON a.cell = c.c_id
         |GROUP BY a.cell, c.c0, c.c1
         |ORDER BY a.cell""".stripMargin,
+    // same CTE chain as kmeans_lloyd through the final assignment; the
+    // report is the per-cell posting summary instead of the centroid head
+    "ivf_index_build" ->
+      """WITH ud AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |u AS (
+        |  SELECT vec_id,
+        |         list_transform(e, x -> round(x / sqrt(list_inner_product(e, e)), 6)) AS uv
+        |  FROM ud),
+        |c0 AS (SELECT vec_id AS c_id, uv AS c_v FROM u WHERE vec_id < 8),
+        |a1 AS (
+        |  SELECT vec_id, uv, cell FROM (
+        |    SELECT u.vec_id, u.uv, c.c_id AS cell,
+        |           row_number() OVER (PARTITION BY u.vec_id
+        |             ORDER BY round(list_inner_product(u.uv, c.c_v), 4) DESC, c.c_id) AS rn
+        |    FROM u CROSS JOIN c0 c) t
+        |  WHERE rn = 1),
+        |s1 AS (
+        |  SELECT cell, i, CAST(SUM(CAST(uv[i] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM a1 CROSS JOIN range(1, 65) AS r(i) GROUP BY cell, i),
+        |c1m AS (SELECT cell, list(m ORDER BY i) AS cm FROM s1 GROUP BY cell),
+        |c1 AS (
+        |  SELECT cell AS c_id,
+        |         list_transform(cm, x -> round(x / sqrt(list_inner_product(cm, cm)), 6)) AS c_v
+        |  FROM c1m),
+        |a2 AS (
+        |  SELECT vec_id, uv, cell FROM (
+        |    SELECT u.vec_id, u.uv, c.c_id AS cell,
+        |           row_number() OVER (PARTITION BY u.vec_id
+        |             ORDER BY round(list_inner_product(u.uv, c.c_v), 4) DESC, c.c_id) AS rn
+        |    FROM u CROSS JOIN c1 c) t
+        |  WHERE rn = 1),
+        |s2 AS (
+        |  SELECT cell, i, CAST(SUM(CAST(uv[i] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM a2 CROSS JOIN range(1, 65) AS r(i) GROUP BY cell, i),
+        |c2m AS (SELECT cell, list(m ORDER BY i) AS cm FROM s2 GROUP BY cell),
+        |c2 AS (
+        |  SELECT cell AS c_id,
+        |         list_transform(cm, x -> round(x / sqrt(list_inner_product(cm, cm)), 6)) AS c_v
+        |  FROM c2m),
+        |a3 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT u.vec_id, c.c_id AS cell,
+        |           row_number() OVER (PARTITION BY u.vec_id
+        |             ORDER BY round(list_inner_product(u.uv, c.c_v), 4) DESC, c.c_id) AS rn
+        |    FROM u CROSS JOIN c2 c) t
+        |  WHERE rn = 1)
+        |SELECT cell, COUNT(*) AS n_vectors,
+        |       MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec,
+        |       array_to_string(list(vec_id ORDER BY vec_id)[1:8], ',') AS posting_head
+        |FROM a3 GROUP BY cell ORDER BY cell""".stripMargin,
     "knn_ivf_coarse" ->
       """WITH cent AS (
         |  SELECT vec_id AS c_id, embedding AS c_v FROM embeddings WHERE vec_id < 8),

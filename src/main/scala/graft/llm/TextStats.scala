@@ -390,6 +390,65 @@ object TextStats {
           sum(when(kept, col("n_chars")).otherwise(0).cast("long")).as("kept_chars"))
         .orderBy("lang")
     }),
+    // URL/domain extraction (web-corpus pipeline op): host, path and query
+    // params pulled out of URL strings — the inputs to per-domain quotas,
+    // domain-level dedup and source filtering. The corpus has no URL
+    // column, so URLs are synthesized deterministically from supplier rows
+    // and parsed BACK with Spark's parse_url; the oracle re-parses the
+    // same strings with anchored regexes (an independent parser). Pure
+    // per-row string work — zero shuffle before the contract orderBy.
+    "url_extract" -> ((s, d) => {
+      val url = concat(lit("https://www."),
+        lower(regexp_replace(col("s_name"), "#", "-")),
+        lit(".example.com/item/"), col("s_suppkey").cast("string"),
+        lit("?region="), col("s_nationkey").cast("string"), lit("&ok=1"))
+      supplier(s, d).select(
+          col("s_suppkey"), url.as("url"),
+          parse_url(url, lit("HOST")).as("host"),
+          parse_url(url, lit("PATH")).as("path"),
+          parse_url(url, lit("QUERY"), lit("region")).as("region_param"))
+        .orderBy("s_suppkey")
+    }),
+    // Per-source quota capping (web-corpus pipeline op): every web corpus
+    // caps documents per domain so one crawler-friendly site can't swamp
+    // the mix. Keep the first 5 docs per source (rank by doc_id — a pure
+    // function of stable ids); the report carries kept char mass so the
+    // verdict depends on WHICH docs survive, not just how many. At scale
+    // the rank window shuffles by source — a hot domain serializes into
+    // one task, and the production mitigation is a per-partition
+    // pre-count pass that short-circuits sources already over quota.
+    "source_quota_cap" -> ((s, d) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"),
+          sum((col("rn") <= 5).cast("long")).as("n_kept"),
+          sum(when(col("rn") <= 5, col("n_chars")).otherwise(0).cast("long"))
+            .as("kept_chars"))
+        .orderBy("source")
+    }),
+    // Deterministic negative-pair sampling (contrastive-training op): each
+    // anchor doc pairs with a pseudo-random partner — md5 digits 13-16 mod
+    // the corpus size (disjoint from digits 1-4/5-8/9-12), never rand(),
+    // so the pairing is reproducible and auditable. The corpus size
+    // arrives as a broadcast 1-row cross join; the partner fetch is a
+    // plain equi join on the computed id. same_lang marks in-language vs
+    // cross-language negatives (the hard/easy split a trainer weights).
+    "negative_pairs" -> ((s, d) => {
+      val docs = documents(s, d)
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val a = docs.select(col("doc_id"), col("lang"))
+        .crossJoin(broadcast(n))
+        .withColumn("neg_id",
+          (md5Fold(col("doc_id"), 13) % col("n_docs")).cast("long"))
+        .filter(col("neg_id") =!= col("doc_id"))
+      val b = docs.select(col("doc_id").as("neg_id"), col("lang").as("neg_lang"))
+      a.join(b, "neg_id")
+        .select(col("doc_id"), col("neg_id"),
+          (col("lang") === col("neg_lang")).as("same_lang"))
+        .orderBy("doc_id")
+    }),
     // Multimodal binary-column plumbing (builder mandate): payloads as
     // opaque binary + typed metadata; "decode" is a deterministic stub
     // (real image/audio libs absent by design) but schema, batching and
@@ -649,6 +708,45 @@ object TextStats {
         |SELECT c.doc_id, COUNT(DISTINCT c.g) AS n_shared
         |FROM corpus c JOIN bench b ON c.g = b.g
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    // an independent parser on the same strings: anchored regexes vs
+    // Spark's parse_url
+    "url_extract" ->
+      """WITH t AS (
+        |  SELECT s_suppkey,
+        |         'https://www.' || lower(replace(s_name, '#', '-'))
+        |           || '.example.com/item/' || CAST(s_suppkey AS VARCHAR)
+        |           || '?region=' || CAST(s_nationkey AS VARCHAR) || '&ok=1' AS url
+        |  FROM supplier)
+        |SELECT s_suppkey, url,
+        |       regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+        |       regexp_extract(url, '^https?://[^/]+([^?#]*)', 1) AS path,
+        |       regexp_extract(url, '[?&]region=([^&#]*)', 1) AS region_param
+        |FROM t ORDER BY s_suppkey""".stripMargin,
+    "source_quota_cap" ->
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_total,
+        |       CAST(SUM(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(SUM(CASE WHEN rn <= 5 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    // md5 digits 13-16 (disjoint from 1-4, 5-8, 9-12)
+    "negative_pairs" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+        |a AS (
+        |  SELECT doc_id, lang,
+        |    CAST(((((CASE WHEN ord(hx[13:13]) >= 97 THEN ord(hx[13:13]) - 87 ELSE ord(hx[13:13]) - 48 END) * 16
+        |      + (CASE WHEN ord(hx[14:14]) >= 97 THEN ord(hx[14:14]) - 87 ELSE ord(hx[14:14]) - 48 END)) * 16
+        |      + (CASE WHEN ord(hx[15:15]) >= 97 THEN ord(hx[15:15]) - 87 ELSE ord(hx[15:15]) - 48 END)) * 16
+        |      + (CASE WHEN ord(hx[16:16]) >= 97 THEN ord(hx[16:16]) - 87 ELSE ord(hx[16:16]) - 48 END))
+        |      % (SELECT COUNT(*) FROM documents) AS BIGINT) AS neg_id
+        |  FROM h)
+        |SELECT a.doc_id, a.neg_id, a.lang = b.lang AS same_lang
+        |FROM a JOIN documents b ON a.neg_id = b.doc_id
+        |WHERE a.neg_id <> a.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
     "vocab_topk" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),

@@ -201,10 +201,12 @@ class PlanSpec extends SparkSpec {
     // tfidf_topk broadcasts a single-row corpus count; kmeans_lloyd
     // broadcasts the K=8 centroids per Lloyd iteration (both the linear
     // broadcast-pass shape, not a pair explosion)
-    // tfidf_topk/zscore_outliers broadcast a single-row corpus-level
-    // aggregate; kmeans_lloyd broadcasts the K=8 centroids per iteration
+    // tfidf_topk/zscore_outliers/negative_pairs broadcast a single-row
+    // corpus-level aggregate; kmeans_lloyd/ivf_index_build broadcast the
+    // K=8 centroids per Lloyd iteration
     val intended = Set("join_cross_theta", "knn_cosine_topk", "knn_ivf_coarse",
-      "tfidf_topk", "kmeans_lloyd", "zscore_outliers")
+      "tfidf_topk", "kmeans_lloyd", "zscore_outliers", "negative_pairs",
+      "ivf_index_build")
     // ETL/streaming queries run real side effects — planning-only audit
     // covers the analytic surface.
     val sideEffecting = Set("scan_csv_serde", "infer_schema",
