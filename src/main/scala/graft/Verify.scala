@@ -18,6 +18,8 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only).toMap

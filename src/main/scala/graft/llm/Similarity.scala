@@ -317,9 +317,13 @@ object Similarity {
     // conventions differ but floor does not). |q| ≤ 127 by construction:
     // the max-magnitude component maps to exactly ±127, so no clamp.
     "embed_quantize" -> ((s, d) => {
+      // nullif guards the all-zero vector (padding row, failed encode):
+      // 127/0 = Inf would make q = floor(0·Inf + 0.5) = NaN, and ANSI
+      // mode's int cast throws on NaN — a null scale nulls q/q_sum instead
       embeddings(s, d)
         .withColumn("scale", lit(127.0) /
-          array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+          nullif(array_max(transform(col("embedding"),
+            x => abs(x.cast("double")))), lit(0.0)))
         .withColumn("q", transform(col("embedding"),
           x => floor(x.cast("double") * col("scale") + 0.5).cast("int")))
         .select(col("vec_id"), col("scale"), col("q"),
@@ -428,8 +432,8 @@ object Similarity {
     "embed_quantize" ->
       """WITH s AS (
         |  SELECT vec_id, embedding,
-        |         127.0 / list_max(list_transform(embedding,
-        |                            x -> abs(CAST(x AS DOUBLE)))) AS scale
+        |         127.0 / nullif(list_max(list_transform(embedding,
+        |                          x -> abs(CAST(x AS DOUBLE)))), 0.0) AS scale
         |  FROM embeddings),
         |qq AS (
         |  SELECT vec_id, scale,

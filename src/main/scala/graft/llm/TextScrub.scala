@@ -58,9 +58,13 @@ object TextScrub {
     * empty list yields `[^\s\S]` — a valid never-matching pattern in both
     * Java and RE2 — because the naive `\b()\b` matches at EVERY word
     * boundary and would stamp [TERM] throughout the document. */
-  def denyPattern(terms: Seq[String]): String =
-    if (terms.isEmpty) "[^\\s\\S]"
-    else terms.map(anchoredTerm).mkString("(", "|", ")")
+  def denyPattern(terms: Seq[String]): String = {
+    // blank entries (a deny file's empty line) would crash anchoredTerm's
+    // head/last — and an empty alternation branch matches everywhere
+    val ts = terms.filter(_.nonEmpty)
+    if (ts.isEmpty) "[^\\s\\S]"
+    else ts.map(anchoredTerm).mkString("(", "|", ")")
+  }
 
   /** Scrubbed text: email → [EMAIL], digit runs → [NUM], deny terms →
     * [TERM], applied in that fixed order. */

@@ -353,6 +353,11 @@ object TextStats {
     // classic relevance weighting — tf(doc, term) × ln(N / df(term)) — kept
     // oracle-hashable by quantizing the score to 1e-4 before ranking (ties
     // fall to the token tiebreak, the same discipline as the knn queries).
+    // ln is the one transcendental in any oracle-checked query; JVM and
+    // DuckDB libm may differ in the last ulp, so the margin is MEASURED
+    // like the cosine thresholds: the closest tf·ln(N/df) to a 5e-5
+    // rounding boundary is ~4e-8 away at sf0.001/0.01/0.1 — ~10^6× the
+    // cross-engine noise floor.
     // 100 TB shape: tf is one explode+agg; df derives from tf (one more
     // vocab-sized agg); N arrives as a broadcast 1-row cross join, never a
     // collected driver constant; the final per-doc top-3 windows on doc_id

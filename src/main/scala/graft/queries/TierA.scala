@@ -218,8 +218,11 @@ object TierA {
       base.write.mode("overwrite").parquet(s"$out/v1")
       val updates = base.filter(col("c_custkey") % 10 === 0)
         .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      // inserted rows re-key into the NEGATIVE range — disjoint from real
+      // custkeys (non-negative) at every scale factor; a fixed positive
+      // offset would collide with live keys once the table outgrows it
       val added = base.filter(col("c_custkey") % 103 === 0)
-        .withColumn("c_custkey", col("c_custkey") + 1000000L)
+        .withColumn("c_custkey", -(col("c_custkey") + 1))
       val v2 = updates.unionByName(
           base.join(updates.select("c_custkey"), Seq("c_custkey"), "left_anti"))
         .filter(col("c_custkey") % 97 =!= 0)

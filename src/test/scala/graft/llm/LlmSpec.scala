@@ -296,6 +296,31 @@ class LlmSpec extends SparkSpec {
       .head().getString(0)
     assert(cpp == "use [TERM] not c here, [TERM]!",
       s"'c++' deny term must redact in normal text, got: $cpp")
+    // a blank entry (deny file with an empty line) must neither crash the
+    // pattern build nor create an empty alternation branch that matches
+    // everywhere
+    val blank = docs.select(TextScrub.scrub(
+        lit("the customer is here"), Seq("customer", "")).as("s"))
+      .head().getString(0)
+    assert(blank == "the [TERM] is here", s"blank deny entry broke: $blank")
+  }
+
+  test("embed_quantize survives an all-zero embedding (null, not NaN crash)") {
+    import spark.implicits._
+    val rows = Seq((1L, Array(0.5f, -1.0f, 0.25f)), (2L, Array(0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    // same expression shape as the query: scale then floor-half-up ints
+    val out = rows
+      .withColumn("scale", lit(127.0) /
+        nullif(array_max(transform(col("embedding"),
+          x => abs(x.cast("double")))), lit(0.0)))
+      .withColumn("q", transform(col("embedding"),
+        x => floor(x.cast("double") * col("scale") + 0.5).cast("int")))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(2)), Option(r.getSeq[Any](3).headOption.orNull))).toMap
+    assert(out(1L)._1.isDefined, "normal vector quantizes")
+    assert(out(2L)._2.isEmpty || out(2L)._2.contains(null),
+      "zero vector yields nulls, never NaN/ANSI cast failure")
   }
 
   test("token_stats kernel equals the composable HOF form") {

@@ -198,12 +198,10 @@ class PlanSpec extends SparkSpec {
     // single-row query vector (BNLJ over 1 row — the cheap, intended shape);
     // knn_ivf_coarse broadcasts K=8 centroids for the linear N×K assignment
     // pass (intentional, the IVF coarse-quantization step).
-    // tfidf_topk broadcasts a single-row corpus count; kmeans_lloyd
-    // broadcasts the K=8 centroids per Lloyd iteration (both the linear
-    // broadcast-pass shape, not a pair explosion)
     // tfidf_topk/zscore_outliers/negative_pairs broadcast a single-row
     // corpus-level aggregate; kmeans_lloyd/ivf_index_build broadcast the
-    // K=8 centroids per Lloyd iteration
+    // K=8 centroids per Lloyd iteration — the linear broadcast-pass shape,
+    // not a pair explosion
     val intended = Set("join_cross_theta", "knn_cosine_topk", "knn_ivf_coarse",
       "tfidf_topk", "kmeans_lloyd", "zscore_outliers", "negative_pairs",
       "ivf_index_build")
