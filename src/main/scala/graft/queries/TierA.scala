@@ -240,6 +240,71 @@ object TierA {
         .groupBy("status").agg(count(lit(1)).as("n"))
         .orderBy("status")
     }),
+    // A2b — malformed-record handling (every real CSV lake has bad rows):
+    // PERMISSIVE mode quarantines rows that fail the schema into
+    // _corrupt_record instead of failing the job or silently nulling;
+    // DROPMALFORMED is the filter view of the same contract. The report
+    // proves the accounting: good + corrupt = total, dropped = good. The
+    // oracle derives all four from the nation count + the 3 planted bad
+    // rows (pure function of the fixture).
+    "scan_csv_corrupt" -> ((s, d) => {
+      val dir = tmp("graft_corrupt")
+      val base = nation(s, d)
+      CsvSource.write(base, dir)
+      Files.writeString(java.nio.file.Paths.get(s"$dir/bad.csv"),
+        "n_nationkey,n_name,n_regionkey\nxx,Badland,9\n8,Halfbad,yy\nzz,Worse,zz\n")
+      val withCorrupt = org.apache.spark.sql.types.StructType(
+        base.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "_corrupt_record", org.apache.spark.sql.types.StringType, true))
+      // cache(): Spark disallows plans whose pruned read schema is ONLY the
+      // internal corrupt column (the aggregation below references nothing
+      // else); caching the parsed rows sidesteps the pushdown restriction
+      val permissive = s.read.options(CsvSource.options)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(withCorrupt).csv(dir).cache()
+      // the isNotNull filter is a no-op on surviving rows (nation is
+      // null-free) — its job is to reference EVERY column so CSV column
+      // pruning can't skip parsing them: a bare count() parses nothing,
+      // detects no malformed rows, and DROPMALFORMED silently drops none
+      val dropped = s.read.options(CsvSource.options)
+        .option("mode", "DROPMALFORMED")
+        .schema(base.schema).csv(dir)
+        .filter(base.schema.fieldNames.map(col(_).isNotNull).reduce(_ && _))
+      permissive.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("_corrupt_record").isNotNull.cast("long")).as("n_corrupt"),
+          sum(col("_corrupt_record").isNull.cast("long")).as("n_good"))
+        .crossJoin(dropped.agg(count(lit(1)).as("n_dropmalformed")))
+    }),
+    // A12b — partition backfill with DYNAMIC partition overwrite: recompute
+    // ONE year's partition (1996, +10.00 price correction) and overwrite it
+    // in place — the other partitions must survive untouched, which is
+    // exactly what static overwrite mode would violate (it clobbers the
+    // whole table) and what the oracle catches: every year's count/sum must
+    // match, with only 1996 corrected. The daily-backfill primitive of any
+    // date-partitioned lake.
+    "etl_backfill_partition" -> ((s, d) => {
+      val out = tmp("graft_backfill")
+      val o = orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .select("o_orderkey", "o_totalprice", "o_year")
+      o.write.partitionBy("o_year").mode("overwrite").parquet(out)
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        o.filter(col("o_year") === 1996)
+          .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+          .write.partitionBy("o_year").mode("overwrite").parquet(out)
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      s.read.parquet(out)
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("total"))
+        .orderBy("o_year")
+    }),
     // A14 — data-quality report (the Glue Data Quality analogue): one pass
     // computing the load-gate metrics a warehouse ingest checks — row count,
     // PK uniqueness/nullability, value-range sanity, freshness bounds.
@@ -328,6 +393,22 @@ object TierA {
       """SELECT * FROM nation ORDER BY n_nationkey""",
     "etl_compact_files" ->
       """SELECT * FROM nation ORDER BY n_nationkey""",
+    // counts are a pure function of the fixture: nation rows + 3 planted
+    // bad lines; DROPMALFORMED keeps exactly the good ones
+    "scan_csv_corrupt" ->
+      """SELECT CAST((SELECT COUNT(*) FROM nation) + 3 AS BIGINT) AS n_rows,
+        |       CAST(3 AS BIGINT) AS n_corrupt,
+        |       CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS n_good,
+        |       CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS n_dropmalformed""".stripMargin,
+    // only 1996 carries the +10.00 correction — a static overwrite would
+    // have clobbered every other year and the counts would diverge
+    "etl_backfill_partition" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice +
+        |                CASE WHEN year(o_orderdate) = 1996 THEN 10.0 ELSE 0 END
+        |              AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
     // pure functions of c_custkey: the same predicates the publish applied
     "etl_snapshot_diff" ->
       """SELECT * FROM (
