@@ -41,7 +41,25 @@ object ConnectedComponents {
     * @return (id, comp) — comp is the smallest vertex id in the component
     */
   def run(edges: DataFrame, src: String, dst: String,
-      vertices: DataFrame, id: String, maxIter: Int = 25): DataFrame = {
+      vertices: DataFrame, id: String, maxIter: Int = 25,
+      loopShufflePartitions: Int = 8): DataFrame = {
+    // The loop's shuffles move at most |V| skinny rows per round — size
+    // their partition count to that, not the session default meant for
+    // full-table scans: every extra partition is an extra task PER STAGE
+    // PER ROUND, and scheduling, not data, is the loop's local floor. At
+    // cluster scale callers pass a larger value sized to |V|/executor.
+    // Restored after the loop; the returned labels are checkpointed, so
+    // no downstream plan inherits the narrow setting.
+    val spark = edges.sparkSession
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(prevShuffle.toInt, loopShufflePartitions))
+    try runLoop(edges, src, dst, vertices, id, maxIter)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  private def runLoop(edges: DataFrame, src: String, dst: String,
+      vertices: DataFrame, id: String, maxIter: Int): DataFrame = {
     // symmetric orientation so min labels flow both ways
     val sym = edges.select(col(src).as("cc_src"), col(dst).as("cc_dst"))
       .union(edges.select(col(dst).as("cc_src"), col(src).as("cc_dst")))

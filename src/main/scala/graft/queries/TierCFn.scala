@@ -282,6 +282,26 @@ object TierCSubquery {
           |WHERE co.n_orders >= 5
           |ORDER BY c.c_custkey""".stripMargin)
     }),
+    // C45b — RECURSIVE CTE (Spark 4's iterative-plan support): ancestor
+    // walk over the synthetic halving hierarchy parent(s) = s DIV 2 —
+    // per-supplier depth and ancestor count down to root 0. The
+    // declarative form of iterative traversal; Spark runs one stage per
+    // recursion level (~log2 N levels here). For min-label components at
+    // scale the hand-tuned operator (graft.operators.ConnectedComponents:
+    // pointer jumping + frontier deltas + lineage checkpoints) is the
+    // production path — this covers the SQL surface itself. DuckDB
+    // replays it verbatim (its // is Spark's DIV).
+    "cte_recursive" -> ((s, d) => {
+      supplier(s, d).createOrReplaceTempView("rc_supplier")
+      s.sql(
+        """WITH RECURSIVE up(s_suppkey, anc, depth) AS (
+          |  SELECT s_suppkey, CAST(s_suppkey AS BIGINT) AS anc, 0 AS depth
+          |  FROM rc_supplier
+          |  UNION ALL
+          |  SELECT s_suppkey, anc DIV 2, depth + 1 FROM up WHERE anc > 0)
+          |SELECT s_suppkey, MAX(depth) AS depth, COUNT(*) AS n_ancestors
+          |FROM up GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin)
+    }),
     // C46 — LATERAL correlated subquery in FROM: top-2 account balances per
     // nation. The lateral body is per-outer-row correlated with its own
     // ORDER BY/LIMIT — the "top-n related rows per driving row" shape that
@@ -310,6 +330,14 @@ object TierCSubquery {
         |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
         |  AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
         |ORDER BY c_custkey""".stripMargin,
+    "cte_recursive" ->
+      """WITH RECURSIVE up(s_suppkey, anc, depth) AS (
+        |  SELECT s_suppkey, CAST(s_suppkey AS BIGINT) AS anc, 0 AS depth
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT s_suppkey, anc // 2, depth + 1 FROM up WHERE anc > 0)
+        |SELECT s_suppkey, MAX(depth) AS depth, COUNT(*) AS n_ancestors
+        |FROM up GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
     "cte_sql_entry" ->
       """WITH co AS (
         |  SELECT o_custkey, COUNT(*) AS n_orders,
