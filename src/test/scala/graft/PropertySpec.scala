@@ -147,6 +147,53 @@ class PropertySpec extends SparkSpec {
     assert(bad.isEmpty, s"mismatch rows: ${bad.map(_.getInt(0)).toSeq}")
   }
 
+  test("as-of join preserves left cardinality and never matches forward") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one batched property run: random keys/times, both invariants checked
+    // row-by-row against the operator output
+    val rnd = new scala.util.Random(23)
+    val left = Seq.fill(200)((rnd.nextInt(6).toLong, rnd.nextInt(50).toLong))
+      .toDF("k", "t")
+    val right = Seq.fill(80)((rnd.nextInt(6).toLong, rnd.nextInt(50).toLong))
+      .distinct.map { case (k, t) => (k, t, t * 10 + k) }.toDF("k", "rt", "v")
+    val out = graft.operators.AsOfJoin
+      .backward(left, right, Seq("k"), "t", "rt")
+      .select(col("k"), col("t"), col("asof.rt").as("rt"))
+      .collect()
+    assert(out.length == left.count(), "left-outer: one row out per row in")
+    out.foreach { r =>
+      if (!r.isNullAt(2))
+        assert(r.getLong(2) <= r.getLong(1),
+          s"forward match: rt=${r.getLong(2)} > t=${r.getLong(1)}")
+    }
+  }
+
+  test("int8 quantization round-trips within half a quantization step") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 50).map(i =>
+      (i.toLong, Array.fill(16)((rnd.nextFloat() - 0.5f) * 4f)))
+    val df = rows.toDF("vec_id", "embedding")
+      .withColumn("scale", lit(127.0) /
+        nullif(array_max(transform(col("embedding"),
+          x => abs(x.cast("double")))), lit(0.0)))
+      .withColumn("q", transform(col("embedding"),
+        x => floor(x.cast("double") * col("scale") + 0.5).cast("int")))
+    val got = df.collect()
+    got.foreach { r =>
+      val scale = r.getDouble(2)
+      val emb = r.getSeq[Float](1); val q = r.getSeq[Int](3)
+      q.foreach(qi => assert(math.abs(qi) <= 127, s"|q|>127: $qi"))
+      emb.zip(q).foreach { case (x, qi) =>
+        val err = math.abs(x.toDouble - qi / scale)
+        assert(err <= 0.5 / scale + 1e-12,
+          s"dequant error $err > half step ${0.5 / scale}")
+      }
+    }
+  }
+
   test("rolling hash is deterministic and spreads adversarial inputs") {
     check(Prop.forAll(nastyString) { s =>
       val h1 = RollingHash.hashBytes(s.getBytes("UTF-8"))
