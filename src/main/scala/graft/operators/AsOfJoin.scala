@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Backward as-of join — for every left row, the single right row with the
+/** As-of join, backward and forward. Backward — for every left row, the single right row with the
   * largest right time ≤ the left time on the same key (the "state as of
   * this event" lookup: latest price tick, latest account snapshot, latest
   * purchase before a click). Spark has no ASOF JOIN operator; the naive
@@ -72,6 +72,43 @@ object AsOfJoin {
     tolerance.fold(carried) { tol =>
       carried.withColumn(payload,
         when(col(s"$payload.$rightTime") >= col("__asof_t") - tol,
+          col(payload)))
+    }.drop("__asof_t", "__asof_side")
+  }
+
+  /** Forward as-of: for every left row, the single right row with the
+    * SMALLEST right time ≥ the left time on the same key (the "next event"
+    * lookup: next purchase after a click, next restock after a stock-out).
+    * Mirror of [[backward]]: same union-and-carry encoding, same single
+    * hash shuffle, but the carrying window looks forward —
+    * `first(payload, ignoreNulls)` over CURRENT ROW..UNBOUNDED FOLLOWING —
+    * and the side tag flips so a right row at the same instant sorts AFTER
+    * the left row (side 0 = left < side 1 = right), keeping "at or after"
+    * inclusive. Same uniqueness contract and 100 TB story as backward. */
+  def forward(left: DataFrame, right: DataFrame, key: Seq[String],
+      leftTime: String, rightTime: String,
+      payload: String = "asof",
+      tolerance: Option[Column] = None): DataFrame = {
+    val payloadCols = right.columns.filterNot(c => key.contains(c))
+    val r = right.select(
+      key.map(col) ++ Seq(
+        col(rightTime).as("__asof_t"),
+        lit(1).as("__asof_side"),
+        struct(payloadCols.map(col): _*).as(payload)): _*)
+    val l = left
+      .withColumn("__asof_t", col(leftTime))
+      .withColumn("__asof_side", lit(0))
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col("__asof_t"), col("__asof_side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = l.unionByName(r, allowMissingColumns = true)
+      .withColumn(payload, first(col(payload), ignoreNulls = true).over(w))
+      .filter(col("__asof_side") === 0)
+    // staleness bound, mirrored: a carried right row FURTHER ahead than
+    // `leftTime + tolerance` is nulled out
+    tolerance.fold(carried) { tol =>
+      carried.withColumn(payload,
+        when(col(s"$payload.$rightTime") <= col("__asof_t") + tol,
           col(payload)))
     }.drop("__asof_t", "__asof_side")
   }

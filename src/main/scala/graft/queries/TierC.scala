@@ -191,6 +191,26 @@ object TierCJoins {
           col("asof.p_value").as("p_value"))
         .orderBy("event_id")
     }),
+    // C12b' — FORWARD as-of join (AsOfJoin.forward): every click picks up
+    // the user's NEXT purchase at or after it — click-to-purchase lead-time
+    // attribution, the mirror of join_asof's "state as of" lookup. Same
+    // one-shuffle union-and-carry plan (no Join node); the DuckDB oracle is
+    // again its native ASOF operator with the inequality flipped
+    // (c.ts <= p.p_ts picks the smallest p_ts ≥ ts).
+    "join_asof_forward" -> ((s, d) => {
+      val e = events(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("p_ts"))
+        .agg(count(lit(1)).as("n_p"), decSum(col("value")).as("p_value"))
+      graft.operators.AsOfJoin.forward(clicks, purchases,
+          key = Seq("user_id"), leftTime = "ts", rightTime = "p_ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof.p_ts").as("p_ts"), col("asof.n_p").as("n_p"),
+          col("asof.p_value").as("p_value"))
+        .orderBy("event_id")
+    }),
     // C12c — PURE interval join (no natural equi key) via time-binning:
     // sampled order windows [o_orderdate, +3d] × every lineitem ship date.
     // Written naively this is a theta join — a cartesian pair space at
@@ -305,6 +325,16 @@ object TierCJoins {
         |      FROM e WHERE event_type = 'purchase' GROUP BY user_id, ts)
         |SELECT c.event_id, c.user_id, c.ts, p.p_ts, p.n_p, p.p_value
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.p_ts
+        |ORDER BY c.event_id""".stripMargin,
+    "join_asof_forward" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  event_type, value FROM events),
+        |c AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS p_ts, COUNT(*) AS n_p,
+        |             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS p_value
+        |      FROM e WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id, c.ts, p.p_ts, p.n_p, p.p_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.p_ts
         |ORDER BY c.event_id""".stripMargin,
     "join_multiway" ->
       """SELECT r_name, n_name,
@@ -502,6 +532,50 @@ object TierCAgg {
           col("s").cast("double").as("spend"), round(z, 4).as("z"))
         .orderBy("o_custkey")
     }),
+    // C14f — exact Pearson correlation between two measures, from the same
+    // decimal-moment discipline as agg_variance: the five sums (x, y, x²,
+    // y², xy) are order-independent decimals collected in ONE map-side-
+    // combined pass, and the final correlation is the same short chain of
+    // IEEE ops in both engines — bit-identical, no tolerance needed. The
+    // built-in corr() streams doubles and is partition-order-dependent, so
+    // it can never be oracle-hashed (SURVEY §7.4.2). Measure choice is
+    // load-bearing: quantity × discount keeps every scaled-integer sum
+    // under 2^53, so both engines' decimal→double casts are EXACT — with
+    // extendedprice² the sums need >16 digits and Spark's single-rounded
+    // BigDecimal cast vs DuckDB's int128/10^scale path differ by 1 ulp
+    // (measured, sf0.001).
+    "agg_corr" -> ((s, d) => {
+      val x = dec(col("l_quantity")); val y = dec(col("l_discount"))
+      val n = count(lit(1))
+      val sx = sum(x).cast("double"); val sy = sum(y).cast("double")
+      val sxx = sum(x * x).cast("double"); val syy = sum(y * y).cast("double")
+      val sxy = sum(x * y).cast("double")
+      val corr = (sxy - sx * sy / n) /
+        sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(corr.as("corr_qty_disc"), n.as("n"))
+        .orderBy("l_returnflag")
+    }),
+    // C14g — the arg-max / boolean aggregate family: max_by/min_by with an
+    // explicit (value, PK) struct so ties break deterministically (a bare
+    // max_by(x, price) is nondeterministic whenever prices tie — the same
+    // trap as first() without ordering, SURVEY §7.4.5), plus
+    // bool_and/bool_or/count_if. One pass, map-side combined; the DuckDB
+    // oracle picks the same rows through a window rank — an independent
+    // implementation of arg-max, not a replay.
+    "agg_argminmax" -> ((s, d) => {
+      orders(s, d).groupBy("o_orderstatus")
+        .agg(
+          max_by(col("o_custkey"),
+            struct(col("o_totalprice"), col("o_orderkey"))).as("top_cust"),
+          min_by(col("o_custkey"),
+            struct(col("o_totalprice"), col("o_orderkey"))).as("bottom_cust"),
+          bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+          bool_or(col("o_totalprice") > 400000).as("any_over_400k"),
+          count_if(col("o_totalprice") > 200000).as("n_over_200k"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
     // C20b — PIVOT: long→wide reshape, revenue per order-year × status.
     // The pivot values are declared explicitly — with them, pivot is ONE
     // pass (a groupBy(year) whose aggregates are status-conditional, no
@@ -601,6 +675,45 @@ object TierCAgg {
       """SELECT l_orderkey,
         |       array_to_string(list(l_linenumber ORDER BY l_linenumber), ',') AS linenumbers
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "agg_corr" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |         CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |       (sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qty_disc,
+        |       n
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    // the oracle resolves arg-max through a window rank over the same
+    // (value, PK) ordering — an independent implementation, not max_by
+    "agg_argminmax" ->
+      """WITH top AS (
+        |  SELECT o_orderstatus, o_custkey,
+        |         row_number() OVER (PARTITION BY o_orderstatus
+        |                            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        |  FROM orders),
+        |bot AS (
+        |  SELECT o_orderstatus, o_custkey,
+        |         row_number() OVER (PARTITION BY o_orderstatus
+        |                            ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn
+        |  FROM orders),
+        |agg AS (
+        |  SELECT o_orderstatus,
+        |         bool_and(o_totalprice > 1000) AS all_over_1k,
+        |         bool_or(o_totalprice > 400000) AS any_over_400k,
+        |         COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_over_200k,
+        |         COUNT(*) AS n
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT a.o_orderstatus, t.o_custkey AS top_cust, b.o_custkey AS bottom_cust,
+        |       a.all_over_1k, a.any_over_400k, a.n_over_200k, a.n
+        |FROM agg a
+        |JOIN (SELECT * FROM top WHERE rn = 1) t ON a.o_orderstatus = t.o_orderstatus
+        |JOIN (SELECT * FROM bot WHERE rn = 1) b ON a.o_orderstatus = b.o_orderstatus
+        |ORDER BY a.o_orderstatus""".stripMargin,
     // the oracle is the FULL recompute — the merge must equal it exactly
     "agg_incremental_merge" ->
       """SELECT o_custkey, COUNT(*) AS n_orders,
@@ -776,6 +889,108 @@ object TierCWindow {
           decSum(col("value")).as("sum_value"))
         .drop("sid")
         .orderBy("user_id", "session_start")
+    }),
+    // C23c — ordered event funnel (signup → view → purchase): each stage's
+    // timestamp is the user's first qualifying event AT OR AFTER the
+    // previous stage — sequence matters, not mere presence. Three
+    // conditional-min window passes over the SAME user_id partitioning, so
+    // Catalyst plans one hash shuffle + one sort reused by all three (the
+    // self-join encoding would pay a shuffle per stage). funnel_stage is
+    // how far the user got. The DuckDB oracle builds the stages by
+    // re-joining events per stage — an independent plan for the same
+    // semantics.
+    "funnel_steps" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id")
+      events(s, d)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .withColumn("t1",
+          min(when(col("event_type") === "signup", col("ts"))).over(byUser))
+        .withColumn("t2",
+          min(when(col("event_type") === "view" && col("ts") >= col("t1"),
+            col("ts"))).over(byUser))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("ts") >= col("t2"),
+            col("ts"))).over(byUser))
+        .groupBy("user_id")
+        .agg(max(col("t1")).as("signup_ts"), max(col("t2")).as("view_ts"),
+          max(col("t3")).as("purchase_ts"))
+        .withColumn("funnel_stage",
+          when(col("purchase_ts").isNotNull, 3)
+            .when(col("view_ts").isNotNull, 2)
+            .when(col("signup_ts").isNotNull, 1).otherwise(0))
+        .orderBy("user_id")
+    }),
+    // C23d — weekly cohort retention: cohort = ISO week of the user's first
+    // event, and each (cohort, week-offset) cell counts the distinct users
+    // from that cohort active that week. The classic warehouse retention
+    // matrix. Shape: min-over-user window (one user_id shuffle), collapse
+    // to distinct (user, week) pairs map-side, then a cohort-sized final
+    // aggregate — raw events never reach the second shuffle. Week
+    // truncation is Monday-based ISO in both engines; the offset division
+    // is exact (week diffs are multiples of 7 days).
+    "cohort_retention" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id")
+      events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+        .withColumn("cohort", min(col("week")).over(byUser))
+        .select(col("user_id"), col("cohort").cast("date").as("cohort_week"),
+          ((datediff(col("week"), col("cohort")) / 7).cast("int")).as("week_offset"))
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+    // C24c — time-series gap-fill + forward fill: the observed daily revenue
+    // series per order priority is completed to EVERY calendar day of
+    // 1995-01 (sequence() explode — expression-level, no shuffle, no
+    // driver-side date loop), missing days get n_orders=0, and the last
+    // observed revenue carries forward via last(ignoreNulls) over a per-key
+    // window. Days before a key's first observation stay null (nothing to
+    // carry). 100 TB shape: the series is |keys| × |days| — generated, not
+    // shuffled — and the fill window partitions by key.
+    "timeseries_gapfill" -> ((s, d) => {
+      val days = orders(s, d).select(col("o_orderpriority")).distinct()
+        .withColumn("day", explode(expr(
+          "sequence(DATE'1995-01-01', DATE'1995-01-31', interval 1 day)")))
+      val daily = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-01-01") &&
+          col("o_orderdate") < lit("1995-02-01"))
+        .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("rev"))
+      val fill = Window.partitionBy("o_orderpriority").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      days.join(daily, Seq("o_orderpriority", "day"), "left")
+        .select(col("o_orderpriority"), col("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"), col("rev"),
+          last(col("rev"), ignoreNulls = true).over(fill).as("rev_filled"))
+        .orderBy("o_orderpriority", "day")
+    }),
+    // C27c — Pareto frontier (skyline): parts not dominated on (min price,
+    // max size). The naive NOT EXISTS encoding — which the DuckDB oracle
+    // deliberately runs, as the independent check — is an O(n²) nested
+    // loop. This plan is O(n log n): collapse to distinct prices with each
+    // price's max size (map-side combined), one ordered window over that
+    // post-aggregate table computes the running max size over all STRICTLY
+    // cheaper prices (cumulative max, then lag to exclude the current
+    // price), and a hash join back tags every part. A part survives iff its
+    // size equals its price-group max AND beats every cheaper group's max.
+    // The global window orders only the distinct-price table (≪ rows at
+    // scale; the full-scale path range-partitions the sort and carries each
+    // partition's boundary max — the AsOfJoin chunk-carry trick).
+    "pareto_frontier" -> ((s, d) => {
+      val byPrice = part(s, d).groupBy("p_retailprice")
+        .agg(max(col("p_size")).as("gmax"))
+      val ord = Window.orderBy("p_retailprice")
+      val cheaperMax = byPrice
+        .withColumn("cmax", max(col("gmax")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("prev_max", lag(col("cmax"), 1).over(ord))
+        .select("p_retailprice", "gmax", "prev_max")
+      part(s, d).join(cheaperMax, Seq("p_retailprice"))
+        .filter(col("p_size") === col("gmax") &&
+          (col("prev_max").isNull || col("prev_max") < col("p_size")))
+        .select("p_partkey", "p_name", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
     })
   )
 
@@ -856,7 +1071,78 @@ object TierCWindow {
         |       COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sessions GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+    // stages built by re-joining events per stage — independent of the
+    // stacked-window plan Spark runs
+    "funnel_steps" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |           FROM events),
+        |s1 AS (SELECT user_id,
+        |              MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+        |       FROM e GROUP BY user_id),
+        |s2 AS (SELECT s1.user_id, s1.t1,
+        |              MIN(CASE WHEN e.event_type = 'view' AND e.ts >= s1.t1
+        |                       THEN e.ts END) AS t2
+        |       FROM s1 JOIN e ON e.user_id = s1.user_id
+        |       GROUP BY s1.user_id, s1.t1),
+        |s3 AS (SELECT s2.user_id, s2.t1, s2.t2,
+        |              MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= s2.t2
+        |                       THEN e.ts END) AS t3
+        |       FROM s2 JOIN e ON e.user_id = s2.user_id
+        |       GROUP BY s2.user_id, s2.t1, s2.t2)
+        |SELECT user_id, t1 AS signup_ts, t2 AS view_ts, t3 AS purchase_ts,
+        |       CASE WHEN t3 IS NOT NULL THEN 3
+        |            WHEN t2 IS NOT NULL THEN 2
+        |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS funnel_stage
+        |FROM s3 ORDER BY user_id""".stripMargin,
+    "cohort_retention" ->
+      """WITH w AS (
+        |  SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS week
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, week,
+        |         MIN(week) OVER (PARTITION BY user_id) AS cohort
+        |  FROM w),
+        |cells AS (
+        |  SELECT DISTINCT user_id, CAST(cohort AS DATE) AS cohort_week,
+        |         CAST(datediff('day', cohort, week) / 7 AS INT) AS week_offset
+        |  FROM c)
+        |SELECT cohort_week, week_offset, COUNT(*) AS n_users
+        |FROM cells GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    "timeseries_gapfill" ->
+      """WITH days AS (
+        |  SELECT p.o_orderpriority, CAST(g.generate_series AS DATE) AS day
+        |  FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+        |  CROSS JOIN generate_series(DATE '1995-01-01', DATE '1995-01-31',
+        |                             INTERVAL 1 DAY) g),
+        |daily AS (
+        |  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+        |         COUNT(*) AS n_orders,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1995-02-01 00:00:00'
+        |  GROUP BY 1, 2)
+        |SELECT d.o_orderpriority, d.day,
+        |       COALESCE(daily.n_orders, 0) AS n_orders, daily.rev,
+        |       last_value(daily.rev IGNORE NULLS) OVER (
+        |         PARTITION BY d.o_orderpriority ORDER BY d.day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_filled
+        |FROM days d
+        |LEFT JOIN daily ON d.o_orderpriority = daily.o_orderpriority
+        |               AND d.day = daily.day
+        |ORDER BY d.o_orderpriority, d.day""".stripMargin,
+    // the oracle runs the O(n²) NOT EXISTS dominance test the window plan
+    // avoids — an independent implementation of the skyline semantics
+    "pareto_frontier" ->
+      """SELECT a.p_partkey, a.p_name, a.p_retailprice, a.p_size
+        |FROM part a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part b
+        |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+        |ORDER BY a.p_retailprice, a.p_partkey""".stripMargin
   )
 }
 

@@ -50,6 +50,60 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("b") == None, "staleness 15 > 10 is nulled out")
   }
 
+  test("forward: earliest right at-or-after each left time; nulls when none follows") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"),
+      (2L, 10L, "d"), (3L, 10L, "e"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 7L, 100.0), (1L, 15L, 200.0), (2L, 10L, 300.0))
+      .toDF("k", "rt", "v")
+    val out = AsOfJoin.forward(left, right, Seq("k"), "t", "rt")
+      .select(col("tag"), col("asof.rt").as("rt"))
+      .collect().map(r => r.getString(0) ->
+        Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(out("a") == Some(15L), "10 sees the NEXT right row rt=15, not 7")
+    assert(out("b") == None, "20 follows every right row")
+    assert(out("c") == Some(7L), "5 sees the first right row")
+    assert(out("d") == Some(10L),
+      "same-time right row is included (inclusive as-of)")
+    assert(out("e") == None, "key 3 has no right rows at all")
+  }
+
+  test("forward: tolerance nulls out matches further ahead than the bound") {
+    val left = Seq((1L, 100L, "a"), (1L, 80L, "b")).toDF("k", "t", "tag")
+    val right = Seq((1L, 105L, "x")).toDF("k", "rt", "p")
+    val out = AsOfJoin.forward(left, right, Seq("k"), "t", "rt",
+        tolerance = Some(lit(10L)))
+      .select(col("tag"), col("asof.p").as("p"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out("a") == Some("x"), "lead 5 <= 10 survives")
+    assert(out("b") == None, "lead 25 > 10 is nulled out")
+  }
+
+  test("forward random data matches the naive range-join-then-earliest encoding") {
+    val rnd = new scala.util.Random(13)
+    val left = Seq.fill(300)(
+      (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong)).toDF("k", "t")
+    val right = Seq.fill(200)(
+      (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong))
+      .distinct.map { case (k, t) => (k, t, k * 1000 + t) }
+      .toDF("k", "rt", "v")
+    val got = AsOfJoin.forward(left, right, Seq("k"), "t", "rt")
+      .select(col("k"), col("t"), col("asof.rt").as("rt"), col("asof.v").as("v"))
+    left.createOrReplaceTempView("aofl")
+    right.createOrReplaceTempView("aofr")
+    val naive = spark.sql(
+      """SELECT l.k, l.t, r.rt, r.v
+        |FROM aofl l
+        |LEFT JOIN (
+        |  SELECT l.k, l.t, MIN(r.rt) AS mrt
+        |  FROM aofl l JOIN aofr r ON l.k = r.k AND r.rt >= l.t
+        |  GROUP BY l.k, l.t) m ON l.k = m.k AND l.t = m.t
+        |LEFT JOIN aofr r ON r.k = m.k AND r.rt = m.mrt""".stripMargin)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(key(got) == key(naive), "forward as-of disagrees with the naive encoding")
+  }
+
   test("random data matches the naive range-join-then-latest encoding") {
     val rnd = new scala.util.Random(11)
     val left = Seq.fill(300)(

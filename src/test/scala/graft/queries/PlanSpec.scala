@@ -107,6 +107,30 @@ class PlanSpec extends SparkSpec {
       s"carry window is not key-partitioned:\n$plan")
   }
 
+  test("C12b': forward as-of join also plans NO join operator") {
+    val plan = executedPlan("join_asof_forward")
+    assert(!plan.contains("Join"), s"forward as-of planned a join:\n$plan")
+    assert(plan.contains("hashpartitioning(user_id"),
+      s"carry window is not key-partitioned:\n$plan")
+  }
+
+  test("C27c: skyline plans no pair space — the NOT EXISTS shape stays in the oracle") {
+    val plan = executedPlan("pareto_frontier")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"skyline fell back to a dominance pair join:\n$plan")
+  }
+
+  test("C23c: funnel's three stage windows share ONE user_id exchange") {
+    // stacked same-partitioning windows must reuse the first shuffle; a
+    // per-stage exchange would triple the funnel's scan-to-shuffle cost
+    val plan = executedPlan("funnel_steps")
+    val exchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(plan).length
+    assert(exchanges == 1,
+      s"funnel plans $exchanges user_id exchanges, expected 1:\n$plan")
+  }
+
   test("C12c: binned interval join hash-joins on the bin, never nested-loop") {
     // the whole point of binning: the no-equi-key theta join becomes a
     // plain equi join on the manufactured day-bin key
