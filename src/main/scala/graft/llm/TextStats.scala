@@ -290,6 +290,29 @@ object TextStats {
             .as("block_last"))
         .orderBy("doc_id")
     }),
+    // Context-window chunking with overlap (the other pretraining layout,
+    // besides pack_sequences' concat-and-chunk): each document's token
+    // stream is cut into windows of 64 tokens advancing by a 48-token
+    // stride, so consecutive chunks share a 16-token overlap — the RAG /
+    // long-doc-training shape. The fan-out is a sequence() explode over
+    // per-row arithmetic: expression-level, zero shuffle before the final
+    // sort, and chunk count/boundaries are a pure function of the token
+    // count (ceil division spelled as `div` so no float enters).
+    "text_chunk_overlap" -> ((s, d) => {
+      val W = 64; val S = 48
+      documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .withColumn("n_chunks", when(col("n") <= W, lit(1))
+          .otherwise(lit(1) + expr(s"(n - $W + ${S - 1}) div $S")))
+        .withColumn("chunk_idx", explode(sequence(lit(0), col("n_chunks") - 1)))
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx") * S + 1).as("start_tok"),
+          least(lit(W), col("n") - col("chunk_idx") * S).as("chunk_len"),
+          array_join(slice(col("toks"), col("chunk_idx") * S + 1, lit(W)), " ")
+            .as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
     // The capstone: the whole training-data curation pipeline as ONE
     // composed dataflow — quality gate → exact dedup → benchmark
     // decontamination → deterministic split — ending in the (lang, split)
@@ -700,6 +723,25 @@ object TextStats {
         |       CAST((stream_end - n_tok) // 512 AS BIGINT) AS block_first,
         |       CAST((stream_end - 1) // 512 AS BIGINT) AS block_last
         |FROM w ORDER BY doc_id""".stripMargin,
+    // DuckDB list slicing toks[a:b] is 1-based inclusive and clamps at the
+    // list end — the same semantics as Spark's slice(toks, start, 64)
+    "text_chunk_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id, str_split(text, ' ') AS toks,
+        |         len(str_split(text, ' ')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, n,
+        |         CASE WHEN n <= 64 THEN 1 ELSE 1 + (n - 64 + 47) // 48 END AS n_chunks
+        |  FROM t),
+        |x AS (
+        |  SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS chunk_idx
+        |  FROM c)
+        |SELECT doc_id, chunk_idx,
+        |       chunk_idx * 48 + 1 AS start_tok,
+        |       least(64, n - chunk_idx * 48) AS chunk_len,
+        |       array_to_string(toks[(chunk_idx * 48 + 1):(chunk_idx * 48 + 64)], ' ') AS chunk_text
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
     "text_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, str_split(text, ' ') AS t FROM documents),

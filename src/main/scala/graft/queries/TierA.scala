@@ -240,6 +240,38 @@ object TierA {
         .groupBy("status").agg(count(lit(1)).as("n"))
         .orderBy("status")
     }),
+    // A13d — CDC apply: materialize the current table from a base snapshot
+    // plus an ordered change log of full-row images (the Debezium/DMS
+    // after-image shape a Glue→Redshift pipeline replicates). Last write
+    // per PK wins by log sequence; a trailing 'D' removes the key; a later
+    // re-insert resurrects it (keys divisible by 77 exercise
+    // update→delete→re-insert). The apply is ONE map-side-combined
+    // max_by(payload, seq) aggregate — never a per-key window funnel, and
+    // at 100 TB the log shuffles once against the base on the PK. The
+    // change log is a pure function of the fixture, so the oracle replays
+    // the same log and resolves last-write-wins through a window rank — an
+    // independent implementation of the apply.
+    "etl_cdc_apply" -> ((s, d) => {
+      val base = customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+      def logRows(f: DataFrame => DataFrame, seq: Int, op: String) =
+        f(base).withColumn("seq", lit(seq)).withColumn("op", lit(op))
+      val log = logRows(identity, 0, "I")
+        .unionByName(logRows(_.filter(col("c_custkey") % 7 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 50.0), 1, "U"))
+        .unionByName(logRows(_.filter(col("c_custkey") % 11 === 0)
+          .withColumn("c_acctbal", lit(null).cast("double")), 2, "D"))
+        .unionByName(logRows(_.filter(col("c_custkey") % 13 === 0)
+          .withColumn("c_custkey", -(col("c_custkey") + 1)), 3, "I"))
+        .unionByName(logRows(_.filter(col("c_custkey") % 77 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 75.0), 4, "U"))
+      log.groupBy("c_custkey")
+        .agg(max_by(struct(col("c_name"), col("c_acctbal"), col("op")),
+          col("seq")).as("last"))
+        .filter(col("last.op") =!= "D")
+        .select(col("c_custkey"), col("last.c_name").as("c_name"),
+          col("last.c_acctbal").as("c_acctbal"))
+        .orderBy("c_custkey")
+    }),
     // A2b — malformed-record handling (every real CSV lake has bad rows):
     // PERMISSIVE mode quarantines rows that fail the schema into
     // _corrupt_record instead of failing the job or silently nulling;
@@ -443,6 +475,30 @@ object TierA {
         |       DATE '2024-06-01', DATE '9999-12-31', true
         |FROM customer WHERE c_custkey % 10 = 0
         |ORDER BY c_custkey, valid_from""".stripMargin,
+    // the oracle replays the same deterministic change log but resolves
+    // last-write-wins through a window rank instead of max_by
+    "etl_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT c_custkey, c_name, c_acctbal, 0 AS seq, 'I' AS op FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal + 50.0, 1, 'U' FROM customer
+        |  WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, CAST(NULL AS DOUBLE), 2, 'D' FROM customer
+        |  WHERE c_custkey % 11 = 0
+        |  UNION ALL
+        |  SELECT -(c_custkey + 1), c_name, c_acctbal, 3, 'I' FROM customer
+        |  WHERE c_custkey % 13 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal + 75.0, 4, 'U' FROM customer
+        |  WHERE c_custkey % 77 = 0),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |                               ORDER BY seq DESC) AS rn
+        |  FROM log)
+        |SELECT c_custkey, c_name, c_acctbal
+        |FROM ranked WHERE rn = 1 AND op <> 'D'
+        |ORDER BY c_custkey""".stripMargin,
     "etl_data_quality" ->
       """SELECT COUNT(*) AS n_rows,
         |       COUNT(DISTINCT o_orderkey) AS n_distinct_pk,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables._
@@ -532,6 +532,73 @@ object TierCAgg {
           col("s").cast("double").as("spend"), round(z, 4).as("z"))
         .orderBy("o_custkey")
     }),
+    // C14e' — robust outliers by median absolute deviation, the companion
+    // to zscore_outliers for skewed metrics where mean/stddev are dragged
+    // by the tail. ENTIRELY in exact decimals: the median is an actual data
+    // value (same explicit sort-and-select index as agg_percentile_disc),
+    // deviations and the 3×MAD threshold are decimal subtraction/compare —
+    // no float enters until the output surface, so the verdict set is
+    // hashable with no threshold-gap analysis at all. Exact medians buffer
+    // the value list (as agg_percentile_disc does); the 100 TB path swaps
+    // in the GK sketch (agg_approx_percentile) for both picks.
+    "anomaly_mad" -> ((s, d) => {
+      def medianOf(c: Column) = element_at(sort_array(collect_list(c)),
+        greatest(ceil(lit(0.5) * count(lit(1))), lit(1)).cast("int"))
+      val spend = orders(s, d).groupBy("o_custkey")
+        .agg(sum(dec(col("o_totalprice"))).cast("decimal(18,2)").as("s"))
+      val med = spend.agg(medianOf(col("s")).as("med"))
+      val dev = spend.crossJoin(broadcast(med))
+        .withColumn("dev", abs(col("s") - col("med")))
+      val mad = dev.agg(medianOf(col("dev")).as("mad"))
+      dev.crossJoin(broadcast(mad))
+        .filter(col("dev") > lit(3) * col("mad"))
+        .select(col("o_custkey"), col("s").cast("double").as("spend"),
+          col("dev").cast("double").as("dev"))
+        .orderBy("o_custkey")
+    }),
+    // C18b — multi-granularity time rollup: the (year, month) → (year) →
+    // grand-total grouping-sets pyramid every calendar dashboard issues.
+    // One pass — Spark expands grouping sets before the partial aggregate,
+    // so the shuffle carries |groups| × 3 rows, not raw data per grain.
+    "rollup_time_grain" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("tg_orders")
+      s.sql(
+        """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+          |       CAST(month(o_orderdate) AS INT) AS mon,
+          |       COUNT(*) AS n,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          |       CAST(GROUPING(year(o_orderdate)) AS INT) AS g_yr,
+          |       CAST(GROUPING(month(o_orderdate)) AS INT) AS g_mon
+          |FROM tg_orders
+          |GROUP BY GROUPING SETS ((year(o_orderdate), month(o_orderdate)),
+          |                        (year(o_orderdate)), ())
+          |ORDER BY g_yr, g_mon, yr ASC NULLS FIRST, mon ASC NULLS FIRST""".stripMargin)
+    }),
+    // C14c' — skewness + excess-kurtosis from exact decimal power sums
+    // (agg_variance extended to the 3rd/4th moments). Two disciplines keep
+    // it bit-identical: (1) the measure is cast to DECIMAL(5,2) BEFORE the
+    // power chain so x⁴'s inferred precision (23,8) never exceeds 38 —
+    // wider inputs would overflow and Spark silently rounds (precision
+    // loss) where DuckDB doesn't; (2) the final normalization uses
+    // v*sqrt(v) and v*v, never pow(v, 1.5) — pow is libm-dependent across
+    // engines, sqrt and multiply are IEEE-exact.
+    "agg_skewness" -> ((s, d) => {
+      val x = col("l_discount").cast("decimal(5,2)")
+      val n = count(lit(1))
+      val s1 = sum(x).cast("double")
+      val s2 = sum(x * x).cast("double")
+      val s3 = sum(x * x * x).cast("double")
+      val s4 = sum(x * x * x * x).cast("double")
+      val m = s1 / n
+      val v = s2 / n - m * m
+      val skew = (s3 / n - lit(3) * m * s2 / n + lit(2) * m * m * m) /
+        (v * sqrt(v))
+      val kurt = (s4 / n - lit(4) * m * s3 / n + lit(6) * m * m * s2 / n -
+        lit(3) * m * m * m * m) / (v * v) - lit(3)
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(skew.as("skew_disc"), kurt.as("kurt_disc"), n.as("n"))
+        .orderBy("l_returnflag")
+    }),
     // C14f — exact Pearson correlation between two measures, from the same
     // decimal-moment discipline as agg_variance: the five sums (x, y, x²,
     // y², xy) are order-independent decimals collected in ONE map-side-
@@ -675,6 +742,52 @@ object TierCAgg {
       """SELECT l_orderkey,
         |       array_to_string(list(l_linenumber ORDER BY l_linenumber), ',') AS linenumbers
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "anomaly_mad" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s
+        |  FROM orders GROUP BY o_custkey),
+        |med AS (
+        |  SELECT list_sort(list(s))[CAST(greatest(ceil(0.5 * COUNT(*)), 1) AS INT)] AS med
+        |  FROM spend),
+        |dev AS (
+        |  SELECT o_custkey, s, abs(s - med) AS dev FROM spend, med),
+        |mad AS (
+        |  SELECT list_sort(list(dev))[CAST(greatest(ceil(0.5 * COUNT(*)), 1) AS INT)] AS mad
+        |  FROM dev)
+        |SELECT o_custkey, CAST(s AS DOUBLE) AS spend, CAST(dev AS DOUBLE) AS dev
+        |FROM dev, mad WHERE dev > 3 * mad
+        |ORDER BY o_custkey""".stripMargin,
+    "rollup_time_grain" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |       CAST(month(o_orderdate) AS INT) AS mon,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       CAST(GROUPING(year(o_orderdate)) AS INT) AS g_yr,
+        |       CAST(GROUPING(month(o_orderdate)) AS INT) AS g_mon
+        |FROM orders
+        |GROUP BY GROUPING SETS ((year(o_orderdate), month(o_orderdate)),
+        |                        (year(o_orderdate)), ())
+        |ORDER BY g_yr, g_mon, yr ASC NULLS FIRST, mon ASC NULLS FIRST""".stripMargin,
+    "agg_skewness" ->
+      """WITH p AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |         CAST(SUM(x) AS DOUBLE) AS s1,
+        |         CAST(SUM(x * x) AS DOUBLE) AS s2,
+        |         CAST(SUM(x * x * x) AS DOUBLE) AS s3,
+        |         CAST(SUM(x * x * x * x) AS DOUBLE) AS s4
+        |  FROM (SELECT l_returnflag, CAST(l_discount AS DECIMAL(5,2)) AS x
+        |        FROM lineitem) t
+        |  GROUP BY l_returnflag),
+        |m AS (
+        |  SELECT l_returnflag, n, s1, s2, s3, s4,
+        |         s1 / n AS m, s2 / n - (s1 / n) * (s1 / n) AS v
+        |  FROM p)
+        |SELECT l_returnflag,
+        |       (s3 / n - 3 * m * s2 / n + 2 * m * m * m) / (v * sqrt(v)) AS skew_disc,
+        |       (s4 / n - 4 * m * s3 / n + 6 * m * m * s2 / n - 3 * m * m * m * m) / (v * v) - 3 AS kurt_disc,
+        |       n
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "agg_corr" ->
       """WITH m AS (
         |  SELECT l_returnflag, COUNT(*) AS n,

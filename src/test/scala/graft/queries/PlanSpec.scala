@@ -161,6 +161,21 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_"), s"no partial aggregation in:\n$plan")
   }
 
+  test("A13d: CDC apply is a partial+final max_by, never a per-key window") {
+    // last-write-wins must combine map-side: only one candidate row per PK
+    // per input partition crosses the shuffle, and no Window node appears
+    val plan = executedPlan("etl_cdc_apply")
+    assert(plan.contains("partial_"), s"no partial aggregation in:\n$plan")
+    assert(!plan.contains("Window"), s"CDC apply fell back to a window:\n$plan")
+  }
+
+  test("chunk-overlap fan-out is expression-level: no shuffle before the final sort") {
+    val plan = executedPlan("text_chunk_overlap")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 0,
+      s"chunking plans $exchanges hash exchanges, expected 0:\n$plan")
+  }
+
   test("C27b: aggregation top-k combines map-side (no group-count funnel)") {
     // the TopKAggregator must run as partial+final aggregation so only k
     // rows per group per input partition cross the shuffle
@@ -223,12 +238,13 @@ class PlanSpec extends SparkSpec {
     // knn_ivf_coarse broadcasts K=8 centroids for the linear N×K assignment
     // pass (intentional, the IVF coarse-quantization step).
     // tfidf_topk/zscore_outliers/negative_pairs broadcast a single-row
-    // corpus-level aggregate; kmeans_lloyd/ivf_index_build broadcast the
-    // K=8 centroids per Lloyd iteration — the linear broadcast-pass shape,
-    // not a pair explosion
+    // corpus-level aggregate; anomaly_mad broadcasts two (median, then
+    // MAD); kmeans_lloyd/ivf_index_build broadcast the K=8 centroids per
+    // Lloyd iteration — the linear broadcast-pass shape, not a pair
+    // explosion
     val intended = Set("join_cross_theta", "knn_cosine_topk", "knn_ivf_coarse",
       "tfidf_topk", "kmeans_lloyd", "zscore_outliers", "negative_pairs",
-      "ivf_index_build")
+      "ivf_index_build", "anomaly_mad")
     // ETL/streaming queries run real side effects — planning-only audit
     // covers the analytic surface.
     val sideEffecting = Set("scan_csv_serde", "infer_schema",
