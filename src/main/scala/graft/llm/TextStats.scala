@@ -290,6 +290,27 @@ object TextStats {
             .as("block_last"))
         .orderBy("doc_id")
     }),
+    // Data-mix rebalancing (the "sampling weights" step of training-data
+    // assembly): given the per-language corpus histogram and a uniform
+    // target mix, derive each language's keep rate and expected post-
+    // sampling count. Deliberately INTEGER-only arithmetic (percent rates
+    // via `div`), so the plan is exact in both engines with no float
+    // discipline at all. Shape: one vocabulary-sized aggregate + a 1-row
+    // broadcast of the totals — the corpus is scanned once regardless of
+    // scale; the actual row sampling would then reuse weighted_sample's
+    // md5-digit machinery with these rates.
+    "corpus_mix_rebalance" -> ((s, d) => {
+      val counts = documents(s, d).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      val totals = counts.agg(sum(col("n_docs")).as("total_docs"),
+        count(lit(1)).as("n_langs"))
+      counts.crossJoin(broadcast(totals))
+        .withColumn("rate_pct", least(lit(100L),
+          expr("(total_docs * 100) div (n_langs * n_docs)")))
+        .select(col("lang"), col("n_docs"), col("n_chars"), col("rate_pct"),
+          expr("(n_docs * rate_pct) div 100").as("n_expected"))
+        .orderBy("lang")
+    }),
     // Context-window chunking with overlap (the other pretraining layout,
     // besides pack_sequences' concat-and-chunk): each document's token
     // stream is cut into windows of 64 tokens advancing by a 48-token
@@ -723,6 +744,21 @@ object TextStats {
         |       CAST((stream_end - n_tok) // 512 AS BIGINT) AS block_first,
         |       CAST((stream_end - 1) // 512 AS BIGINT) AS block_last
         |FROM w ORDER BY doc_id""".stripMargin,
+    "corpus_mix_rebalance" ->
+      """WITH c AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |         CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |  FROM documents GROUP BY lang),
+        |t AS (
+        |  SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+        |         COUNT(*) AS n_langs FROM c),
+        |r AS (
+        |  SELECT lang, n_docs, n_chars,
+        |         CAST(least(100, (total_docs * 100) // (n_langs * n_docs)) AS BIGINT) AS rate_pct
+        |  FROM c, t)
+        |SELECT lang, n_docs, n_chars, rate_pct,
+        |       CAST((n_docs * rate_pct) // 100 AS BIGINT) AS n_expected
+        |FROM r ORDER BY lang""".stripMargin,
     // DuckDB list slicing toks[a:b] is 1-based inclusive and clamps at the
     // list end — the same semantics as Spark's slice(toks, start, 64)
     "text_chunk_overlap" ->

@@ -1,7 +1,7 @@
 package graft.queries
 
 import java.nio.file.Files
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables._
 import graft.etl._
@@ -272,6 +272,37 @@ object TierA {
           col("last.c_acctbal").as("c_acctbal"))
         .orderBy("c_custkey")
     }),
+    // A14 — Z-order layout audit: the multi-dimension data-clustering
+    // technique behind Delta/Iceberg OPTIMIZE ZORDER. Interleaving the bits
+    // of (customer bucket, order month) gives a 1-D sort key whose ranges
+    // stay LOCAL in both dimensions, so parquet row-group min/max stats can
+    // skip files for predicates on EITHER column — a plain sort only serves
+    // its leading column. The query computes the z-value with the classic
+    // shift-and-mask bit spread (pure per-row arithmetic, identical
+    // operator chain in the DuckDB oracle) and reports per-z-bucket count +
+    // min/max of both dimensions — exactly the row-group stats a scan
+    // would prune on; narrow spans in both columns are the property that
+    // makes z-order pay. At 100 TB the write path is repartitionByRange(z)
+    // + sortWithinPartitions(z) before etl_compact_files' rewrite.
+    "etl_zorder_layout" -> ((s, d) => {
+      def spread(c: Column): Column = {
+        val a = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(16711935L))
+        val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(252645135L))
+        val e = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(858993459L))
+        e.bitwiseOR(shiftleft(e, 1)).bitwiseAND(lit(1431655765L))
+      }
+      val ym = ((year(col("o_orderdate")) - 1995) * 12 +
+        (month(col("o_orderdate")) - 1)).cast("long")
+      val x = col("o_custkey") % 4096
+      val z = spread(x).bitwiseOR(shiftleft(spread(ym), 1))
+      orders(s, d)
+        .select(x.as("x"), ym.as("ym"), shiftright(z, 13).as("zbucket"))
+        .groupBy("zbucket")
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("ym")).as("min_ym"), max(col("ym")).as("max_ym"))
+        .orderBy("zbucket")
+    }),
     // A2b — malformed-record handling (every real CSV lake has bad rows):
     // PERMISSIVE mode quarantines rows that fail the schema into
     // _corrupt_record instead of failing the job or silently nulling;
@@ -499,6 +530,30 @@ object TierA {
         |SELECT c_custkey, c_name, c_acctbal
         |FROM ranked WHERE rn = 1 AND op <> 'D'
         |ORDER BY c_custkey""".stripMargin,
+    // the same shift-and-mask spread chain, spelled in DuckDB bit operators
+    "etl_zorder_layout" ->
+      """WITH base AS (
+        |  SELECT o_custkey % 4096 AS x0,
+        |         (year(o_orderdate) - 1995) * 12 + (month(o_orderdate) - 1) AS ym,
+        |         o_custkey % 4096 AS x,
+        |         (year(o_orderdate) - 1995) * 12 + (month(o_orderdate) - 1) AS y
+        |  FROM orders),
+        |s1 AS (SELECT x0, ym,
+        |              (x | (x << 8)) & 16711935 AS x,
+        |              (y | (y << 8)) & 16711935 AS y FROM base),
+        |s2 AS (SELECT x0, ym,
+        |              (x | (x << 4)) & 252645135 AS x,
+        |              (y | (y << 4)) & 252645135 AS y FROM s1),
+        |s3 AS (SELECT x0, ym,
+        |              (x | (x << 2)) & 858993459 AS x,
+        |              (y | (y << 2)) & 858993459 AS y FROM s2),
+        |s4 AS (SELECT x0, ym,
+        |              (x | (x << 1)) & 1431655765 AS x,
+        |              (y | (y << 1)) & 1431655765 AS y FROM s3)
+        |SELECT (x | (y << 1)) >> 13 AS zbucket, COUNT(*) AS n,
+        |       MIN(x0) AS min_x, MAX(x0) AS max_x,
+        |       MIN(ym) AS min_ym, MAX(ym) AS max_ym
+        |FROM s4 GROUP BY 1 ORDER BY zbucket""".stripMargin,
     "etl_data_quality" ->
       """SELECT COUNT(*) AS n_rows,
         |       COUNT(DISTINCT o_orderkey) AS n_distinct_pk,

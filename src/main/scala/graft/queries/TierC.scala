@@ -574,6 +574,27 @@ object TierCAgg {
           |                        (year(o_orderdate)), ())
           |ORDER BY g_yr, g_mon, yr ASC NULLS FIRST, mon ASC NULLS FIRST""".stripMargin)
     }),
+    // C14b' — interpolated (continuous) percentiles, completing the family:
+    // agg_percentile_disc picks data values, agg_approx_percentile sketches,
+    // this interpolates between the two order statistics bracketing rank
+    // p×(n-1). The rank arithmetic and the lerp are the same IEEE ops in
+    // both engines (0.5×(n-1) is exact; 0.9's representation error is
+    // shared), so no tolerance is needed. Same buffering caveat and GK
+    // sketch scale path as the discrete form.
+    "agg_percentile_cont" -> ((s, d) => {
+      val arr = sort_array(collect_list(col("l_extendedprice")))
+      val n = count(lit(1))
+      def pick(p: Double) = {
+        val idx = lit(p) * (n - lit(1)).cast("double")
+        val f = idx - floor(idx)
+        element_at(arr, (floor(idx) + 1).cast("int")) * (lit(1.0) - f) +
+          element_at(arr, (ceil(idx) + 1).cast("int")) * f
+      }
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(pick(0.5).as("p50_price"), pick(0.9).as("p90_price"),
+          n.as("n"))
+        .orderBy("l_returnflag")
+    }),
     // C14c' — skewness + excess-kurtosis from exact decimal power sums
     // (agg_variance extended to the 3rd/4th moments). Two disciplines keep
     // it bit-identical: (1) the measure is cast to DECIMAL(5,2) BEFORE the
@@ -742,6 +763,25 @@ object TierCAgg {
       """SELECT l_orderkey,
         |       array_to_string(list(l_linenumber ORDER BY l_linenumber), ',') AS linenumbers
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    // the CTE forces the rank arithmetic to DOUBLE — DuckDB's bare 0.5
+    // literal is DECIMAL and would run the lerp in decimal arithmetic
+    "agg_percentile_cont" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, list_sort(list(l_extendedprice)) AS arr,
+        |         COUNT(*) AS n
+        |  FROM lineitem GROUP BY l_returnflag),
+        |i AS (
+        |  SELECT l_returnflag, arr, n,
+        |         0.5 * CAST(n - 1 AS DOUBLE) AS i50,
+        |         0.9 * CAST(n - 1 AS DOUBLE) AS i90
+        |  FROM g)
+        |SELECT l_returnflag,
+        |       arr[CAST(floor(i50) + 1 AS INT)] * (1.0 - (i50 - floor(i50)))
+        |         + arr[CAST(ceil(i50) + 1 AS INT)] * (i50 - floor(i50)) AS p50_price,
+        |       arr[CAST(floor(i90) + 1 AS INT)] * (1.0 - (i90 - floor(i90)))
+        |         + arr[CAST(ceil(i90) + 1 AS INT)] * (i90 - floor(i90)) AS p90_price,
+        |       n
+        |FROM i ORDER BY l_returnflag""".stripMargin,
     "anomaly_mad" ->
       """WITH spend AS (
         |  SELECT o_custkey,
@@ -1003,6 +1043,27 @@ object TierCWindow {
         .drop("sid")
         .orderBy("user_id", "session_start")
     }),
+    // C24d — running DISTINCT count over a window, which no engine supports
+    // directly (COUNT(DISTINCT) OVER is invalid SQL in both): the standard
+    // first-occurrence rewrite — flag each (status, customer)'s first order
+    // with one window, cumulative-sum the flags with a second. Two windows
+    // on different partitionings = two shuffles; the second partitions by
+    // the 3-value status key, a deliberate funnel demo — at 100 TB the
+    // per-day grain would pre-aggregate first-occurrences map-side before
+    // any status-level window (the topk_per_group_agg argument).
+    "win_distinct_running" -> ((s, d) => {
+      val firstSeen = Window.partitionBy("o_orderstatus", "o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+      val running = Window.partitionBy("o_orderstatus")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders(s, d)
+        .withColumn("first_seen",
+          (row_number().over(firstSeen) === 1).cast("int"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          sum(col("first_seen")).over(running).as("distinct_custs"))
+        .orderBy("o_orderkey")
+    }),
     // C23c — ordered event funnel (signup → view → purchase): each stage's
     // timestamp is the user's first qualifying event AT OR AFTER the
     // previous stage — sequence matters, not mere presence. Three
@@ -1185,6 +1246,18 @@ object TierCWindow {
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sessions GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "win_distinct_running" ->
+      """WITH f AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderdate,
+        |         CASE WHEN row_number() OVER (
+        |           PARTITION BY o_orderstatus, o_custkey
+        |           ORDER BY o_orderdate, o_orderkey) = 1 THEN 1 ELSE 0 END AS first_seen
+        |  FROM orders)
+        |SELECT o_orderkey, o_orderstatus,
+        |       CAST(SUM(first_seen) OVER (
+        |         PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS distinct_custs
+        |FROM f ORDER BY o_orderkey""".stripMargin,
     // stages built by re-joining events per stage — independent of the
     // stacked-window plan Spark runs
     "funnel_steps" ->
