@@ -112,4 +112,44 @@ object AsOfJoin {
           col(payload)))
     }.drop("__asof_t", "__asof_side")
   }
+
+  /** Nearest as-of: the single right row closest in time on the same key,
+    * in EITHER direction (pandas merge_asof direction='nearest'); backward
+    * wins exact-distance ties. Still ONE union and ONE hash shuffle — the
+    * backward carry (`last` over the preceding frame) and the forward carry
+    * (`first` over the following frame) are two windows on the SAME
+    * partitioning and ordering, so Catalyst reuses a single sort. Tie
+    * subtlety: right rows sort before left rows at the same instant
+    * (side 0 < 1), which makes the backward frame inclusive and the
+    * forward frame exclusive at ties — harmless, because backward then
+    * holds that row at distance zero and wins the comparison. */
+  def nearest(left: DataFrame, right: DataFrame, key: Seq[String],
+      leftTime: String, rightTime: String,
+      payload: String = "asof"): DataFrame = {
+    val payloadCols = right.columns.filterNot(c => key.contains(c))
+    val r = right.select(
+      key.map(col) ++ Seq(
+        col(rightTime).as("__asof_t"),
+        lit(0).as("__asof_side"),
+        struct(payloadCols.map(col): _*).as("__asof_p")): _*)
+    val l = left
+      .withColumn("__asof_t", col(leftTime))
+      .withColumn("__asof_side", lit(1))
+    val ord = Window.partitionBy(key.map(col): _*)
+      .orderBy(col("__asof_t"), col("__asof_side"))
+    val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val bwDist = col("__asof_t") - col(s"__asof_bw.$rightTime")
+    val fwDist = col(s"__asof_fw.$rightTime") - col("__asof_t")
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__asof_bw", last(col("__asof_p"), ignoreNulls = true).over(wb))
+      .withColumn("__asof_fw", first(col("__asof_p"), ignoreNulls = true).over(wf))
+      .filter(col("__asof_side") === 1)
+      .withColumn(payload,
+        when(col("__asof_bw").isNull, col("__asof_fw"))
+          .when(col("__asof_fw").isNull, col("__asof_bw"))
+          .when(bwDist <= fwDist, col("__asof_bw"))
+          .otherwise(col("__asof_fw")))
+      .drop("__asof_t", "__asof_side", "__asof_p", "__asof_bw", "__asof_fw")
+  }
 }

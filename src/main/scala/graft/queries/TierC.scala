@@ -211,6 +211,25 @@ object TierCJoins {
           col("asof.p_value").as("p_value"))
         .orderBy("event_id")
     }),
+    // C12b'' — NEAREST as-of join (merge_asof direction='nearest'): every
+    // click pairs with the purchase closest in time, either direction,
+    // backward winning ties. One union-and-carry pass, two windows on one
+    // sort. The oracle composes DuckDB's TWO native ASOF joins and picks
+    // the nearer — independent of the single-pass plan.
+    "join_asof_nearest" -> ((s, d) => {
+      val e = events(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("p_ts"))
+        .agg(count(lit(1)).as("n_p"), decSum(col("value")).as("p_value"))
+      graft.operators.AsOfJoin.nearest(clicks, purchases,
+          key = Seq("user_id"), leftTime = "ts", rightTime = "p_ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof.p_ts").as("p_ts"), col("asof.n_p").as("n_p"),
+          col("asof.p_value").as("p_value"))
+        .orderBy("event_id")
+    }),
     // C12c — PURE interval join (no natural equi key) via time-binning:
     // sampled order windows [o_orderdate, +3d] × every lineitem ship date.
     // Written naively this is a theta join — a cartesian pair space at
@@ -325,6 +344,38 @@ object TierCJoins {
         |      FROM e WHERE event_type = 'purchase' GROUP BY user_id, ts)
         |SELECT c.event_id, c.user_id, c.ts, p.p_ts, p.n_p, p.p_value
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.p_ts
+        |ORDER BY c.event_id""".stripMargin,
+    // two native ASOF joins composed, the nearer row picked per column —
+    // an independent implementation of the one-pass nearest carry
+    "join_asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  event_type, value FROM events),
+        |c AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS p_ts, COUNT(*) AS n_p,
+        |             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS p_value
+        |      FROM e WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |bw AS (SELECT c.event_id, p.p_ts, p.n_p, p.p_value
+        |       FROM c ASOF LEFT JOIN p
+        |         ON c.user_id = p.user_id AND c.ts >= p.p_ts),
+        |fw AS (SELECT c.event_id, p.p_ts, p.n_p, p.p_value
+        |       FROM c ASOF LEFT JOIN p
+        |         ON c.user_id = p.user_id AND c.ts <= p.p_ts)
+        |SELECT c.event_id, c.user_id, c.ts,
+        |       CASE WHEN bw.p_ts IS NULL THEN fw.p_ts
+        |            WHEN fw.p_ts IS NULL THEN bw.p_ts
+        |            WHEN c.ts - bw.p_ts <= fw.p_ts - c.ts THEN bw.p_ts
+        |            ELSE fw.p_ts END AS p_ts,
+        |       CASE WHEN bw.p_ts IS NULL THEN fw.n_p
+        |            WHEN fw.p_ts IS NULL THEN bw.n_p
+        |            WHEN c.ts - bw.p_ts <= fw.p_ts - c.ts THEN bw.n_p
+        |            ELSE fw.n_p END AS n_p,
+        |       CASE WHEN bw.p_ts IS NULL THEN fw.p_value
+        |            WHEN fw.p_ts IS NULL THEN bw.p_value
+        |            WHEN c.ts - bw.p_ts <= fw.p_ts - c.ts THEN bw.p_value
+        |            ELSE fw.p_value END AS p_value
+        |FROM c
+        |JOIN bw ON c.event_id = bw.event_id
+        |JOIN fw ON c.event_id = fw.event_id
         |ORDER BY c.event_id""".stripMargin,
     "join_asof_forward" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
@@ -1043,6 +1094,24 @@ object TierCWindow {
         .drop("sid")
         .orderBy("user_id", "session_start")
     }),
+    // C23e — sequential pattern matching (the MATCH_RECOGNIZE shape,
+    // rewritten with lag since neither engine ships MR): find every
+    // strictly-rising 3-order run in a customer's history. Row-pattern
+    // detection over event sequences is one partitioned sort + k lags —
+    // linear per key, the same single user-shuffle discipline as the
+    // funnel.
+    "win_pattern_rising" -> ((s, d) => {
+      val seq = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+      orders(s, d)
+        .withColumn("p1", lag(col("o_totalprice"), 1).over(seq))
+        .withColumn("p2", lag(col("o_totalprice"), 2).over(seq))
+        .filter(col("p2").isNotNull &&
+          col("p2") < col("p1") && col("p1") < col("o_totalprice"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("p2"), col("p1"), col("o_totalprice").as("p0"))
+        .orderBy("o_orderkey")
+    }),
     // C24d — running DISTINCT count over a window, which no engine supports
     // directly (COUNT(DISTINCT) OVER is invalid SQL in both): the standard
     // first-occurrence rewrite — flag each (status, customer)'s first order
@@ -1246,6 +1315,17 @@ object TierCWindow {
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sessions GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "win_pattern_rising" ->
+      """WITH l AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         lag(o_totalprice, 1) OVER w AS p1,
+        |         lag(o_totalprice, 2) OVER w AS p2
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+        |SELECT o_custkey, o_orderkey, p2, p1, o_totalprice AS p0
+        |FROM l
+        |WHERE p2 IS NOT NULL AND p2 < p1 AND p1 < o_totalprice
+        |ORDER BY o_orderkey""".stripMargin,
     "win_distinct_running" ->
       """WITH f AS (
         |  SELECT o_orderkey, o_orderstatus, o_orderdate,

@@ -194,6 +194,86 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("skyline window plan agrees with brute-force dominance on random points") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // random (price, size) points with deliberate duplicates and price
+    // ties; the O(n log n) distinct-price window plan (the pareto_frontier
+    // shape) must keep exactly the non-dominated set
+    val rnd = new scala.util.Random(41)
+    val pts = Seq.fill(400)((rnd.nextInt(40).toDouble, rnd.nextInt(40)))
+      .zipWithIndex.map { case ((p, sz), i) => (i.toLong, p, sz) }
+    val df = pts.toDF("id", "price", "size")
+    val byPrice = df.groupBy("price").agg(max(col("size")).as("gmax"))
+    val ord = Window.orderBy("price")
+    val cheaperMax = byPrice
+      .withColumn("cmax", max(col("gmax")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev_max", lag(col("cmax"), 1).over(ord))
+      .select("price", "gmax", "prev_max")
+    val got = df.join(cheaperMax, Seq("price"))
+      .filter(col("size") === col("gmax") &&
+        (col("prev_max").isNull || col("prev_max") < col("size")))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val brute = pts.filter { case (_, p, sz) =>
+      !pts.exists { case (_, bp, bsz) =>
+        bp <= p && bsz >= sz && (bp < p || bsz > sz) }
+    }.map(_._1).toSet
+    assert(got == brute,
+      s"skyline mismatch: extra=${got -- brute} missing=${brute -- got}")
+  }
+
+  test("overlap chunks tile the token stream: coverage, stride, reconstruction") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val W = 64; val S = 48
+    val rnd = new scala.util.Random(43)
+    // doc lengths straddle every boundary case: empty-ish, < W, = W, = W+1,
+    // multiples of the stride, long tails
+    val lens = Seq(1, 5, W - 1, W, W + 1, W + S, W + S + 1, 200, 500) ++
+      Seq.fill(20)(1 + rnd.nextInt(400))
+    val docs = lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (0 until n).map(j => s"t$j").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val chunks = df
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("n_chunks", when(col("n") <= W, lit(1))
+        .otherwise(lit(1) + expr(s"(n - $W + ${S - 1}) div $S")))
+      .withColumn("chunk_idx", explode(sequence(lit(0), col("n_chunks") - 1)))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(W), col("n") - col("chunk_idx") * S).as("chunk_len"),
+        array_join(slice(col("toks"), col("chunk_idx") * S + 1, lit(W)), " ")
+          .as("chunk_text"))
+      .collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).toSeq).toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ")
+      val cs = chunks(id)
+      // every chunk is exactly the stride-offset window of the original
+      cs.foreach { r =>
+        val idx = r.getLong(1).toInt
+        val expected = toks.slice(idx * S, math.min(idx * S + W, toks.length))
+        assert(r.getString(3) == expected.mkString(" "),
+          s"doc $id chunk $idx text mismatch")
+        assert(r.getLong(2) == expected.length,
+          s"doc $id chunk $idx length mismatch")
+      }
+      // chunks cover the whole stream: the last chunk reaches the end and
+      // consecutive chunks overlap by exactly W - S tokens (when full)
+      val last = cs.last
+      assert(last.getLong(1) * S + last.getLong(2) == toks.length,
+        s"doc $id: last chunk does not reach the end")
+      // stitching non-overlap prefixes + the last chunk rebuilds the doc
+      val rebuilt = (cs.init.map(_.getString(3).split(" ").take(S)) :+
+        cs.last.getString(3).split(" ")).flatten
+      assert(rebuilt.sameElements(toks), s"doc $id: reconstruction differs")
+    }
+  }
+
   test("rolling hash is deterministic and spreads adversarial inputs") {
     check(Prop.forAll(nastyString) { s =>
       val h1 = RollingHash.hashBytes(s.getBytes("UTF-8"))

@@ -79,6 +79,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("b") == None, "lead 25 > 10 is nulled out")
   }
 
+  test("nearest: picks the closer side, backward wins ties, falls back one-sided") {
+    val left = Seq((1L, 10L, "a"), (1L, 13L, "b"), (1L, 3L, "c"),
+      (1L, 30L, "d"), (2L, 7L, "e"), (1L, 11L, "f"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 7L, "p7"), (1L, 15L, "p15")).toDF("k", "rt", "v")
+    val out = AsOfJoin.nearest(left, right, Seq("k"), "t", "rt")
+      .select(col("tag"), col("asof.v").as("v"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out("a") == Some("p7"), "10 is nearer 7 (3) than 15 (5)")
+    assert(out("b") == Some("p15"), "13 is nearer 15 (2) than 7 (6)")
+    assert(out("c") == Some("p7"), "3 has no predecessor; forward fallback")
+    assert(out("d") == Some("p15"), "30 has no follower; backward fallback")
+    assert(out("e") == None, "key 2 has no right rows")
+    assert(out("f") == Some("p7"), "11 ties (4 both ways): backward wins")
+  }
+
   test("forward random data matches the naive range-join-then-earliest encoding") {
     val rnd = new scala.util.Random(13)
     val left = Seq.fill(300)(
