@@ -458,6 +458,44 @@ object TextStats {
           parse_url(url, lit("QUERY"), lit("region")).as("region_param"))
         .orderBy("s_suppkey")
     }),
+    // URL canonicalization + dedup (the step BEFORE url-based web-corpus
+    // dedup: the same page arrives as http/https, WWW-cased, :443-ported,
+    // utm-tagged, fragment-suffixed and trailing-slashed variants).
+    // Deterministic messy variants are synthesized per order row, then
+    // canonicalized by a regex chain shared verbatim with the oracle
+    // (Java/RE2-common subset, the text_scrub_pii discipline): strip
+    // fragment, lowercase, http→https, drop www., drop :443, drop utm_*
+    // params, strip trailing slash. Pure per-row string work + one
+    // canonical-key aggregate; non-utm query params (ref=) survive and
+    // keep those variants distinct — canonicalization must never merge
+    // genuinely different resources.
+    "dedup_url_canonical" -> ((s, d) => {
+      val item = (col("o_custkey") % 500).cast("string")
+      val raw = when(col("o_orderkey") % 4 === 0,
+          concat(lit("https://www.shop.example.com/item/"), item))
+        .when(col("o_orderkey") % 4 === 1,
+          concat(lit("HTTPS://WWW.SHOP.EXAMPLE.COM/item/"), item, lit("/")))
+        .when(col("o_orderkey") % 4 === 2,
+          concat(lit("https://shop.example.com:443/item/"), item,
+            lit("?utm_source=x&utm_campaign=y")))
+        .otherwise(
+          concat(lit("http://shop.example.com/item/"), item,
+            lit("?ref=abc&utm_medium=z#frag")))
+      val canon =
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(lower(
+            regexp_replace(raw, "#.*$", "")),
+          "^http://", "https://"),
+          "://www\\.", "://"),
+          ":443/", "/"),
+          "[?&]utm_[^&#]*", ""),
+          "/$", ""),
+          "\\?$", "")
+      orders(s, d).select(col("o_orderkey"), canon.as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_raw"), min(col("o_orderkey")).as("first_key"))
+        .orderBy("canonical_url")
+    }),
     // Per-source quota capping (web-corpus pipeline op): every web corpus
     // caps documents per domain so one crawler-friendly site can't swamp
     // the mix. Keep the first 5 docs per source (rank by doc_id — a pure
@@ -805,6 +843,33 @@ object TextStats {
         |       regexp_extract(url, '^https?://[^/]+([^?#]*)', 1) AS path,
         |       regexp_extract(url, '[?&]region=([^&#]*)', 1) AS region_param
         |FROM t ORDER BY s_suppkey""".stripMargin,
+    // same regex chain; DuckDB needs the 'g' flag where Spark's
+    // regexp_replace is global by default
+    "dedup_url_canonical" ->
+      """WITH raw AS (
+        |  SELECT o_orderkey,
+        |         CASE CAST(o_orderkey % 4 AS INT)
+        |           WHEN 0 THEN 'https://www.shop.example.com/item/' || CAST(o_custkey % 500 AS VARCHAR)
+        |           WHEN 1 THEN 'HTTPS://WWW.SHOP.EXAMPLE.COM/item/' || CAST(o_custkey % 500 AS VARCHAR) || '/'
+        |           WHEN 2 THEN 'https://shop.example.com:443/item/' || CAST(o_custkey % 500 AS VARCHAR) || '?utm_source=x&utm_campaign=y'
+        |           ELSE 'http://shop.example.com/item/' || CAST(o_custkey % 500 AS VARCHAR) || '?ref=abc&utm_medium=z#frag'
+        |         END AS u
+        |  FROM orders),
+        |canon AS (
+        |  SELECT o_orderkey,
+        |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |           regexp_replace(regexp_replace(lower(
+        |             regexp_replace(u, '#.*$', '')),
+        |           '^http://', 'https://'),
+        |           '://www\.', '://'),
+        |           ':443/', '/'),
+        |           '[?&]utm_[^&#]*', '', 'g'),
+        |           '/$', ''),
+        |           '\?$', '') AS canonical_url
+        |  FROM raw)
+        |SELECT canonical_url, COUNT(*) AS n_raw, MIN(o_orderkey) AS first_key
+        |FROM canon GROUP BY canonical_url
+        |ORDER BY canonical_url""".stripMargin,
     "source_quota_cap" ->
       """WITH r AS (
         |  SELECT source, n_chars,

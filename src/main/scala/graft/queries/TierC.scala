@@ -561,6 +561,26 @@ object TierCAgg {
           col("n").cast("double") / sum(col("n")).over(Window.partitionBy()))
         .orderBy("bucket")
     }),
+    // C14d' — key-skew profile: the measurement that justifies (or
+    // refuses) a salted join. Group sizes for the candidate shuffle key,
+    // then max/median/p99 size and the skew factor max/mean — the number
+    // that says whether one key would serialize a task. Sizes are exact
+    // integers and the two divisions are single IEEE ops, so the report is
+    // bit-identical cross-engine. One map-side-combined count + a
+    // key-cardinality-sized stats pass.
+    "profile_skew" -> ((s, d) => {
+      def pick(p: Double) = element_at(sort_array(collect_list(col("sz"))),
+        greatest(ceil(lit(p) * count(lit(1))), lit(1)).cast("int"))
+      val sizes = orders(s, d).groupBy("o_custkey")
+        .agg(count(lit(1)).as("sz"))
+      sizes.agg(count(lit(1)).as("n_keys"),
+          sum(col("sz")).as("n_rows"),
+          max(col("sz")).as("max_sz"),
+          pick(0.5).as("median_sz"),
+          pick(0.99).as("p99_sz"),
+          (max(col("sz")).cast("double") /
+            (sum(col("sz")).cast("double") / count(lit(1)))).as("skew_factor"))
+    }),
     // C14e — z-score outlier detection over a derived metric (per-customer
     // spend): moments from exact decimal sums (the agg_variance
     // discipline), so mean/stddev/z are bit-identical across engines and
@@ -932,6 +952,16 @@ object TierCAgg {
         |SELECT bucket, n, min_price, max_price,
         |       CAST(n AS DOUBLE) / CAST((SELECT SUM(n) FROM h) AS DOUBLE) AS pct
         |FROM h ORDER BY bucket""".stripMargin,
+    "profile_skew" ->
+      """WITH sizes AS (
+        |  SELECT o_custkey, COUNT(*) AS sz FROM orders GROUP BY o_custkey)
+        |SELECT COUNT(*) AS n_keys,
+        |       CAST(SUM(sz) AS BIGINT) AS n_rows,
+        |       MAX(sz) AS max_sz,
+        |       list_sort(list(sz))[CAST(greatest(ceil(0.5 * COUNT(*)), 1) AS INT)] AS median_sz,
+        |       list_sort(list(sz))[CAST(greatest(ceil(0.99 * COUNT(*)), 1) AS INT)] AS p99_sz,
+        |       CAST(MAX(sz) AS DOUBLE) / (CAST(SUM(sz) AS DOUBLE) / COUNT(*)) AS skew_factor
+        |FROM sizes""".stripMargin,
     "zscore_outliers" ->
       """WITH spend AS (
         |  SELECT o_custkey, COUNT(*) AS n_orders,
