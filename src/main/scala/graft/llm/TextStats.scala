@@ -458,6 +458,32 @@ object TextStats {
           parse_url(url, lit("QUERY"), lit("region")).as("region_param"))
         .orderBy("s_suppkey")
     }),
+    // Mix-diversity profile per language: Gini impurity and Shannon
+    // entropy of the source distribution — the "is this slice dominated by
+    // one crawler?" diagnostic next to corpus_mix_rebalance. Gini is EXACT
+    // (1 - Σc²/n² from integer sums, one shared IEEE chain). Entropy's
+    // p·ln(p) is the only transcendental here, so each term is half-up
+    // scaled to an INTEGER at 1e-8 before the (order-independent) sum —
+    // the tfidf_topk discipline; measured min distance to a rounding
+    // boundary across all terms and SFs is ~2.6e-11, ~5 orders above libm
+    // ulp noise (re-measure if the fixture changes). floor(x+0.5), never
+    // round(): SURVEY §7.4c.
+    "profile_entropy" -> ((s, d) => {
+      val c = documents(s, d).groupBy("lang", "source")
+        .agg(count(lit(1)).as("c"))
+      val n = sum(col("c")).over(Window.partitionBy("lang"))
+      val p = col("c").cast("double") / col("n").cast("double")
+      c.withColumn("n", n)
+        .withColumn("term",
+          floor(p * log(p) * lit(1.0e8) + lit(0.5)).cast("long"))
+        .groupBy("lang")
+        .agg(max(col("n")).as("n_docs"), count(lit(1)).as("k_sources"),
+          (lit(1.0) - sum(col("c") * col("c")).cast("double") /
+            (max(col("n")).cast("double") * max(col("n")).cast("double")))
+            .as("gini"),
+          (-sum(col("term")).cast("double") / lit(1.0e8)).as("entropy"))
+        .orderBy("lang")
+    }),
     // URL canonicalization + dedup (the step BEFORE url-based web-corpus
     // dedup: the same page arrives as http/https, WWW-cased, :443-ported,
     // utm-tagged, fragment-suffixed and trailing-slashed variants).
@@ -843,6 +869,24 @@ object TextStats {
         |       regexp_extract(url, '^https?://[^/]+([^?#]*)', 1) AS path,
         |       regexp_extract(url, '[?&]region=([^&#]*)', 1) AS region_param
         |FROM t ORDER BY s_suppkey""".stripMargin,
+    "profile_entropy" ->
+      """WITH c AS (
+        |  SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+        |t AS (
+        |  SELECT lang, c,
+        |         CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM c),
+        |u AS (
+        |  SELECT lang, c, n,
+        |         CAST(floor(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+        |           * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |           * 100000000.0 + 0.5) AS BIGINT) AS term
+        |  FROM t)
+        |SELECT lang, MAX(n) AS n_docs, COUNT(*) AS k_sources,
+        |       1.0 - CAST(SUM(c * c) AS DOUBLE)
+        |             / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(n) AS DOUBLE)) AS gini,
+        |       -CAST(SUM(term) AS DOUBLE) / 100000000.0 AS entropy
+        |FROM u GROUP BY lang ORDER BY lang""".stripMargin,
     // same regex chain; DuckDB needs the 'g' flag where Spark's
     // regexp_replace is global by default
     "dedup_url_canonical" ->
