@@ -156,6 +156,33 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"kmeans plans a window:\n$plan")
   }
 
+  test("runtime bloom filter injects into a selective fact-fact join") {
+    // the 100 TB scan-reduction feature behind selective fact-fact joins:
+    // the filtered build side publishes a bloom filter that prunes probe
+    // rows BEFORE the shuffle. Local fixtures sit under the default 10 MB
+    // creation threshold, so the thresholds are opened up to prove the
+    // rewrite fires; on a cluster the defaults gate it to genuinely
+    // selective builds.
+    import graft.core.Tables
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val o = Tables.orders(spark, sf).filter(col("o_totalprice") > 400000)
+      val l = Tables.lineitem(spark, sf)
+      val plan = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.optimizedPlan.toString.toLowerCase
+      assert(plan.contains("bloom"),
+        s"no runtime bloom filter injected into:\n$plan")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("C15: aggregation is partial+final (map-side combine)") {
     val plan = executedPlan("agg_groupby_having")
     assert(plan.contains("partial_"), s"no partial aggregation in:\n$plan")
