@@ -458,6 +458,23 @@ object TextStats {
           parse_url(url, lit("QUERY"), lit("region")).as("region_param"))
         .orderBy("s_suppkey")
     }),
+    // User-level holdout (the leakage-free eval split): the hash decision
+    // is taken on the USER, not the event, so every event of a user lands
+    // in the same split — a per-event hash would leak a held-out user's
+    // behavior into training, the classic eval-contamination bug that
+    // per-doc sample_split cannot prevent for grouped data. md5 digits
+    // 17-20 (next free range; 1-4 split/pack, 5-8 stratified, 9-12
+    // weighted, 13-16 negatives), ~20% of users held out.
+    "sample_user_holdout" -> ((s, d) => {
+      val hold = md5Fold(col("user_id"), 17) % 100 < 20
+      events(s, d)
+        .withColumn("split", when(hold, "holdout").otherwise("train"))
+        .groupBy("split")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          decSum(col("value")).as("sum_value"))
+        .orderBy("split")
+    }),
     // Mix-diversity profile per language: Gini impurity and Shannon
     // entropy of the source distribution — the "is this slice dominated by
     // one crawler?" diagnostic next to corpus_mix_rebalance. Gini is EXACT
@@ -869,6 +886,24 @@ object TextStats {
         |       regexp_extract(url, '^https?://[^/]+([^?#]*)', 1) AS path,
         |       regexp_extract(url, '[?&]region=([^&#]*)', 1) AS region_param
         |FROM t ORDER BY s_suppkey""".stripMargin,
+    // md5 hex digits 17-20 of the USER id — the same fold discipline as
+    // pack_sequences (digits 1-4); split is a pure function of user_id
+    "sample_user_holdout" ->
+      """WITH h AS (
+        |  SELECT user_id, value, md5(CAST(user_id AS VARCHAR)) AS hx
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, value,
+        |    ((((CASE WHEN ord(hx[17:17]) >= 97 THEN ord(hx[17:17]) - 87 ELSE ord(hx[17:17]) - 48 END) * 16
+        |      + (CASE WHEN ord(hx[18:18]) >= 97 THEN ord(hx[18:18]) - 87 ELSE ord(hx[18:18]) - 48 END)) * 16
+        |      + (CASE WHEN ord(hx[19:19]) >= 97 THEN ord(hx[19:19]) - 87 ELSE ord(hx[19:19]) - 48 END)) * 16
+        |      + (CASE WHEN ord(hx[20:20]) >= 97 THEN ord(hx[20:20]) - 87 ELSE ord(hx[20:20]) - 48 END)) % 100 AS pct
+        |  FROM h)
+        |SELECT CASE WHEN pct < 20 THEN 'holdout' ELSE 'train' END AS split,
+        |       COUNT(DISTINCT user_id) AS n_users,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
     "profile_entropy" ->
       """WITH c AS (
         |  SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY 1, 2),

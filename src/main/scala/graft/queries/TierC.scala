@@ -561,6 +561,31 @@ object TierCAgg {
           col("n").cast("double") / sum(col("n")).over(Window.partitionBy()))
         .orderBy("bucket")
     }),
+    // C14h — deterministic MODE (most frequent value per group, smallest
+    // value winning count ties — a bare mode() is nondeterministic on
+    // ties, the first()-without-ordering trap): one map-side-combined
+    // count to a |statuses × priorities| table, then a rank over THAT
+    // post-aggregate — the window never sees raw rows.
+    "agg_mode" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(desc("cnt"), asc("o_orderpriority"))
+      orders(s, d).groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+          col("cnt"))
+        .orderBy("o_orderstatus")
+    }),
+    // C14i — activity heatmap (day-of-week × hour), the time-profile
+    // counterpart of profile_histogram. Dialect: Spark dayofweek is
+    // 1-based Sunday=1, DuckDB's is 0-based Sunday=0 — the oracle adds 1.
+    "profile_time_heatmap" -> ((s, d) => {
+      events(s, d)
+        .groupBy(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
+        .orderBy("dow", "hr")
+    }),
     // C14d' — key-skew profile: the measurement that justifies (or
     // refuses) a salted join. Group sizes for the candidate shuffle key,
     // then max/median/p99 size and the skew factor max/mean — the number
@@ -952,6 +977,23 @@ object TierCAgg {
         |SELECT bucket, n, min_price, max_price,
         |       CAST(n AS DOUBLE) / CAST((SELECT SUM(n) FROM h) AS DOUBLE) AS pct
         |FROM h ORDER BY bucket""".stripMargin,
+    "agg_mode" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (
+        |  SELECT o_orderstatus, o_orderpriority, cnt,
+        |         row_number() OVER (PARTITION BY o_orderstatus
+        |                            ORDER BY cnt DESC, o_orderpriority ASC) AS rn
+        |  FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+        |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+    "profile_time_heatmap" ->
+      """SELECT dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
+        |       hour(CAST(ts AS TIMESTAMP)) AS hr,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY dow, hr""".stripMargin,
     "profile_skew" ->
       """WITH sizes AS (
         |  SELECT o_custkey, COUNT(*) AS sz FROM orders GROUP BY o_custkey)
