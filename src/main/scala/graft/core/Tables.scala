@@ -112,4 +112,15 @@ object Tables {
     * the bigint count — one IEEE division, identical bits in Spark & DuckDB.
     * (Never use built-in AVG(double) in an oracle-checked query.) */
   def decAvg(c: Column): Column = decSum(c) / count(lit(1))
+
+  /** Exact order statistic by explicit sort-and-select: the value at rank
+    * ceil(p·n), 1-based, floored at rank 1. ONE definition for every
+    * percentile/median/MAD pick (agg_percentile_disc, anomaly_mad,
+    * profile_skew): the ceil + greatest guard is load-bearing — it pins the
+    * identical index formula in both engines AND prevents an ANSI
+    * element_at(0) error when p·n < 1. Buffers the group's values; the
+    * scale path is the GK sketch (agg_approx_percentile). */
+  def sortedPick(c: Column, p: Double): Column =
+    element_at(sort_array(collect_list(c)),
+      greatest(ceil(lit(p) * count(lit(1))), lit(1)).cast("int"))
 }

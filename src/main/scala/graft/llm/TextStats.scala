@@ -514,24 +514,31 @@ object TextStats {
     // genuinely different resources.
     "dedup_url_canonical" -> ((s, d) => {
       val item = (col("o_custkey") % 500).cast("string")
-      val raw = when(col("o_orderkey") % 4 === 0,
+      val raw = when(col("o_orderkey") % 5 === 0,
           concat(lit("https://www.shop.example.com/item/"), item))
-        .when(col("o_orderkey") % 4 === 1,
+        .when(col("o_orderkey") % 5 === 1,
           concat(lit("HTTPS://WWW.SHOP.EXAMPLE.COM/item/"), item, lit("/")))
-        .when(col("o_orderkey") % 4 === 2,
+        .when(col("o_orderkey") % 5 === 2,
           concat(lit("https://shop.example.com:443/item/"), item,
             lit("?utm_source=x&utm_campaign=y")))
-        .otherwise(
+        .when(col("o_orderkey") % 5 === 3,
           concat(lit("http://shop.example.com/item/"), item,
             lit("?ref=abc&utm_medium=z#frag")))
+        .otherwise( // utm FIRST, survivor after — exercises the &→? repair
+          concat(lit("https://shop.example.com/item/"), item,
+            lit("?utm_source=q&ref=abc")))
+      // after dropping utm_* params a surviving param can be left dangling
+      // on '&' ("item/3&ref=abc") — promote the first unpreceded '&' back
+      // to '?' so equal resources actually merge
       val canon =
         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-          regexp_replace(regexp_replace(lower(
+          regexp_replace(regexp_replace(regexp_replace(lower(
             regexp_replace(raw, "#.*$", "")),
           "^http://", "https://"),
           "://www\\.", "://"),
           ":443/", "/"),
           "[?&]utm_[^&#]*", ""),
+          "^([^?]*)&", "$1?"),
           "/$", ""),
           "\\?$", "")
       orders(s, d).select(col("o_orderkey"), canon.as("canonical_url"))
@@ -927,22 +934,24 @@ object TextStats {
     "dedup_url_canonical" ->
       """WITH raw AS (
         |  SELECT o_orderkey,
-        |         CASE CAST(o_orderkey % 4 AS INT)
+        |         CASE CAST(o_orderkey % 5 AS INT)
         |           WHEN 0 THEN 'https://www.shop.example.com/item/' || CAST(o_custkey % 500 AS VARCHAR)
         |           WHEN 1 THEN 'HTTPS://WWW.SHOP.EXAMPLE.COM/item/' || CAST(o_custkey % 500 AS VARCHAR) || '/'
         |           WHEN 2 THEN 'https://shop.example.com:443/item/' || CAST(o_custkey % 500 AS VARCHAR) || '?utm_source=x&utm_campaign=y'
-        |           ELSE 'http://shop.example.com/item/' || CAST(o_custkey % 500 AS VARCHAR) || '?ref=abc&utm_medium=z#frag'
+        |           WHEN 3 THEN 'http://shop.example.com/item/' || CAST(o_custkey % 500 AS VARCHAR) || '?ref=abc&utm_medium=z#frag'
+        |           ELSE 'https://shop.example.com/item/' || CAST(o_custkey % 500 AS VARCHAR) || '?utm_source=q&ref=abc'
         |         END AS u
         |  FROM orders),
         |canon AS (
         |  SELECT o_orderkey,
         |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |           regexp_replace(regexp_replace(lower(
+        |           regexp_replace(regexp_replace(regexp_replace(lower(
         |             regexp_replace(u, '#.*$', '')),
         |           '^http://', 'https://'),
         |           '://www\.', '://'),
         |           ':443/', '/'),
         |           '[?&]utm_[^&#]*', '', 'g'),
+        |           '^([^?]*)&', '\1?'),
         |           '/$', ''),
         |           '\?$', '') AS canonical_url
         |  FROM raw)

@@ -263,7 +263,7 @@ object TierA {
         .unionByName(logRows(_.filter(col("c_custkey") % 13 === 0)
           .withColumn("c_custkey", -(col("c_custkey") + 1)), 3, "I"))
         .unionByName(logRows(_.filter(col("c_custkey") % 77 === 0)
-          .withColumn("c_acctbal", col("c_acctbal") + 75.0), 4, "U"))
+          .withColumn("c_acctbal", col("c_acctbal") + 75.0), 4, "I"))
       log.groupBy("c_custkey")
         .agg(max_by(struct(col("c_name"), col("c_acctbal"), col("op")),
           col("seq")).as("last"))
@@ -521,7 +521,7 @@ object TierA {
         |  SELECT -(c_custkey + 1), c_name, c_acctbal, 3, 'I' FROM customer
         |  WHERE c_custkey % 13 = 0
         |  UNION ALL
-        |  SELECT c_custkey, c_name, c_acctbal + 75.0, 4, 'U' FROM customer
+        |  SELECT c_custkey, c_name, c_acctbal + 75.0, 4, 'I' FROM customer
         |  WHERE c_custkey % 77 = 0),
         |ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY c_custkey

@@ -89,6 +89,24 @@ object TierCFilters {
 }
 
 object TierCJoins {
+  /** Shared probe/lookup inputs for the three AS-OF direction queries:
+    * click events probing the per-(user, instant) purchase aggregate
+    * (AsOfJoin's uniqueness contract). */
+  private def clickPurchase(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val e = events(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("p_ts"))
+      .agg(count(lit(1)).as("n_p"), decSum(col("value")).as("p_value"))
+    (clicks, purchases)
+  }
+  private def asofSurface(df: DataFrame): DataFrame =
+    df.select(col("event_id"), col("user_id"), col("ts"),
+        col("asof.p_ts").as("p_ts"), col("asof.n_p").as("n_p"),
+        col("asof.p_value").as("p_value"))
+      .orderBy("event_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C5 — inner equi-join. Catalyst picks broadcast vs sort-merge by size;
     // at 100 TB orders/customer both shuffle on the key (co-partitionable).
@@ -178,18 +196,9 @@ object TierCJoins {
     // contract — and 30-min-windowed attribution stays with D8; this is the
     // unbounded "state as of the event" lookup that join can't express.
     "join_asof" -> ((s, d) => {
-      val e = events(s, d)
-      val clicks = e.filter(col("event_type") === "click")
-        .select("event_id", "user_id", "ts")
-      val purchases = e.filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"), col("ts").as("p_ts"))
-        .agg(count(lit(1)).as("n_p"), decSum(col("value")).as("p_value"))
-      graft.operators.AsOfJoin.backward(clicks, purchases,
-          key = Seq("user_id"), leftTime = "ts", rightTime = "p_ts")
-        .select(col("event_id"), col("user_id"), col("ts"),
-          col("asof.p_ts").as("p_ts"), col("asof.n_p").as("n_p"),
-          col("asof.p_value").as("p_value"))
-        .orderBy("event_id")
+      val (clicks, purchases) = clickPurchase(s, d)
+      asofSurface(graft.operators.AsOfJoin.backward(clicks, purchases,
+        key = Seq("user_id"), leftTime = "ts", rightTime = "p_ts"))
     }),
     // C12b' — FORWARD as-of join (AsOfJoin.forward): every click picks up
     // the user's NEXT purchase at or after it — click-to-purchase lead-time
@@ -198,18 +207,9 @@ object TierCJoins {
     // again its native ASOF operator with the inequality flipped
     // (c.ts <= p.p_ts picks the smallest p_ts ≥ ts).
     "join_asof_forward" -> ((s, d) => {
-      val e = events(s, d)
-      val clicks = e.filter(col("event_type") === "click")
-        .select("event_id", "user_id", "ts")
-      val purchases = e.filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"), col("ts").as("p_ts"))
-        .agg(count(lit(1)).as("n_p"), decSum(col("value")).as("p_value"))
-      graft.operators.AsOfJoin.forward(clicks, purchases,
-          key = Seq("user_id"), leftTime = "ts", rightTime = "p_ts")
-        .select(col("event_id"), col("user_id"), col("ts"),
-          col("asof.p_ts").as("p_ts"), col("asof.n_p").as("n_p"),
-          col("asof.p_value").as("p_value"))
-        .orderBy("event_id")
+      val (clicks, purchases) = clickPurchase(s, d)
+      asofSurface(graft.operators.AsOfJoin.forward(clicks, purchases,
+        key = Seq("user_id"), leftTime = "ts", rightTime = "p_ts"))
     }),
     // C12b'' — NEAREST as-of join (merge_asof direction='nearest'): every
     // click pairs with the purchase closest in time, either direction,
@@ -217,18 +217,9 @@ object TierCJoins {
     // sort. The oracle composes DuckDB's TWO native ASOF joins and picks
     // the nearer — independent of the single-pass plan.
     "join_asof_nearest" -> ((s, d) => {
-      val e = events(s, d)
-      val clicks = e.filter(col("event_type") === "click")
-        .select("event_id", "user_id", "ts")
-      val purchases = e.filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"), col("ts").as("p_ts"))
-        .agg(count(lit(1)).as("n_p"), decSum(col("value")).as("p_value"))
-      graft.operators.AsOfJoin.nearest(clicks, purchases,
-          key = Seq("user_id"), leftTime = "ts", rightTime = "p_ts")
-        .select(col("event_id"), col("user_id"), col("ts"),
-          col("asof.p_ts").as("p_ts"), col("asof.n_p").as("n_p"),
-          col("asof.p_value").as("p_value"))
-        .orderBy("event_id")
+      val (clicks, purchases) = clickPurchase(s, d)
+      asofSurface(graft.operators.AsOfJoin.nearest(clicks, purchases,
+        key = Seq("user_id"), leftTime = "ts", rightTime = "p_ts"))
     }),
     // C12c — PURE interval join (no natural equi key) via time-binning:
     // sampled order windows [o_orderdate, +3d] × every lineitem ship date.
@@ -506,11 +497,9 @@ object TierCAgg {
     // group (Spark's own percentile() does too); the 100 TB path is
     // approx_percentile (C17's HLL argument applies).
     "agg_percentile_disc" -> ((s, d) => {
-      val sorted = sort_array(collect_list(col("l_quantity")))
-      def pick(p: Double) = element_at(sorted,
-        greatest(ceil(lit(p) * count(lit(1))), lit(1)).cast("int"))
       lineitem(s, d).groupBy("l_returnflag")
-        .agg(pick(0.5).as("median_qty"), pick(0.9).as("p90_qty"),
+        .agg(sortedPick(col("l_quantity"), 0.5).as("median_qty"),
+          sortedPick(col("l_quantity"), 0.9).as("p90_qty"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
     }),
@@ -594,15 +583,13 @@ object TierCAgg {
     // bit-identical cross-engine. One map-side-combined count + a
     // key-cardinality-sized stats pass.
     "profile_skew" -> ((s, d) => {
-      def pick(p: Double) = element_at(sort_array(collect_list(col("sz"))),
-        greatest(ceil(lit(p) * count(lit(1))), lit(1)).cast("int"))
       val sizes = orders(s, d).groupBy("o_custkey")
         .agg(count(lit(1)).as("sz"))
       sizes.agg(count(lit(1)).as("n_keys"),
           sum(col("sz")).as("n_rows"),
           max(col("sz")).as("max_sz"),
-          pick(0.5).as("median_sz"),
-          pick(0.99).as("p99_sz"),
+          sortedPick(col("sz"), 0.5).as("median_sz"),
+          sortedPick(col("sz"), 0.99).as("p99_sz"),
           (max(col("sz")).cast("double") /
             (sum(col("sz")).cast("double") / count(lit(1)))).as("skew_factor"))
     }),
@@ -638,14 +625,12 @@ object TierCAgg {
     // the value list (as agg_percentile_disc does); the 100 TB path swaps
     // in the GK sketch (agg_approx_percentile) for both picks.
     "anomaly_mad" -> ((s, d) => {
-      def medianOf(c: Column) = element_at(sort_array(collect_list(c)),
-        greatest(ceil(lit(0.5) * count(lit(1))), lit(1)).cast("int"))
       val spend = orders(s, d).groupBy("o_custkey")
         .agg(sum(dec(col("o_totalprice"))).cast("decimal(18,2)").as("s"))
-      val med = spend.agg(medianOf(col("s")).as("med"))
+      val med = spend.agg(sortedPick(col("s"), 0.5).as("med"))
       val dev = spend.crossJoin(broadcast(med))
         .withColumn("dev", abs(col("s") - col("med")))
-      val mad = dev.agg(medianOf(col("dev")).as("mad"))
+      val mad = dev.agg(sortedPick(col("dev"), 0.5).as("mad"))
       dev.crossJoin(broadcast(mad))
         .filter(col("dev") > lit(3) * col("mad"))
         .select(col("o_custkey"), col("s").cast("double").as("spend"),

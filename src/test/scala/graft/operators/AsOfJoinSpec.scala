@@ -95,6 +95,37 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("f") == Some("p7"), "11 ties (4 both ways): backward wins")
   }
 
+  test("nearest random data matches the naive min-distance encoding") {
+    // same discipline as the backward/forward differentials: random keys
+    // and times with plenty of same-instant collisions, checked against a
+    // rank over abs distance with the backward-wins tiebreak
+    val rnd = new scala.util.Random(17)
+    val left = Seq.fill(300)(
+      (rnd.nextInt(5).toLong, rnd.nextInt(60).toLong)).toDF("k", "t")
+    val right = Seq.fill(150)(
+      (rnd.nextInt(5).toLong, rnd.nextInt(60).toLong))
+      .distinct.map { case (k, t) => (k, t, k * 1000 + t) }
+      .toDF("k", "rt", "v")
+    val got = AsOfJoin.nearest(left, right, Seq("k"), "t", "rt")
+      .select(col("k"), col("t"), col("asof.rt").as("rt"), col("asof.v").as("v"))
+    left.createOrReplaceTempView("aonl")
+    right.createOrReplaceTempView("aonr")
+    val naive = spark.sql(
+      """WITH lefts AS (SELECT DISTINCT k, t FROM aonl),
+        |cand AS (
+        |  SELECT lefts.k, lefts.t, r.rt, r.v,
+        |         row_number() OVER (PARTITION BY lefts.k, lefts.t
+        |           ORDER BY abs(r.rt - lefts.t),
+        |                    CASE WHEN r.rt <= lefts.t THEN 0 ELSE 1 END) AS rn
+        |  FROM lefts JOIN aonr r ON lefts.k = r.k)
+        |SELECT l.k, l.t, c.rt, c.v
+        |FROM aonl l LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+        |  ON l.k = c.k AND l.t = c.t""".stripMargin)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(key(got) == key(naive), "nearest as-of disagrees with the naive encoding")
+  }
+
   test("forward random data matches the naive range-join-then-earliest encoding") {
     val rnd = new scala.util.Random(13)
     val left = Seq.fill(300)(
