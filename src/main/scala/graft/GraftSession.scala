@@ -55,6 +55,10 @@ private[graft] object GraftFunctions {
         SqlArgs.foldableInt("sign_band_buckets", exprs, 2, "bitsPerBand"),
         SqlArgs.foldableInt("sign_band_buckets", exprs, 3, "seed"))
     }),
+    ("canonical_url", classOf[CanonicalUrl], { exprs: Seq[Expression] =>
+      SqlArgs.arity("canonical_url", exprs, 1, 1)
+      CanonicalUrl(exprs.head)
+    }),
   )
 }
 

@@ -274,6 +274,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("canonical_url scanner matches the 8-regex reference chain on adversarial URLs") {
+    // the kernel replaced a chain of regexp_replace calls; this fuzz pins
+    // step-for-step parity against the chain itself (java.util.regex, the
+    // same engine Spark's regexp_replace uses). ASCII single-line inputs —
+    // the kernel's documented domain.
+    def referenceChain(u: String): String = {
+      var s = u.replaceAll("#.*$", "").toLowerCase(java.util.Locale.ROOT)
+      s = s.replaceAll("^http://", "https://")
+      s = s.replaceAll("://www\\.", "://")
+      s = s.replaceAll(":443/", "/")
+      s = s.replaceAll("[?&]utm_[^&#]*", "")
+      s = s.replaceAll("^([^?&]*)&", "$1?")
+      s = s.replaceAll("/$", "")
+      s.replaceAll("\\?$", "")
+    }
+    val piece = Gen.oneOf("http://", "https://", "HTTP://", "www.", "WWW.",
+      "shop.example.com", ":443", ":8080", "/item/7", "/", "?", "&",
+      "utm_source=x", "utm_", "UTM_A=1", "ref=abc", "#frag", "#", "a b",
+      "?utm_x=1&ref=2", "&utm_y", "://www.www.", ":443/:443/")
+    val urlish: Gen[String] = Gen.listOf(piece).map(_.mkString)
+    check(Prop.forAll(urlish) { u =>
+      graft.functions.CanonicalUrl.canonicalize(u) == referenceChain(u)
+    }, tries = 200)
+    // and the fixture's five variant shapes explicitly
+    Seq("https://www.shop.example.com/item/3",
+      "HTTPS://WWW.SHOP.EXAMPLE.COM/item/3/",
+      "https://shop.example.com:443/item/3?utm_source=x&utm_campaign=y",
+      "http://shop.example.com/item/3?ref=abc&utm_medium=z#frag",
+      "https://shop.example.com/item/3?utm_source=q&ref=abc")
+      .foreach { u =>
+        assert(graft.functions.CanonicalUrl.canonicalize(u) == referenceChain(u),
+          s"variant diverged: $u")
+      }
+  }
+
   test("rolling hash is deterministic and spreads adversarial inputs") {
     check(Prop.forAll(nastyString) { s =>
       val h1 = RollingHash.hashBytes(s.getBytes("UTF-8"))
