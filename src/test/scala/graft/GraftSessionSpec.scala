@@ -14,7 +14,8 @@ class GraftSessionSpec extends SparkSpec {
         |       size(ngram_hashes('abcdef', 3)) AS ng,
         |       size(minhash_array(array(7L, 9L), 32)) AS mh,
         |       size(sign_band_buckets(array(1.0D, -2.0D, 0.5D, 3.0D), 32, 8, 4)) AS sb,
-        |       size(token_ngram_hashes(array(1L, 2L, 3L, 4L, 5L), 3)) AS tg
+        |       size(token_ngram_hashes(array(1L, 2L, 3L, 4L, 5L), 3)) AS tg,
+        |       canonical_url('HTTP://WWW.Shop.Example.com:443/a/?utm_x=1&ref=2#f') AS cu
         |""".stripMargin).head()
     assert(r.getLong(0) ==
       graft.functions.RollingHash.hashBytes("abc".getBytes("UTF-8")))
@@ -24,6 +25,8 @@ class GraftSessionSpec extends SparkSpec {
     assert(r.getInt(4) == 32)
     assert(r.getInt(5) == 32)
     assert(r.getInt(6) == 3) // 5 tokens, 3-gram windows: positions 1..3
+    assert(r.getString(7) == "https://shop.example.com/a/?ref=2",
+      "scheme/case/www/port/utm/fragment all normalized, '&' repaired to '?'")
   }
 
   test("SQL surface rejects wrong arity and non-literal literals clearly") {

@@ -138,6 +138,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D8b: LEFT OUTER stream-stream join emits unmatched rows only after watermark eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicksIn = MemoryStream[(Timestamp, Long)]
+    val buysIn = MemoryStream[(Timestamp, Long)]
+    val clicks = clicksIn.toDF().toDF("c_ts", "c_user")
+      .withWatermark("c_ts", "30 minutes")
+    val buys = buysIn.toDF().toDF("p_ts", "p_user")
+      .withWatermark("p_ts", "30 minutes")
+    val joined = clicks.join(buys,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 15 MINUTES"),
+      "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssj_outer_spec")
+      .outputMode("append").start()
+    try {
+      // batch 1: two clicks; user 1 will match, user 2 never will
+      clicksIn.addData(ts("2024-01-01 10:00:00") -> 1L,
+        ts("2024-01-01 10:00:00") -> 2L)
+      buysIn.addData(ts("2024-01-01 10:10:00") -> 1L)
+      q.processAllAvailable()
+      val early = spark.table("ssj_outer_spec")
+        .collect().map(r => r.getLong(1) -> r.isNullAt(2)).toSet
+      assert(early == Set(1L -> false),
+        s"only the inner match may emit before eviction, got $early")
+      // batch 2: push BOTH watermarks far past click(10:00)+15min+30min —
+      // user 2's click can provably never match, so the outer row emits
+      clicksIn.addData(ts("2024-01-01 12:00:00") -> 9L)
+      buysIn.addData(ts("2024-01-01 12:00:00") -> 9L)
+      q.processAllAvailable()
+      // one more empty-progress pass lets the eviction batch flush
+      q.processAllAvailable()
+      val outer = spark.table("ssj_outer_spec")
+        .filter(col("c_user") === 2L)
+        .collect().map(_.isNullAt(2)).toSeq
+      assert(outer == Seq(true),
+        s"user 2's click must emit exactly once with a null purchase side, got $outer")
+    } finally q.stop()
+  }
+
   test("D1: streaming tumbling counts equal the batch form") {
     val batch = graft.SparkEntry.queries("stream_tumbling")(spark, sf)
       .select(col("wstart").cast("string"), col("event_type"), col("cnt"))
