@@ -334,6 +334,35 @@ object TextStats {
             .as("chunk_text"))
         .orderBy("doc_id", "chunk_idx")
     }),
+    // Sub-document dedup (the RefinedWeb line/paragraph-level shape):
+    // whole-doc dedup misses the boilerplate CASE — documents that are
+    // unique overall but share repeated blocks (headers, nav, license
+    // text). Cut every doc into non-overlapping 64-token chunks
+    // (text_chunk_overlap's arithmetic with stride = width), hash each
+    // chunk, and a chunk is boilerplate iff its hash repeats anywhere in
+    // the corpus. Per-doc verdict: chunk counts + an integer boilerplate
+    // percentage. Scale shape: the ONLY shuffle is the chunk-hash window —
+    // sub-document dedup at 100 TB is exactly this, with 32-byte digests
+    // traveling instead of text.
+    "dedup_chunk_boilerplate" -> ((s, d) => {
+      val W = 64
+      val wHash = Window.partitionBy("chunk_hash")
+      documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .withColumn("n_chunks", expr(s"(n + ${W - 1}) div $W"))
+        .withColumn("idx", explode(sequence(lit(0), col("n_chunks") - 1)))
+        .select(col("doc_id"),
+          sha2(array_join(
+            slice(col("toks"), col("idx") * W + 1, lit(W)), " "), 256)
+            .as("chunk_hash"))
+        .withColumn("dup", (count(lit(1)).over(wHash) > 1).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"), sum(col("dup")).as("n_dup_chunks"))
+        .withColumn("boilerplate_pct",
+          expr("(100 * n_dup_chunks) div n_chunks"))
+        .orderBy("doc_id")
+    }),
     // The capstone: the whole training-data curation pipeline as ONE
     // composed dataflow — quality gate → exact dedup → benchmark
     // decontamination → deterministic split — ending in the (lang, split)
@@ -841,6 +870,28 @@ object TextStats {
         |SELECT lang, n_docs, n_chars, rate_pct,
         |       CAST((n_docs * rate_pct) // 100 AS BIGINT) AS n_expected
         |FROM r ORDER BY lang""".stripMargin,
+    "dedup_chunk_boilerplate" ->
+      """WITH t AS (
+        |  SELECT doc_id, str_split(text, ' ') AS toks,
+        |         len(str_split(text, ' ')) AS n
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, toks,
+        |         unnest(range(0, (n + 63) // 64)) AS idx
+        |  FROM t),
+        |h AS (
+        |  SELECT doc_id,
+        |         sha256(array_to_string(toks[(idx*64 + 1):(idx*64 + 64)], ' ')) AS chunk_hash
+        |  FROM x),
+        |m AS (
+        |  SELECT doc_id, chunk_hash,
+        |         CASE WHEN COUNT(*) OVER (PARTITION BY chunk_hash) > 1
+        |              THEN 1 ELSE 0 END AS dup
+        |  FROM h)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        |       CAST(SUM(dup) AS BIGINT) AS n_dup_chunks,
+        |       (100 * CAST(SUM(dup) AS BIGINT)) // COUNT(*) AS boilerplate_pct
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // DuckDB list slicing toks[a:b] is 1-based inclusive and clamps at the
     // list end — the same semantics as Spark's slice(toks, start, 64)
     "text_chunk_overlap" ->
