@@ -468,6 +468,22 @@ object TierCAgg {
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_cust"))
         .orderBy("o_orderstatus")
     }),
+    // C17e — Count-Min frequency sketch, completing the mergeable-sketch
+    // family (HLL = distinct, GK = percentile, CMS = per-item frequency):
+    // fixed-memory heavy-hitter counting whose partials merge by counter
+    // addition, so 100 TB of per-key frequency questions costs one
+    // map-side-combined pass + a few KB per group. Unit-tier like its
+    // siblings (sketch binary; PlanSpec asserts the never-underestimate
+    // and epsilon bounds plus merge ≡ single-pass). Fixed seed keeps the
+    // binary deterministic.
+    "agg_cms_freq" -> ((s, d) => {
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(count_min_sketch(col("l_suppkey"), lit(0.001), lit(0.99),
+          lit(42)).as("sketch"))
+        .select(col("l_returnflag"), length(col("sketch")).as("sketch_bytes"),
+          sha2(base64(col("sketch")), 256).as("sketch_fp"))
+        .orderBy("l_returnflag")
+    }),
     // C18 — ROLLUP grouping sets.
     "agg_rollup" -> ((s, d) => {
       lineitem(s, d).rollup("l_returnflag", "l_linestatus")

@@ -115,6 +115,33 @@ object TierCFunctions {
           shiftright(col("l_orderkey"), 2).as("shr2"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
+    // C35b — binary encode/decode family: base64 round-trip and hex over
+    // UTF-8 bytes (the wire formats every ingest edge meets). The oracle
+    // goes through explicit BLOB casts — DuckDB's base64/hex are
+    // bytes-typed where Spark's accept strings directly.
+    "fn_binary" -> ((s, d) => {
+      customer(s, d).select(
+          col("c_custkey"),
+          base64(col("c_name").cast("binary")).as("b64"),
+          hex(col("c_name")).as("hx"),
+          decode(unbase64(base64(col("c_name").cast("binary"))), "UTF-8")
+            .as("roundtrip"))
+        .orderBy("c_custkey")
+    }),
+    // C14j — presence-bitmap aggregation: one BIGINT mask per group with
+    // bit i set iff priority class i occurs — the bitmap-index shape
+    // (set-membership questions become bit tests; masks OR together
+    // map-side, so 8 bytes per group per partition cross the shuffle).
+    "agg_bitor_presence" -> ((s, d) => {
+      orders(s, d)
+        .withColumn("pidx",
+          substring(col("o_orderpriority"), 1, 1).cast("int"))
+        .groupBy("o_orderstatus")
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), pidx))").as("present_mask"),
+          countDistinct(col("pidx")).as("n_classes"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
     // C42 — JSON extraction from events.props.
     "fn_json" -> ((s, d) => {
       events(s, d).select(
@@ -224,6 +251,18 @@ object TierCFunctions {
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS INT) AS k_val
         |FROM events ORDER BY event_id""".stripMargin,
+    "fn_binary" ->
+      """SELECT c_custkey,
+        |       to_base64(CAST(c_name AS BLOB)) AS b64,
+        |       hex(CAST(c_name AS BLOB)) AS hx,
+        |       CAST(from_base64(to_base64(CAST(c_name AS BLOB))) AS VARCHAR) AS roundtrip
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "agg_bitor_presence" ->
+      """SELECT o_orderstatus,
+        |       CAST(bit_or(CAST(1 AS BIGINT) << CAST(substr(o_orderpriority, 1, 1) AS INT)) AS BIGINT) AS present_mask,
+        |       COUNT(DISTINCT CAST(substr(o_orderpriority, 1, 1) AS INT)) AS n_classes,
+        |       COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "fn_struct_map" ->
       """SELECT event_id,
         |       array_to_string(list_sort(json_keys(props)), ',') AS keys,

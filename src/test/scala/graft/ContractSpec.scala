@@ -38,6 +38,7 @@ class ContractSpec extends SparkSpec {
       "agg_approx_distinct",  // HLL sketch (PlanSpec: ±5% of exact)
       "agg_approx_percentile", // GK sketch (PlanSpec: exact rank-band bracket)
       "agg_hll_merge",        // HLL sketch union (PlanSpec: ±5% + merge≡single-pass)
+      "agg_cms_freq",         // Count-Min sketch (PlanSpec: bounds + merge≡single-pass)
       "minhash_signature",    // xxhash64 signatures (LlmSpec: aggregator parity)
       "dedup_minhash_lsh",    // xxhash64 banding (LlmSpec: collision behavior)
       "dedup_simhash",        // xxhash64 bit votes (LlmSpec: hamming behavior)

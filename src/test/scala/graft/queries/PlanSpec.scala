@@ -240,6 +240,35 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("C17e: Count-Min estimates never underestimate, respect epsilon, and merge exactly") {
+    import org.apache.spark.util.sketch.CountMinSketch
+    def sketchOf(df: org.apache.spark.sql.DataFrame): CountMinSketch = {
+      val bytes = df.agg(count_min_sketch(col("l_suppkey"), lit(0.001),
+        lit(0.99), lit(42)).as("s")).head().getAs[Array[Byte]](0)
+      CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+    }
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey")
+    val whole = sketchOf(li)
+    val exact = li.groupBy("l_suppkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    exact.foreach { case (k, e) =>
+      val est = whole.estimateCount(k)
+      assert(est >= e, s"CMS underestimated key $k: $est < $e")
+      assert(est <= e + (0.001 * n).ceil.toLong + 1,
+        s"CMS overshot epsilon bound for key $k: $est vs exact $e (n=$n)")
+    }
+    // mergeability: same seed/width ⇒ counter addition is exact, so the
+    // merged half sketches answer identically to the single-pass sketch
+    val a = sketchOf(li.filter(col("l_orderkey") % 2 === 0))
+    val b = sketchOf(li.filter(col("l_orderkey") % 2 =!= 0))
+    a.mergeInPlace(b)
+    exact.keys.foreach { k =>
+      assert(a.estimateCount(k) == whole.estimateCount(k),
+        s"merged CMS diverges from single-pass at key $k")
+    }
+  }
+
   test("C17b: approx percentiles land inside the exact rank band") {
     // GK sketch with accuracy 10000 ⇒ rank error ≤ n/10000; brackets with
     // the exact order statistics at q ± 1% (much looser) per group.
