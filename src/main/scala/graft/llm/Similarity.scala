@@ -313,6 +313,34 @@ object Similarity {
     // — the storage/serving compression step (4× smaller than float32).
     // Zero shuffle: pure per-row array math; scale and q are exact IEEE
     // (float→double exact, one multiply, half-up via floor(x+0.5) — the
+    // Quantized retrieval — the production serving path embed_quantize
+    // prepares for: top-k by INTEGER dot product over int8 vectors. One
+    // GLOBAL symmetric scale (corpus max-abs, a 1-row broadcast) instead
+    // of per-vector scales, so integer scores are directly comparable and
+    // the ranking needs no float correction — every score is an exact
+    // integer (≤ 127²·64), the whole query is hashable with zero float
+    // discipline, and memory/bandwidth drop 4× vs float32. Scoring runs
+    // through the native dot_product kernel over integer-valued doubles
+    // (exact); top-k is TakeOrdered with a PK tiebreak (integer scores
+    // tie often).
+    "knn_quantized_topk" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val gmax = emb.agg(max(array_max(transform(col("embedding"),
+        x => abs(x.cast("double"))))).as("m"))
+      val q = emb.crossJoin(broadcast(gmax))
+        .withColumn("qv", transform(col("embedding"),
+          x => floor(x.cast("double") * (lit(127.0) / col("m")) + lit(0.5))
+            .cast("double")))
+        .select("vec_id", "qv")
+      val probe = q.filter(col("vec_id") === 0)
+        .select(col("qv").as("pv"))
+      q.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+          graft.functions.VectorOps.dot_product(col("qv"), col("pv"))
+            .cast("long").as("score"))
+        .orderBy(desc("score"), asc("vec_id"))
+        .limit(10)
+    }),
     // SAME formula in both engines, because round() half-even vs half-up
     // conventions differ but floor does not). |q| ≤ 127 by construction:
     // the max-magnitude component maps to exactly ±127, so no clamp.
@@ -427,6 +455,22 @@ object Similarity {
         |  ON a.label = b.label AND b.vec_id < a.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.3498
         |GROUP BY a.vec_id ORDER BY a.vec_id""".stripMargin,
+    // every score is an exact integer, so list_dot_product over the
+    // integer-valued quantized lists agrees bit-for-bit
+    "knn_quantized_topk" ->
+      """WITH m AS (
+        |  SELECT MAX(list_max(list_transform(embedding,
+        |           x -> abs(CAST(x AS DOUBLE))))) AS m
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding,
+        |           x -> floor(CAST(x AS DOUBLE) * (127.0 / m) + 0.5)) AS qv
+        |  FROM embeddings, m),
+        |p AS (SELECT qv AS pv FROM q WHERE vec_id = 0)
+        |SELECT q.vec_id, CAST(list_dot_product(q.qv, p.pv) AS BIGINT) AS score
+        |FROM q, p WHERE q.vec_id <> 0
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     // exact IEEE agreement: float→double casts, one multiply, floor-half-up
     // — no round() anywhere, so engine rounding conventions can't diverge
     "embed_quantize" ->

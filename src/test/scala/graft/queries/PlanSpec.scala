@@ -300,7 +300,8 @@ class PlanSpec extends SparkSpec {
     // explosion
     val intended = Set("join_cross_theta", "knn_cosine_topk", "knn_ivf_coarse",
       "tfidf_topk", "kmeans_lloyd", "zscore_outliers", "negative_pairs",
-      "ivf_index_build", "anomaly_mad", "corpus_mix_rebalance")
+      "ivf_index_build", "anomaly_mad", "corpus_mix_rebalance",
+      "knn_quantized_topk")
     // ETL/streaming queries run real side effects — planning-only audit
     // covers the analytic surface.
     val sideEffecting = Set("scan_csv_serde", "infer_schema",
