@@ -50,6 +50,11 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"knn plan:\n$plan")
   }
 
+  test("quantized knn takes per-partition heaps like its float sibling") {
+    val plan = executedPlan("knn_quantized_topk")
+    assert(plan.contains("TakeOrderedAndProject"), s"quantized knn plan:\n$plan")
+  }
+
   test("SimHash is a fused per-row kernel: no shuffle before the final sort") {
     // SimHash is a pure per-document function. The only Exchange allowed in
     // the plan is the range partitioning for the deterministic orderBy —
