@@ -17,8 +17,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * parity on adversarial URL shapes; the DuckDB oracle still runs the
   * regex chain — an independent implementation of the same spec):
   *
-  *   1. cut at the first '#'            (regex `#.*$`, single-line input)
-  *   2. lowercase (ASCII)
+  *   1. cut at the first '#'            (regex `#.*$`; SINGLE-LINE input —
+  *      the regex stops a cut at an embedded newline, the scanner does
+  *      not; URLs are single-line by construction here and in the RFC)
+  *   2. lowercase (Unicode, root locale — matches both engines' lower())
   *   3. leading "http://" → "https://"  (`^http://`)
   *   4. every "://www." → "://"         (`://www\.`)
   *   5. every ":443/" → "/"             (`:443/`)
@@ -70,24 +72,19 @@ object CanonicalUrl {
     // 1. cut at first '#'
     val hash = s0.indexOf('#')
     val s1 = if (hash >= 0) s0.substring(0, hash) else s0
-    // 2. ASCII lowercase (matches lower() on the ASCII-only URL alphabet)
-    val b = new java.lang.StringBuilder(s1.length + 1)
-    var i = 0
-    while (i < s1.length) {
-      val c = s1.charAt(i)
-      b.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
-      i += 1
-    }
-    var s = b.toString
+    // 2. Unicode lowercase (root locale — the same mapping lower() applies
+    // in both engines for accented hosts; locale-specific exotica like the
+    // Turkish dotted I are outside the URL spec this models)
+    var s = s1.toLowerCase(java.util.Locale.ROOT)
     // 3. leading http:// → https://
     if (s.startsWith("http://")) s = "https://" + s.substring(7)
-    // 4. every "://www." → "://"
-    s = replaceAllLiteral(s, "://www.", "://")
-    // 5. every ":443/" → "/"
-    s = replaceAllLiteral(s, ":443/", "/")
+    // 4. every "://www." → "://" ; 5. every ":443/" → "/"
+    // (String.replace IS literal non-overlapping left-to-right replace-all)
+    s = s.replace("://www.", "://")
+    s = s.replace(":443/", "/")
     // 6. drop every [?&]utm_ param (through the next '&' or '#', exclusive)
     val out = new java.lang.StringBuilder(s.length)
-    i = 0
+    var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if ((c == '?' || c == '&') && s.startsWith("utm_", i + 1)) {
@@ -108,19 +105,5 @@ object CanonicalUrl {
     if (s.endsWith("/")) s = s.substring(0, s.length - 1)
     if (s.endsWith("?")) s = s.substring(0, s.length - 1)
     s
-  }
-
-  private def replaceAllLiteral(s: String, find: String, repl: String): String = {
-    var idx = s.indexOf(find)
-    if (idx < 0) return s
-    val b = new java.lang.StringBuilder(s.length)
-    var from = 0
-    while (idx >= 0) {
-      b.append(s, from, idx).append(repl)
-      from = idx + find.length
-      idx = s.indexOf(find, from)
-    }
-    b.append(s, from, s.length)
-    b.toString
   }
 }

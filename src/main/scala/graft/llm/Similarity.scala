@@ -308,25 +308,21 @@ object Similarity {
         .select("rn", "vec_id")
         .orderBy("rn")
     }),
-    // Int8 symmetric quantization of the embedding column (training-data
-    // pipeline op): per-vector scale = 127/max|x|, q_i = floor(x·scale+0.5)
-    // — the storage/serving compression step (4× smaller than float32).
-    // Zero shuffle: pure per-row array math; scale and q are exact IEEE
-    // (float→double exact, one multiply, half-up via floor(x+0.5) — the
     // Quantized retrieval — the production serving path embed_quantize
-    // prepares for: top-k by INTEGER dot product over int8 vectors. One
-    // GLOBAL symmetric scale (corpus max-abs, a 1-row broadcast) instead
-    // of per-vector scales, so integer scores are directly comparable and
-    // the ranking needs no float correction — every score is an exact
-    // integer (≤ 127²·64), the whole query is hashable with zero float
-    // discipline, and memory/bandwidth drop 4× vs float32. Scoring runs
-    // through the native dot_product kernel over integer-valued doubles
-    // (exact); top-k is TakeOrdered with a PK tiebreak (integer scores
-    // tie often).
+    // (below) prepares for: top-k by INTEGER dot product over int8
+    // vectors. One GLOBAL symmetric scale (corpus max-abs, a 1-row
+    // broadcast) instead of per-vector scales, so integer scores are
+    // directly comparable and the ranking needs no float correction —
+    // every score is an exact integer (≤ 127²·64), the whole query is
+    // hashable with zero float discipline, and memory/bandwidth drop 4×
+    // vs float32. Scoring runs through the native dot_product kernel over
+    // integer-valued doubles (exact); top-k is TakeOrdered with a PK
+    // tiebreak (integer scores tie often). nullif guards the degenerate
+    // all-zero corpus the same way embed_quantize guards the all-zero row.
     "knn_quantized_topk" -> ((s, d) => {
       val emb = embeddings(s, d)
-      val gmax = emb.agg(max(array_max(transform(col("embedding"),
-        x => abs(x.cast("double"))))).as("m"))
+      val gmax = emb.agg(nullif(max(array_max(transform(col("embedding"),
+        x => abs(x.cast("double"))))), lit(0.0)).as("m"))
       val q = emb.crossJoin(broadcast(gmax))
         .withColumn("qv", transform(col("embedding"),
           x => floor(x.cast("double") * (lit(127.0) / col("m")) + lit(0.5))
@@ -341,6 +337,11 @@ object Similarity {
         .orderBy(desc("score"), asc("vec_id"))
         .limit(10)
     }),
+    // Int8 symmetric quantization of the embedding column (training-data
+    // pipeline op): per-vector scale = 127/max|x|, q_i = floor(x·scale+0.5)
+    // — the storage/serving compression step (4× smaller than float32).
+    // Zero shuffle: pure per-row array math; scale and q are exact IEEE
+    // (float→double exact, one multiply, half-up via floor(x+0.5) — the
     // SAME formula in both engines, because round() half-even vs half-up
     // conventions differ but floor does not). |q| ≤ 127 by construction:
     // the max-magnitude component maps to exactly ±127, so no clamp.
@@ -459,8 +460,8 @@ object Similarity {
     // integer-valued quantized lists agrees bit-for-bit
     "knn_quantized_topk" ->
       """WITH m AS (
-        |  SELECT MAX(list_max(list_transform(embedding,
-        |           x -> abs(CAST(x AS DOUBLE))))) AS m
+        |  SELECT nullif(MAX(list_max(list_transform(embedding,
+        |           x -> abs(CAST(x AS DOUBLE))))), 0.0) AS m
         |  FROM embeddings),
         |q AS (
         |  SELECT vec_id,

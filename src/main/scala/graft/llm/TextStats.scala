@@ -341,9 +341,11 @@ object TextStats {
     // (text_chunk_overlap's arithmetic with stride = width), hash each
     // chunk, and a chunk is boilerplate iff its hash repeats anywhere in
     // the corpus. Per-doc verdict: chunk counts + an integer boilerplate
-    // percentage. Scale shape: the ONLY shuffle is the chunk-hash window —
-    // sub-document dedup at 100 TB is exactly this, with 32-byte digests
-    // traveling instead of text.
+    // percentage. Scale shape: three exchanges — hash on chunk_hash for
+    // the dup window, hash on doc_id for the verdict aggregate, range for
+    // the contract sort — and every row crossing them is (doc_id, 32-byte
+    // digest), never text; hashing BEFORE anything moves is what makes
+    // sub-document dedup affordable at 100 TB.
     "dedup_chunk_boilerplate" -> ((s, d) => {
       val W = 64
       val wHash = Window.partitionBy("chunk_hash")

@@ -292,7 +292,8 @@ class PropertySpec extends SparkSpec {
     val piece = Gen.oneOf("http://", "https://", "HTTP://", "www.", "WWW.",
       "shop.example.com", ":443", ":8080", "/item/7", "/", "?", "&",
       "utm_source=x", "utm_", "UTM_A=1", "ref=abc", "#frag", "#", "a b",
-      "?utm_x=1&ref=2", "&utm_y", "://www.www.", ":443/:443/")
+      "?utm_x=1&ref=2", "&utm_y", "://www.www.", ":443/:443/",
+      "ÉXAMPLE.COM", "Müller", "straße")
     val urlish: Gen[String] = Gen.listOf(piece).map(_.mkString)
     check(Prop.forAll(urlish) { u =>
       graft.functions.CanonicalUrl.canonicalize(u) == referenceChain(u)
