@@ -1100,6 +1100,18 @@ object TierCWindow {
           last(col("o_orderkey")).over(full).as("last_order"))
         .orderBy("o_orderkey")
     }),
+    // C26b — nth_value with an explicit full frame (like first/last, the
+    // default frame would truncate it at the current row): each order sees
+    // its customer's 2nd-ever order, null while the history is shorter.
+    "win_nth_value" -> ((s, d) => {
+      val full = byCust.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"),
+          nth_value(col("o_orderkey"), 2).over(full).as("second_order"),
+          count(lit(1)).over(full).as("n_orders"))
+        .orderBy("o_orderkey")
+    }),
     // C24b — event-time RANGE frame: trailing-7-day spend per customer.
     // RANGE frames bound by an interval over the ORDER BY column are the
     // time-series form row frames can't express (peer rows with equal
@@ -1347,6 +1359,11 @@ object TierCWindow {
       s"""SELECT o_orderkey, o_custkey,
          |       FIRST_VALUE(o_orderkey) $overCust ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_order,
          |       LAST_VALUE(o_orderkey) $overCust ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "win_nth_value" ->
+      s"""SELECT o_orderkey, o_custkey,
+         |       NTH_VALUE(o_orderkey, 2) $overCust ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_order,
+         |       COUNT(*) $overCust ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS n_orders
          |FROM orders ORDER BY o_orderkey""".stripMargin,
     "win_range_frame" ->
       """SELECT o_orderkey, o_custkey,
