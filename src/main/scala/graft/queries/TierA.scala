@@ -41,6 +41,26 @@ object TierA {
       nation(s, d).write.mode("overwrite").orc(dir)
       s.read.orc(dir).orderBy("n_nationkey")
     }),
+    // A1d — raw text-line ingest (the log-file lake format): lines land as
+    // a single `value` column and structure is recovered by regex capture —
+    // the grep-shaped ingest every lake's logs/ prefix needs before it can
+    // become a table. Round-trip oracle like scan_json: parse(write(t)) = t.
+    "scan_text_logs" -> ((s, d) => {
+      val dir = tmp("graft_textlog")
+      nation(s, d).select(concat(
+          lit("key="), col("n_nationkey"),
+          lit(" name="), col("n_name"),
+          lit(" region="), col("n_regionkey")).as("value"))
+        .write.mode("overwrite").text(dir)
+      s.read.text(dir).select(
+          regexp_extract(col("value"), "key=(\\d+)", 1).cast("int")
+            .as("n_nationkey"),
+          // greedy up to the next field tag — names contain spaces
+          regexp_extract(col("value"), "name=(.*) region=", 1).as("n_name"),
+          regexp_extract(col("value"), "region=(\\d+)", 1).cast("int")
+            .as("n_regionkey"))
+        .orderBy("n_nationkey")
+    }),
     // A2 — OpenCSVSerde round-trip (README.md:124-131): write with the serde
     // dialect, read back with the same options.
     "scan_csv_serde" -> ((s, d) => {
@@ -440,6 +460,9 @@ object TierA {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "scan_orc" ->
+      """SELECT * FROM nation ORDER BY n_nationkey""",
+    // round-trip: the regex-parsed log lines must reconstruct the table
+    "scan_text_logs" ->
       """SELECT * FROM nation ORDER BY n_nationkey""",
     "infer_schema" ->
       """SELECT * FROM region ORDER BY r_regionkey""",

@@ -314,7 +314,8 @@ class PlanSpec extends SparkSpec {
       "workflow_dag", "bookmark_incremental", "event_trigger_filtered",
       "stream_watermark_late", "stream_dedup_stateful",
       "stream_foreachbatch_pipeline", "join_bucketed_colocated",
-      "scan_json", "scan_orc", "multimodal_meta", "multimodal_frames",
+      "scan_json", "scan_orc", "scan_text_logs",
+      "multimodal_meta", "multimodal_frames",
       "etl_compact_files", "etl_upsert_scd1", "etl_snapshot_diff",
       "scan_csv_corrupt", "etl_backfill_partition")
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
