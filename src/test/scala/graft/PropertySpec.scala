@@ -308,6 +308,25 @@ class PropertySpec extends SparkSpec {
         assert(graft.functions.CanonicalUrl.canonicalize(u) == referenceChain(u),
           s"variant diverged: $u")
       }
+    // canonicalization is idempotent on WELL-FORMED urls — a cache keyed
+    // on canonical URLs may re-canonicalize a stored key and must get the
+    // same key back. (Degenerate non-URLs like "//" are not idempotent
+    // under the regex chain either: each pass strips one trailing slash.)
+    val wellFormed: Gen[String] = for {
+      scheme <- Gen.oneOf("http://", "https://", "HTTP://")
+      www <- Gen.oneOf("", "www.", "WWW.")
+      host <- Gen.oneOf("shop.example.com", "ÉXAMPLE.com", "a.b")
+      port <- Gen.oneOf("", ":443", ":8080")
+      segs <- Gen.listOf(Gen.oneOf("item", "7", "x"))
+      params <- Gen.listOf(Gen.oneOf("utm_a=1", "utm_b", "ref=2", "a=b"))
+      frag <- Gen.oneOf("", "#frag")
+      slash <- Gen.oneOf("", "/")
+    } yield scheme + www + host + port + segs.map("/" + _).mkString +
+      (if (params.isEmpty) "" else "?" + params.mkString("&")) + slash + frag
+    check(Prop.forAll(wellFormed) { u =>
+      val once = graft.functions.CanonicalUrl.canonicalize(u)
+      graft.functions.CanonicalUrl.canonicalize(once) == once
+    }, tries = 200)
   }
 
   test("rolling hash is deterministic and spreads adversarial inputs") {
