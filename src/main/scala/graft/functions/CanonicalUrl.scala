@@ -22,8 +22,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *      not; URLs are single-line by construction here and in the RFC)
   *   2. lowercase (Unicode, root locale — matches both engines' lower())
   *   3. leading "http://" → "https://"  (`^http://`)
-  *   4. every "://www." → "://"         (`://www\.`)
-  *   5. every ":443/" → "/"             (`:443/`)
+  *   4. every "://www." → "://"         (`://www\.`, oracle: 'g' option —
+  *      DuckDB regexp_replace is first-match by default where Spark's is
+  *      global; every non-anchored oracle step must carry 'g')
+  *   5. every ":443/" → "/"             (`:443/`, oracle: 'g')
   *   6. every "[?&]utm_…" param dropped through the next '&'/'#'
   *   7. the first '&' before any '?' promoted to '?'  (`^([^?&]*)&` —
   *      non-greedy by construction: a greedy `[^?]*` group would promote

@@ -345,6 +345,10 @@ object Similarity {
     // SAME formula in both engines, because round() half-even vs half-up
     // conventions differ but floor does not). |q| ≤ 127 by construction:
     // the max-magnitude component maps to exactly ±127, so no clamp.
+    // The checked output carries the quantized vector as a CSV string
+    // (array_join), not a raw array column: the driver's oracle harness
+    // sorts result frames with pandas before hashing, and array cells are
+    // unhashable there — representation change only, int8 math untouched.
     "embed_quantize" -> ((s, d) => {
       // nullif guards the all-zero vector (padding row, failed encode):
       // 127/0 = Inf would make q = floor(0·Inf + 0.5) = NaN, and ANSI
@@ -355,7 +359,8 @@ object Similarity {
             x => abs(x.cast("double")))), lit(0.0)))
         .withColumn("q", transform(col("embedding"),
           x => floor(x.cast("double") * col("scale") + 0.5).cast("int")))
-        .select(col("vec_id"), col("scale"), col("q"),
+        .select(col("vec_id"), col("scale"),
+          array_join(col("q"), ",").as("q_csv"),
           aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("q_sum"))
         .orderBy("vec_id")
     }),
@@ -485,7 +490,8 @@ object Similarity {
         |         list_transform(embedding,
         |           x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT)) AS q
         |  FROM s)
-        |SELECT vec_id, scale, q, CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum
+        |SELECT vec_id, scale, array_to_string(q, ',') AS q_csv,
+        |       CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum
         |FROM qq ORDER BY vec_id""".stripMargin,
     // two unrolled Lloyd iterations; the assignment replays as a per-vector
     // row_number argmax (semantics, not the Spark plan), the means as exact

@@ -995,8 +995,8 @@ object TextStats {
         |           regexp_replace(regexp_replace(regexp_replace(lower(
         |             regexp_replace(u, '#.*$', '')),
         |           '^http://', 'https://'),
-        |           '://www\.', '://'),
-        |           ':443/', '/'),
+        |           '://www\.', '://', 'g'),
+        |           ':443/', '/', 'g'),
         |           '[?&]utm_[^&#]*', '', 'g'),
         |           '^([^?&]*)&', '\1?'),
         |           '/$', ''),

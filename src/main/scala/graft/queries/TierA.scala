@@ -311,7 +311,11 @@ object TierA {
         val e = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(858993459L))
         e.bitwiseOR(shiftleft(e, 1)).bitwiseAND(lit(1431655765L))
       }
-      val ym = ((year(col("o_orderdate")) - 1995) * 12 +
+      // month index anchored at the fixture's MINIMUM year (orders span
+      // 1992-1998): the shift-and-mask spread assumes a non-negative 16-bit
+      // input, and a pre-anchor year would go negative and wrap through the
+      // masks, scattering that slice across the top of the z range
+      val ym = ((year(col("o_orderdate")) - 1992) * 12 +
         (month(col("o_orderdate")) - 1)).cast("long")
       val x = col("o_custkey") % 4096
       val z = spread(x).bitwiseOR(shiftleft(spread(ym), 1))
@@ -557,9 +561,9 @@ object TierA {
     "etl_zorder_layout" ->
       """WITH base AS (
         |  SELECT o_custkey % 4096 AS x0,
-        |         (year(o_orderdate) - 1995) * 12 + (month(o_orderdate) - 1) AS ym,
+        |         (year(o_orderdate) - 1992) * 12 + (month(o_orderdate) - 1) AS ym,
         |         o_custkey % 4096 AS x,
-        |         (year(o_orderdate) - 1995) * 12 + (month(o_orderdate) - 1) AS y
+        |         (year(o_orderdate) - 1992) * 12 + (month(o_orderdate) - 1) AS y
         |  FROM orders),
         |s1 AS (SELECT x0, ym,
         |              (x | (x << 8)) & 16711935 AS x,

@@ -125,6 +125,25 @@ class ContractSpec extends SparkSpec {
       s"ARCHITECTURE gate count is stale (code has $oracled/$total)")
   }
 
+  test("no oracle-checked query returns a top-level array/map column") {
+    // The driver's oracle harness round-trips results through pandas and
+    // SORTS the frame before hashing; an array (or map) cell is unhashable
+    // there (round 5: embed_quantize shipped `q array<int>` and was the one
+    // red CORRECTNESS row all round — TypeError: unhashable type ndarray).
+    // Checked queries must carry collections as scalars: array_join CSV,
+    // exploded rows, or an aggregate. Unit-tier queries may keep arrays —
+    // only the DuckDB-compared surface is constrained.
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    val offenders = SparkEntry.oracleSql.keySet.toSeq.sorted.flatMap { name =>
+      SparkEntry.queries(name)(spark, sf).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+                  f.dataType.isInstanceOf[MapType] => s"$name.${f.name}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"oracle-checked queries with unhashable top-level columns: $offenders")
+  }
+
   test("unit-tier queries run and return rows on sf0.001") {
     val unitTier = (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted
     val empty = unitTier.filter { name =>

@@ -40,6 +40,16 @@ def compare(name, sf_dir, out_dir, con):
         return f"FAIL {name}: columns spark={sc} oracle={oc}"
     if spark.num_rows != oracle.num_rows:
         return f"FAIL {name}: rows spark={spark.num_rows} oracle={oracle.num_rows}"
+    # Driver-representation probe: the real gate round-trips both frames
+    # through pandas and SORTS by every column before hashing; an array or
+    # map cell raises TypeError there (round 5: embed_quantize shipped
+    # array<int> — green here, red at the gate, all round). Reproduce the
+    # sort so a representation the driver cannot hash fails HERE too.
+    try:
+        spark.to_pandas().sort_values(by=sc)
+        oracle.to_pandas().sort_values(by=oc)
+    except TypeError as e:
+        return f"FAIL {name}: driver-style pandas sort would fail: {e}"
     s_rows = spark.select(sc).to_pylist()
     o_rows = oracle.select(oc).to_pylist()
     for i, (a, b) in enumerate(zip(s_rows, o_rows)):
