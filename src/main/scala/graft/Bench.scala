@@ -30,9 +30,20 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Coalesce small post-shuffle partitions to the advisory SIZE, not to
+      // max parallelism: with the default parallelismFirst=true, AQE keeps
+      // ~`cpus` post-shuffle partitions even for KB-sized shuffles, so at
+      // the graded cpus=32 every one of 171 small queries paid a
+      // 32-tiny-task floor per shuffle (round-5 bench: trivial queries
+      // inflated most). false is also the documented recommendation for
+      // real clusters — partitions sized to data, not to the core count.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: benign per-query WARNs (e.g. WindowExec's bounded
+    // no-partition notes on k-row frames) otherwise flood the driver's
+    // bounded stdout+stderr tail that must retain the summary line.
+    spark.sparkContext.setLogLevel("ERROR")
     // Untimed warmup: absorb one-time JVM/codegen and streaming-engine
     // initialization (~6s measured) so per-query numbers reflect per-query
     // cost, not which arbitrary query ran first. Deterministic name order

@@ -95,6 +95,11 @@ object GraftSession {
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // coalesce post-shuffle partitions to the advisory size rather than
+      // to max parallelism — at cluster scale (and at local[32]) the
+      // default parallelismFirst=true pins every small shuffle to one tiny
+      // partition per core; sizing to data is the scale-correct default
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 

@@ -13,6 +13,8 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // size post-shuffle partitions to data, not core count (see Bench)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -74,12 +74,13 @@ object Similarity {
     *
     * Scale design — why a salted grid and not LSH candidates: the pair work
     * is inherently O(block²/grid) per task instead of O(block²) on one task.
-    * Each b-row lands in one of `grid` deterministic sub-blocks
-    * (xxhash64(b_id) mod grid); each a-row is replicated to all of them, so
-    * every (a, b) pair is examined exactly once but no single task ever
-    * holds a whole label block — the shape that kills a 1000-executor job
-    * when one label is hot. The cost is a grid× fan-out of the a-side rows;
-    * pick grid ≈ block_rows / rows_per_task at the target scale.
+    * Each b-row lands in one of its label block's `bg` deterministic
+    * sub-blocks (xxhash64(b_id) mod bg); each a-row is replicated to all of
+    * them, so every (a, b) pair is examined exactly once but no single task
+    * ever holds a whole label block — the shape that kills a 1000-executor
+    * job when one label is hot. The salt factor is ADAPTIVE per block
+    * (Dedup.blockSaltStats): bg = ceil(label_rows / rowsPerTask), so cold
+    * labels pay no fan-out and singleton labels never enter the shuffle.
     *
     * Composing LSH bucket candidates instead (the sub-quadratic shape used
     * by dedup_embedding_ann below) CANNOT keep these exact semantics on this
@@ -94,14 +95,18 @@ object Similarity {
     * the exact grid is the honest plan, and dedup_embedding_ann is the
     * documented approximate alternative. */
   def embeddingCosineDedup(emb: DataFrame, threshold: Double,
-      grid: Int = 8): DataFrame = {
+      rowsPerTask: Int = 256): DataFrame = {
     val unit = withUnitVec(emb, "embedding", "uv")
-    val a = unit.select(col("vec_id").as("a_id"), col("uv").as("a_v"),
-        col("label"))
-      .withColumn("g", explode(sequence(lit(0), lit(grid - 1))))
-    val b = unit.select(col("vec_id").as("b_id"), col("uv").as("b_v"),
-        col("label"))
-      .withColumn("g", pmod(xxhash64(col("b_id")), lit(grid)).cast("int"))
+    val blocked = unit.join(
+      broadcast(Dedup.blockSaltStats(unit, Seq("label"), rowsPerTask)),
+      Seq("label")).filter(col("bn") >= 2)
+    val a = blocked.select(col("vec_id").as("a_id"), col("uv").as("a_v"),
+        col("label"), col("bg"))
+      .withColumn("g", explode(sequence(lit(0), col("bg") - 1)))
+      .drop("bg")
+    val b = blocked.select(col("vec_id").as("b_id"), col("uv").as("b_v"),
+        col("label"),
+        pmod(xxhash64(col("vec_id")), col("bg")).cast("int").as("g"))
     a.join(b, Seq("label", "g")).filter(col("b_id") < col("a_id"))
       .filter(dotD(col("a_v"), col("b_v")) > threshold)
       .groupBy(col("a_id").as("vec_id"))

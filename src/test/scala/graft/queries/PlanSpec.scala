@@ -77,8 +77,13 @@ class PlanSpec extends SparkSpec {
     val plan = executedPlan("dedup_embedding_cosine")
     assert("""Join \[label#\d+, g#\d+\]""".r.findFirstIn(plan).isDefined,
       s"pair join is not keyed on (label, g):\n$plan")
-    assert("""Join \[label#\d+\]""".r.findFirstIn(plan).isEmpty,
-      s"raw label-only pair join present:\n$plan")
+    // The ban is on SHUFFLED label-only joins (a whole label block's pair
+    // space on one task). The adaptive-salt stats lookup is a label-keyed
+    // BroadcastHashJoin of the one-row-per-label block-stats aggregate —
+    // corpus rows never co-locate for it, so it is exempt.
+    assert("""(SortMergeJoin|ShuffledHashJoin) \[label#\d+\]""".r
+      .findFirstIn(plan).isEmpty,
+      s"raw label-only shuffled pair join present:\n$plan")
   }
 
   test("sequence packing windows per shard, never a single global stream") {
