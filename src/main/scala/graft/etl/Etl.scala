@@ -135,6 +135,52 @@ case class Pipeline(crawl: () => DataFrame,
   }
 }
 
+/** A7b — AND-gate workflow DAG (README.md:164: a trigger watches SEVERAL
+  * events and starts its job only "after ALL watched events" have fired).
+  * [[Pipeline]] is the linear special case; this is the general form hit
+  * the first time two crawlers feed one job.
+  *
+  * Each node names the upstream nodes it watches; `run` executes nodes in
+  * dependency order (declaration order breaks ties, so runs are
+  * deterministic) and a node's action receives EXACTLY its watched
+  * upstreams' outputs — the AND-gate is structural: the action cannot run
+  * before every watched result exists.
+  *
+  * Failure semantics (the trigger-timeout analogue, README.md:190): a
+  * throwing node aborts the remaining run — no downstream job or load
+  * executes on a partial upstream set (EtlSpec asserts the sink stays
+  * empty). In-process and sequential by design: the orchestration layer
+  * (Step Functions / Airflow in the reference's world) owns retries and
+  * cross-process parallelism; this models the gating contract a single
+  * Spark driver enforces. */
+object Workflow {
+  case class Node(name: String, after: Seq[String],
+      action: Map[String, DataFrame] => DataFrame)
+
+  def node(name: String, after: String*)(
+      action: Map[String, DataFrame] => DataFrame): Node =
+    Node(name, after.toSeq, action)
+
+  /** Run the DAG; returns every node's output by name. */
+  def run(nodes: Seq[Node]): Map[String, DataFrame] = {
+    val byName = nodes.map(n => n.name -> n).toMap
+    require(byName.size == nodes.size, s"duplicate node names: ${nodes
+      .groupBy(_.name).collect { case (k, v) if v.size > 1 => k }.mkString(", ")}")
+    for (n <- nodes; u <- n.after)
+      require(byName.contains(u), s"node '${n.name}' watches unknown node '$u'")
+    val done = scala.collection.mutable.LinkedHashMap[String, DataFrame]()
+    val pending = scala.collection.mutable.ArrayBuffer.from(nodes)
+    while (pending.nonEmpty) {
+      val i = pending.indexWhere(_.after.forall(done.contains))
+      require(i >= 0,
+        s"workflow cycle among: ${pending.map(_.name).mkString(", ")}")
+      val n = pending.remove(i)
+      done(n.name) = n.action(n.after.map(u => u -> done(u)).toMap)
+    }
+    done.toMap
+  }
+}
+
 /** A8/A9/D6 — incremental file pipeline. Job-Bookmark semantics
   * (README.md:145, "process only new files since the last run") ==
   * Structured Streaming file source + checkpoint + Trigger.AvailableNow;

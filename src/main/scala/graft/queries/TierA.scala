@@ -131,6 +131,34 @@ object TierA {
       ).run()
       s.read.parquet(out).orderBy("supplier_id")
     }),
+    // A7b — AND-gate workflow (README.md:164, "start after ALL watched
+    // events"): TWO crawlers feed one join job; the job is gated on BOTH
+    // crawl events, the load on the job. Nodes are declared out of
+    // dependency order on purpose — scheduling follows the watch edges,
+    // not the declaration sequence (EtlSpec asserts gating + failure halt).
+    "workflow_fanin" -> ((s, d) => {
+      val srcN = tmp("graft_wff_n"); val srcR = tmp("graft_wff_r")
+      val out = tmp("graft_wff_out")
+      CsvSource.write(nation(s, d), srcN)
+      CsvSource.write(region(s, d), srcR)
+      val sfx = java.lang.Long.toHexString(System.nanoTime)
+      Workflow.run(Seq(
+        Workflow.node("load", "join_job") { up =>
+          ParquetSink(out).write(up("join_job")); up("join_job")
+        },
+        Workflow.node("join_job", "crawl_nation", "crawl_region") { up =>
+          up("crawl_nation").join(up("crawl_region"),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey").cast("long").as("nation_id"),
+              col("n_name").as("nation_name"),
+              col("r_name").as("region_name"))
+        },
+        Workflow.node("crawl_nation")(_ =>
+          new Crawler(s).crawl(srcN, s"wff_n_$sfx")),
+        Workflow.node("crawl_region")(_ =>
+          new Crawler(s).crawl(srcR, s"wff_r_$sfx"))))
+      s.read.parquet(out).orderBy("nation_id")
+    }),
     // A8 — Job-Bookmark increments (README.md:145): two AvailableNow runs
     // over a growing dir; the checkpoint guarantees file-level exactly-once.
     "bookmark_incremental" -> ((s, d) => {
@@ -479,6 +507,13 @@ object TierA {
       """SELECT s_suppkey AS supplier_id, upper(s_name) AS supplier_name,
         |       s_acctbal AS balance
         |FROM supplier ORDER BY supplier_id""".stripMargin,
+    // the AND-gated two-crawler join must equal the plain fixture join —
+    // the comparison proves the whole CSV-crawl-join-load chain is lossless
+    "workflow_fanin" ->
+      """SELECT n_nationkey AS nation_id, n_name AS nation_name,
+        |       r_name AS region_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY nation_id""".stripMargin,
     "bookmark_incremental" ->
       """SELECT * FROM nation ORDER BY n_nationkey""",
     "etl_compact_files" ->

@@ -199,4 +199,56 @@ class EtlSpec extends SparkSpec {
     assert(back.columns.map(_.toLowerCase).toSet ==
       Set("r_regionkey", "r_name"))
   }
+
+  test("A7b: a fan-in job starts only after ALL watched crawls complete") {
+    import graft.core.Tables
+    // two crawlers feed one job; nodes declared join-first so only the
+    // watch edges (not declaration order) can produce a correct schedule
+    val order = scala.collection.mutable.ArrayBuffer[String]()
+    def mark(name: String, df: org.apache.spark.sql.DataFrame) = {
+      order += name; df
+    }
+    val results = Workflow.run(Seq(
+      Workflow.node("join", "crawl_a", "crawl_b") { up =>
+        assert(up.keySet == Set("crawl_a", "crawl_b"),
+          "the AND-gate must hand the job exactly its watched upstreams")
+        mark("join", up("crawl_a").unionByName(up("crawl_b")))
+      },
+      Workflow.node("crawl_a")(_ => mark("crawl_a", Tables.region(spark, sf))),
+      Workflow.node("crawl_b")(_ => mark("crawl_b", Tables.region(spark, sf)))))
+    assert(order.indexOf("join") > order.indexOf("crawl_a"))
+    assert(order.indexOf("join") > order.indexOf("crawl_b"))
+    assert(results("join").count() == 10)
+  }
+
+  test("A7b: a failed crawl halts the DAG — downstream never runs, nothing loads") {
+    import graft.core.Tables
+    val out = tmpDir("wf_fail_sink") + "/never_written"
+    var joined = false
+    val boom = intercept[RuntimeException] {
+      Workflow.run(Seq(
+        Workflow.node("crawl_a")(_ => Tables.region(spark, sf)),
+        Workflow.node("crawl_b")(_ => sys.error("crawler timeout")),
+        Workflow.node("join", "crawl_a", "crawl_b") { up =>
+          joined = true; up("crawl_a")
+        },
+        Workflow.node("load", "join") { up =>
+          ParquetSink(out).write(up("join")); up("join")
+        }))
+    }
+    assert(boom.getMessage.contains("crawler timeout"))
+    assert(!joined, "job gated on the failed crawl must not have run")
+    assert(!new java.io.File(out).exists(), "nothing may land in the sink")
+  }
+
+  test("A7b: workflow rejects cycles and unknown watch targets") {
+    val id = (up: Map[String, org.apache.spark.sql.DataFrame]) =>
+      up.values.headOption.getOrElse(graft.core.Tables.region(spark, sf))
+    intercept[IllegalArgumentException] {
+      Workflow.run(Seq(Workflow.node("a", "b")(id), Workflow.node("b", "a")(id)))
+    }
+    intercept[IllegalArgumentException] {
+      Workflow.run(Seq(Workflow.node("a", "ghost")(id)))
+    }
+  }
 }
