@@ -38,11 +38,16 @@ object ConnectedComponents {
     *                 edge, either orientation)
     * @param vertices one id column; isolated vertices keep their own id as
     *                 component
+    * @param onRound  observer called once per round with (round, frontier
+    *                 size) — the loop's only telemetry; the operator spec
+    *                 uses it to pin the frontier-collapse contract (edge
+    *                 work tracks the delta, never the whole graph)
     * @return (id, comp) — comp is the smallest vertex id in the component
     */
   def run(edges: DataFrame, src: String, dst: String,
       vertices: DataFrame, id: String, maxIter: Int = 25,
-      loopShufflePartitions: Int = 8): DataFrame = {
+      loopShufflePartitions: Int = 8,
+      onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
     // The loop's shuffles move at most |V| skinny rows per round — size
     // their partition count to that, not the session default meant for
     // full-table scans: every extra partition is an extra task PER STAGE
@@ -54,12 +59,13 @@ object ConnectedComponents {
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
       math.min(prevShuffle.toInt, loopShufflePartitions))
-    try runLoop(edges, src, dst, vertices, id, maxIter)
+    try runLoop(edges, src, dst, vertices, id, maxIter, onRound)
     finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   private def runLoop(edges: DataFrame, src: String, dst: String,
-      vertices: DataFrame, id: String, maxIter: Int): DataFrame = {
+      vertices: DataFrame, id: String, maxIter: Int,
+      onRound: (Int, Long) => Unit): DataFrame = {
     // symmetric orientation so min labels flow both ways
     val sym = edges.select(col(src).as("cc_src"), col(dst).as("cc_dst"))
       .union(edges.select(col(dst).as("cc_src"), col(src).as("cc_dst")))
@@ -107,6 +113,7 @@ object ConnectedComponents {
       changed = delta.count()
       labels = step.select("cc_id", "cc_comp")
       iter += 1
+      onRound(iter, changed)
     }
     // a wrong answer must never look like a right one: the min-label
     // fixpoint IS connected components, a truncated iteration is not

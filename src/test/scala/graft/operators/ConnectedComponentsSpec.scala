@@ -43,6 +43,36 @@ class ConnectedComponentsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](cc(path, 64, maxIter = 2))
   }
 
+  test("frontier collapses per round — edge work tracks the delta, not the graph") {
+    // The neighbour-min join builds on DELTA (last round's changed
+    // vertices), so per-round edge work must shrink with the frontier.
+    // Star graph: every leaf adopts the centre's label in round 1, so the
+    // round-2 frontier is EXACTLY zero — if stable vertices re-entered the
+    // join, convergence detection would still work but the frontier
+    // telemetry would show n-1 again. Deterministic, no timing involved.
+    val star = (1L until 32L).map(i => (0L, i))
+    val fronts = scala.collection.mutable.ArrayBuffer[Long]()
+    val e = star.toDF("src", "dst")
+    val v = spark.range(32).select(col("id"))
+    ConnectedComponents.run(e, "src", "dst", v, "id",
+      onRound = (_, n) => fronts += n)
+    assert(fronts.toSeq == Seq(31L, 0L),
+      s"star frontier must be (n-1, 0), got $fronts")
+    // Path graph: the frontier must strictly decrease after the jump kicks
+    // in and end at exactly 0 — total frontier work far below rounds×|V|
+    // (full-graph propagation would hold every round at |V|).
+    val path = (0L until 63L).map(i => (i, i + 1))
+    val pf = scala.collection.mutable.ArrayBuffer[Long]()
+    ConnectedComponents.run(path.toDF("src", "dst"),
+      "src", "dst", spark.range(64).select(col("id")), "id",
+      onRound = (_, n) => pf += n)
+    assert(pf.last == 0L)
+    assert(pf.toSeq == pf.toSeq.sorted.reverse,
+      s"path frontier must be non-increasing, got $pf")
+    assert(pf.sum < 64L * (pf.size - 1),
+      s"total frontier work must undercut rounds×|V|, got $pf")
+  }
+
   test("random graphs match a plain union-find (frontier+jump cross-check)") {
     // the distributed loop now skips stable vertices and jumps pointers —
     // both are easy places for a subtle soundness bug, so check the exact
