@@ -452,6 +452,51 @@ object TextStats {
         .select("doc_id", "rn", "token", "tfidf")
         .orderBy("doc_id", "rn")
     }),
+    // BM25 retrieval (round 6) — the lexical ranking function every search/
+    // RAG pipeline runs before (or fused with) vector retrieval: top-20
+    // docs for a fixed 3-term query, Okapi BM25 with k1=1.2, b=0.75,
+    // idf = ln((N-df+0.5)/(df+0.5)+1) (the Lucene-style always-positive
+    // variant). Float discipline: the per-term contributions are PIVOTED
+    // to fixed columns and added in one spelled-out order (c1+c2+c3 in
+    // both engines) — a float sum() aggregate would be partition-order-
+    // dependent and not even Spark-deterministic. Scores round to 4
+    // decimals BEFORE ranking (both engines rank the same values; doc_id
+    // breaks ties); measured min distance of any doc's score to a 5e-5
+    // rounding boundary: 8.9e-9 / 2.7e-8 / 7.7e-9 at sf0.001/0.01/0.1 —
+    // ~10^7× the cross-engine libm ulp noise (re-measure if the fixture
+    // or the term set changes).
+    // 100 TB shape: tf explode+agg restricted to the 3 query terms BEFORE
+    // the shuffle (the filter prunes ~99% of token rows at the map side),
+    // df and corpus stats are broadcast 1-to-3-row aggregates, and the
+    // global top-20 is a TakeOrdered, never a full sort.
+    "retrieval_bm25" -> ((s, d) => {
+      val terms = Seq("join", "filter", "stream")
+      val docs = documents(s, d)
+      val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val corpus = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tok"))
+      val tf = tok.filter(col("token").isin(terms: _*))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val contrib = tf.join(broadcast(dfreq), "token").join(dl, "doc_id")
+        .crossJoin(broadcast(corpus))
+        .withColumn("idf", log((col("n_docs").cast("double") - col("df") + 0.5)
+          / (col("df").cast("double") + 0.5) + 1.0))
+        .withColumn("c", col("idf") * (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+            (col("dl").cast("double") * col("n_docs")) / col("n_tok"))))
+      def term(t: String) = coalesce(
+        max(when(col("token") === t, col("c"))), lit(0.0))
+      contrib.groupBy("doc_id")
+        .agg(term("join").as("c1"), term("filter").as("c2"),
+          term("stream").as("c3"))
+        .select(col("doc_id"),
+          round(col("c1") + col("c2") + col("c3"), 4).as("score"))
+        .orderBy(desc("score"), asc("doc_id")).limit(20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(desc("score"), asc("doc_id"))))
+        .select("rank", "doc_id", "score")
+    }),
     // Importance-weighted sampling (training-data pipeline op): per-doc keep
     // rate proportional to length (clamped 10-90%), applied as a pure
     // function of doc_id — md5 digits 9-12, disjoint from sample_split's
@@ -1058,6 +1103,38 @@ object TextStats {
         |                            ORDER BY tfidf DESC, token) AS rn
         |  FROM scored) t
         |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    // same float shape as the Spark plan, operation for operation; every
+    // numeric literal CAST to DOUBLE (a bare 2.2 is DECIMAL in DuckDB and
+    // would run the formula in decimal arithmetic — the §7.4c trap);
+    // fixed-order c1+c2+c3 addition mirrors the pivoted Spark aggregate
+    "retrieval_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        |corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS n_tok FROM dl),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+        |       WHERE token IN ('join','filter','stream') GROUP BY doc_id, token),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        |contrib AS (
+        |  SELECT tf.doc_id, tf.token,
+        |         ln((CAST(n_docs AS DOUBLE) - df + CAST(0.5 AS DOUBLE))
+        |            / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |            + CAST(1.0 AS DOUBLE))
+        |         * (tf * CAST(2.2 AS DOUBLE))
+        |         / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |            + CAST(0.75 AS DOUBLE)
+        |              * (CAST(dl.dl AS DOUBLE) * n_docs) / n_tok)) AS c
+        |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN corpus),
+        |agg AS (
+        |  SELECT doc_id,
+        |         round(coalesce(max(CASE WHEN token = 'join' THEN c END), CAST(0 AS DOUBLE))
+        |             + coalesce(max(CASE WHEN token = 'filter' THEN c END), CAST(0 AS DOUBLE))
+        |             + coalesce(max(CASE WHEN token = 'stream' THEN c END), CAST(0 AS DOUBLE)),
+        |           4) AS score
+        |  FROM contrib GROUP BY doc_id)
+        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+        |       doc_id, score
+        |FROM agg ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // md5 digits 9-12 (disjoint from 1-4 split and 5-8 stratified); floor
     // division for the rate (CAST would round in DuckDB, truncate in Spark)
     "weighted_sample" ->
