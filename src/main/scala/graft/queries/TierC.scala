@@ -1319,6 +1319,26 @@ object TierCWindow {
           (col("prev_max").isNull || col("prev_max") < col("p_size")))
         .select("p_partkey", "p_name", "p_retailprice", "p_size")
         .orderBy("p_retailprice", "p_partkey")
+    }),
+    // PageRank over the click graph (round 6): edges are consecutive
+    // same-user page transitions (lag over event_id — NOT ts: the events
+    // fixture is ns-timestamped and Spark's µs truncation could reorder
+    // sub-µs neighbors that DuckDB sees in full precision; event_id is a
+    // total order in both engines). Ranks are integer fixed-point
+    // (operators.PageRank): every step integer DIV/sum, so the iterative
+    // operator is differentially checked bit-for-bit against a DuckDB
+    // replay of the same recurrence — no float discipline needed at all.
+    "pagerank_clicks" -> ((s, d) => {
+      val ev = events(s, d).filter(col("event_type") === lit("click"))
+        .select(col("user_id"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("page"))
+      val byUser = Window.partitionBy("user_id").orderBy("event_id")
+      val edges = ev.withColumn("src", lag(col("page"), 1).over(byUser))
+        .filter(col("src").isNotNull && col("src") =!= col("page"))
+        .select(col("src"), col("page").as("dst")).distinct()
+      val nodes = ev.select("page").distinct()
+      graft.operators.PageRank.run(edges, "src", "dst", nodes, "page", 5)
+        .orderBy(desc("rank"), asc("page"))
     })
   )
 
@@ -1498,7 +1518,41 @@ object TierCWindow {
         |  SELECT 1 FROM part b
         |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
         |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
-        |ORDER BY a.p_retailprice, a.p_partkey""".stripMargin
+        |ORDER BY a.p_retailprice, a.p_partkey""".stripMargin,
+    // the same integer fixed-point recurrence, 5 unrolled iterations;
+    // SUM(BIGINT) is HUGEINT in DuckDB — CAST back so the schema matches.
+    // `//` is DuckDB's integer floor division = Spark's DIV on these
+    // non-negative values.
+    "pagerank_clicks" -> {
+      val iterCte = (1 to 5).map { i =>
+        s"""r$i AS (
+           |  SELECT nodes.page,
+           |         (150000000000 // nn.n)
+           |         + (85 * coalesce(c.s, 0)) // 100 AS r
+           |  FROM nodes CROSS JOIN nn LEFT JOIN (
+           |    SELECT e.dst, CAST(SUM(p.r // o.od) AS BIGINT) AS s
+           |    FROM r${i - 1} p JOIN e ON p.page = e.src
+           |    JOIN outdeg o ON e.src = o.src
+           |    GROUP BY e.dst) c ON nodes.page = c.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id,
+         |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS page
+         |  FROM events WHERE event_type = 'click'),
+         |seq AS (
+         |  SELECT page, lag(page) OVER (PARTITION BY user_id
+         |                               ORDER BY event_id) AS src
+         |  FROM ev),
+         |e AS (SELECT DISTINCT src, page AS dst FROM seq
+         |      WHERE src IS NOT NULL AND src <> page),
+         |outdeg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+         |nodes AS (SELECT DISTINCT page FROM ev),
+         |nn AS (SELECT COUNT(*) AS n FROM nodes),
+         |r0 AS (SELECT page, 1000000000000 // n AS r
+         |       FROM nodes CROSS JOIN nn),
+         |$iterCte
+         |SELECT page, r AS "rank" FROM r5 ORDER BY r DESC, page""".stripMargin
+    }
   )
 }
 
