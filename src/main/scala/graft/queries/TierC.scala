@@ -1339,6 +1339,32 @@ object TierCWindow {
       val nodes = ev.select("page").distinct()
       graft.operators.PageRank.run(edges, "src", "dst", nodes, "page", 5)
         .orderBy(desc("rank"), asc("page"))
+    }),
+    // Last-touch attribution (round 6): every purchase credits the same
+    // user's most recent preceding touch (click/view) — the carry pattern
+    // (last ignoreNulls over an event_id-ordered user window; the purchase
+    // row's own touch expression is null, so "current row inclusive" still
+    // means the last STRICTLY preceding touch). Purchases with no touch
+    // history group under page -1. Revenue sums through DECIMAL(18,2)
+    // (decSum — the §7.4 double discipline). One hash shuffle on user_id
+    // shared by the window and nothing else; the aggregation's key space
+    // is the page vocabulary.
+    "attribution_last_touch" -> ((s, d) => {
+      val ev = events(s, d)
+        .filter(col("event_type").isin("click", "view", "purchase"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"),
+          get_json_object(col("props"), "$.k").cast("long").as("page"))
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("touch_page",
+          last(when(col("event_type") =!= "purchase", col("page")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch_page"), lit(-1L)).as("touch_page"))
+        .agg(count(lit(1)).as("n_purchases"),
+          decSum(col("value")).as("revenue"))
+        .orderBy("touch_page")
     })
   )
 
@@ -1552,7 +1578,26 @@ object TierCWindow {
          |       FROM nodes CROSS JOIN nn),
          |$iterCte
          |SELECT page, r AS "rank" FROM r5 ORDER BY r DESC, page""".stripMargin
-    }
+    },
+    "attribution_last_touch" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS page
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view', 'purchase')),
+        |touched AS (
+        |  SELECT event_type, value,
+        |         last_value(CASE WHEN event_type <> 'purchase' THEN page END
+        |                    IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS touch_page
+        |  FROM ev)
+        |SELECT coalesce(touch_page, -1) AS touch_page,
+        |       COUNT(*) AS n_purchases,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM touched WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY touch_page""".stripMargin
   )
 }
 

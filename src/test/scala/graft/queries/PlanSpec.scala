@@ -311,7 +311,11 @@ class PlanSpec extends SparkSpec {
     val intended = Set("join_cross_theta", "knn_cosine_topk", "knn_ivf_coarse",
       "tfidf_topk", "kmeans_lloyd", "zscore_outliers", "negative_pairs",
       "ivf_index_build", "anomaly_mad", "corpus_mix_rebalance",
-      "knn_quantized_topk")
+      "knn_quantized_topk",
+      // r6: retrieval_bm25 broadcasts the 1-row corpus stats and the
+      // 3-row df table; pagerank_clicks broadcasts the 1-row N aggregate
+      // each iteration — linear broadcast passes, not pair explosions
+      "retrieval_bm25", "pagerank_clicks")
     // ETL/streaming queries run real side effects — planning-only audit
     // covers the analytic surface.
     val sideEffecting = Set("scan_csv_serde", "infer_schema",
@@ -322,7 +326,7 @@ class PlanSpec extends SparkSpec {
       "scan_json", "scan_orc", "scan_text_logs",
       "multimodal_meta", "multimodal_frames",
       "etl_compact_files", "etl_upsert_scd1", "etl_snapshot_diff",
-      "scan_csv_corrupt", "etl_backfill_partition")
+      "scan_csv_corrupt", "etl_backfill_partition", "workflow_fanin")
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(intended).filterNot(sideEffecting)
       .filter { name =>
