@@ -1365,6 +1365,55 @@ object TierCWindow {
         .agg(count(lit(1)).as("n_purchases"),
           decSum(col("value")).as("revenue"))
         .orderBy("touch_page")
+    }),
+    // Triangle census of the click graph (round 6) — the structural stat
+    // behind clustering-coefficient quality signals on link graphs. The
+    // Spark plan is the DEGREE-ORDERED orientation: each undirected edge
+    // points from its lower-(deg, id) endpoint to the higher, so every
+    // triangle is closed from exactly one node (its lowest-rank corner) and
+    // — the 100 TB property — a hub's O(deg²) wedge space is never
+    // enumerated from the hub itself; out-degrees in the oriented graph
+    // are O(sqrt(E)) bounded, the standard arboricity argument. Wedges
+    // come from the exact integer formula Σ d(d-1)/2, so the one-row
+    // result (nodes, edges, wedges, triangles) is all longs — no floats.
+    // The DuckDB oracle deliberately counts by the UNORIENTED a<b<c
+    // three-way join — an independent construction of the same census.
+    "graph_triangles" -> ((s, d) => {
+      val ev = events(s, d).filter(col("event_type") === lit("click"))
+        .select(col("user_id"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("page"))
+      val byUser = Window.partitionBy("user_id").orderBy("event_id")
+      val und = ev.withColumn("prev", lag(col("page"), 1).over(byUser))
+        .filter(col("prev").isNotNull && col("prev") =!= col("page"))
+        .select(least(col("prev"), col("page")).as("u"),
+          greatest(col("prev"), col("page")).as("v"))
+        .distinct()
+      val deg = und.select(col("u").as("node"))
+        .unionAll(und.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val ranked = und
+        .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+      val oriented = ranked.select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("s"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("t"))
+      // wedges from the low-rank corner: pair the out-neighbors of each s;
+      // e1.t < e2.t normalizes the wedge by id, so closing it is a pure
+      // EQUI-join against the id-normalized undirected edge set (an
+      // either-orientation OR-condition would plan a nested loop)
+      val wedges = oriented.as("e1").join(oriented.as("e2"), "s")
+        .filter(col("e1.t") < col("e2.t"))
+        .select(col("e1.t").as("u"), col("e2.t").as("v"))
+      val tri = wedges.join(und, Seq("u", "v"), "left_semi")
+      val totals = und.agg(count(lit(1)).as("n_edges")).crossJoin(
+        deg.agg(count(lit(1)).as("n_nodes"),
+          sum(expr("d * (d - 1) DIV 2")).as("n_wedges")))
+      totals.crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+        .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
     })
   )
 
@@ -1597,7 +1646,34 @@ object TierCWindow {
         |       COUNT(*) AS n_purchases,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM touched WHERE event_type = 'purchase'
-        |GROUP BY 1 ORDER BY touch_page""".stripMargin
+        |GROUP BY 1 ORDER BY touch_page""".stripMargin,
+    // deliberately the UNORIENTED a<b<c three-way join — an independent
+    // construction of the census the oriented Spark plan computes
+    "graph_triangles" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS page
+        |  FROM events WHERE event_type = 'click'),
+        |seq AS (
+        |  SELECT page, lag(page) OVER (PARTITION BY user_id
+        |                               ORDER BY event_id) AS prev
+        |  FROM ev),
+        |und AS (SELECT DISTINCT least(prev, page) AS u,
+        |                        greatest(prev, page) AS v
+        |        FROM seq WHERE prev IS NOT NULL AND prev <> page),
+        |deg AS (SELECT node, COUNT(*) AS d FROM (
+        |          SELECT u AS node FROM und
+        |          UNION ALL SELECT v AS node FROM und) t
+        |        GROUP BY node),
+        |tri AS (SELECT COUNT(*) AS n_triangles
+        |        FROM und ab JOIN und bc ON ab.v = bc.u
+        |        JOIN und ac ON ac.u = ab.u AND ac.v = bc.v)
+        |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+        |       (SELECT COUNT(*) FROM und) AS n_edges,
+        |       (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg)
+        |         AS n_wedges,
+        |       n_triangles
+        |FROM tri""".stripMargin
   )
 }
 

@@ -315,7 +315,9 @@ class PlanSpec extends SparkSpec {
       // r6: retrieval_bm25 broadcasts the 1-row corpus stats and the
       // 3-row df table; pagerank_clicks broadcasts the 1-row N aggregate
       // each iteration — linear broadcast passes, not pair explosions
-      "retrieval_bm25", "pagerank_clicks")
+      "retrieval_bm25", "pagerank_clicks",
+      // graph_triangles crosses three 1-row census aggregates
+      "graph_triangles")
     // ETL/streaming queries run real side effects — planning-only audit
     // covers the analytic surface.
     val sideEffecting = Set("scan_csv_serde", "infer_schema",
