@@ -497,6 +497,32 @@ object TextStats {
           row_number().over(Window.orderBy(desc("score"), asc("doc_id"))))
         .select("rank", "doc_id", "score")
     }),
+    // Bigram language-model estimation (round 6) — the n-gram-LM counting
+    // pass quality filters build their perplexity proxies from. Add-one
+    // smoothed conditional probabilities are emitted as EXACT RATIONALS
+    // (p_num = c12+1, p_den = c1+V): the full estimate with zero float
+    // discipline — consumers divide at read time; the count table is the
+    // artifact that matters at scale anyway. Top-30 bigrams by count with
+    // the (w1, w2) total-order tiebreak. 100 TB shape: ordered bigrams
+    // from one lead() window per doc_id (high-cardinality partition key),
+    // counts are map-side-combinable long aggs on the bigram key, V rides
+    // as a broadcast 1-row aggregate.
+    "text_bigram_lm" -> ((s, d) => {
+      val toks = documents(s, d).select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      val big = toks.withColumn("w2", lead(col("w"), 1).over(byDoc))
+        .filter(col("w2").isNotNull)
+        .select(col("w").as("w1"), col("w2"))
+      val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val vocab = toks.agg(count_distinct(col("w")).as("v"))
+      c12.join(c1, "w1").crossJoin(broadcast(vocab))
+        .select(col("w1"), col("w2"), col("c12"),
+          (col("c12") + 1).as("p_num"),
+          (col("c1") + col("v")).as("p_den"))
+        .orderBy(desc("c12"), asc("w1"), asc("w2")).limit(30)
+    }),
     // Importance-weighted sampling (training-data pipeline op): per-doc keep
     // rate proportional to length (clamped 10-90%), applied as a pure
     // function of doc_id — md5 digits 9-12, disjoint from sample_split's
@@ -1135,6 +1161,20 @@ object TextStats {
         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
         |       doc_id, score
         |FROM agg ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // positions via range() over the split array — an independent bigram
+    // construction (the Spark plan windows with lead())
+    "text_bigram_lm" ->
+      """WITH d AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+        |big AS (
+        |  SELECT ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT) + 1] AS w2
+        |  FROM d, UNNEST(range(1, len(ws))) AS t(i)),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT w) AS v
+        |      FROM (SELECT unnest(ws) AS w FROM d) t)
+        |SELECT w1, w2, c12, c12 + 1 AS p_num, c1 + v AS p_den
+        |FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+        |ORDER BY c12 DESC, w1, w2 LIMIT 30""".stripMargin,
     // md5 digits 9-12 (disjoint from 1-4 split and 5-8 stratified); floor
     // division for the rate (CAST would round in DuckDB, truncate in Spark)
     "weighted_sample" ->

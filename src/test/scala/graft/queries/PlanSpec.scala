@@ -316,8 +316,9 @@ class PlanSpec extends SparkSpec {
       // 3-row df table; pagerank_clicks broadcasts the 1-row N aggregate
       // each iteration — linear broadcast passes, not pair explosions
       "retrieval_bm25", "pagerank_clicks",
-      // graph_triangles crosses three 1-row census aggregates
-      "graph_triangles")
+      // graph_triangles crosses three 1-row census aggregates;
+      // text_bigram_lm broadcasts the 1-row vocabulary size
+      "graph_triangles", "text_bigram_lm")
     // ETL/streaming queries run real side effects — planning-only audit
     // covers the analytic surface.
     val sideEffecting = Set("scan_csv_serde", "infer_schema",
