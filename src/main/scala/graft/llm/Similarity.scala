@@ -97,9 +97,7 @@ object Similarity {
   def embeddingCosineDedup(emb: DataFrame, threshold: Double,
       rowsPerTask: Int = 256): DataFrame = {
     val unit = withUnitVec(emb, "embedding", "uv")
-    val blocked = unit.join(
-      broadcast(Dedup.blockSaltStats(unit, Seq("label"), rowsPerTask)),
-      Seq("label")).filter(col("bn") >= 2)
+    val blocked = Dedup.withAdaptiveSalt(unit, Seq("label"), rowsPerTask)
     val a = blocked.select(col("vec_id").as("a_id"), col("uv").as("a_v"),
         col("label"), col("bg"))
       .withColumn("g", explode(sequence(lit(0), col("bg") - 1)))

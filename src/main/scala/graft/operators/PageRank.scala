@@ -42,22 +42,29 @@ object PageRank {
       nodes: DataFrame, id: String, iters: Int,
       loopShufflePartitions: Int = 8): DataFrame = {
     val spark = edges.sparkSession
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.min(prevShuffle.toInt, loopShufflePartitions))
-    try runLoop(edges, src, dst, nodes, id, iters)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-  }
-
-  private def runLoop(edges: DataFrame, src: String, dst: String,
-      nodes: DataFrame, id: String, iters: Int): DataFrame = {
-    // edges annotated with their src's out-degree once — reused every round
+    // Materialize the caller's upstream pipelines (corpus-scale work — in
+    // pagerank_clicks a window over the whole events table) at AMBIENT
+    // parallelism, BEFORE the loop clamp: the narrow partition count below
+    // is sized to the graph-skinny per-iteration shuffles only, and must
+    // never serialize the edge derivation itself.
     val e = edges.select(col(src).as("pr_src"), col(dst).as("pr_dst"))
     val eo = e.join(e.groupBy("pr_src").agg(count(lit(1)).as("pr_od")),
       "pr_src").localCheckpoint()
+    val v = nodes.select(col(id).as("pr_id")).localCheckpoint()
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(prevShuffle.toInt, loopShufflePartitions))
+    try runLoop(eo, v, id, iters)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  /** @param eo edges pre-annotated with src out-degree, checkpointed
+    * @param v  node ids, checkpointed */
+  private def runLoop(eo: DataFrame, v: DataFrame, id: String,
+      iters: Int): DataFrame = {
     // N rides along as a broadcast 1-row aggregate, never a driver constant
-    val nRow = nodes.select(col(id).as("pr_id")).agg(count(lit(1)).as("pr_n"))
-    var ranks = nodes.select(col(id).as("pr_id"))
+    val nRow = v.agg(count(lit(1)).as("pr_n"))
+    var ranks = v
       .crossJoin(broadcast(nRow))
       .select(col("pr_id"), expr(s"${Scale}L DIV pr_n").as("pr_r"),
         col("pr_n"))

@@ -133,8 +133,12 @@ class ContractSpec extends SparkSpec {
     // Checked queries must carry collections as scalars: array_join CSV,
     // exploded rows, or an aggregate. Unit-tier queries may keep arrays —
     // only the DuckDB-compared surface is constrained.
+    // Side-effecting builders (QuerySets.sideEffecting) are skipped: their
+    // invocation runs whole ETL/streaming pipelines, and their outputs are
+    // read-back scans of sinks they wrote — flat schemas by construction.
     import org.apache.spark.sql.types.{ArrayType, MapType}
-    val offenders = SparkEntry.oracleSql.keySet.toSeq.sorted.flatMap { name =>
+    val offenders = (SparkEntry.oracleSql.keySet --
+        graft.queries.QuerySets.sideEffecting).toSeq.sorted.flatMap { name =>
       SparkEntry.queries(name)(spark, sf).schema.fields.collect {
         case f if f.dataType.isInstanceOf[ArrayType] ||
                   f.dataType.isInstanceOf[MapType] => s"$name.${f.name}"

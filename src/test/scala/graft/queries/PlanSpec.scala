@@ -320,16 +320,8 @@ class PlanSpec extends SparkSpec {
       // text_bigram_lm broadcasts the 1-row vocabulary size
       "graph_triangles", "text_bigram_lm")
     // ETL/streaming queries run real side effects — planning-only audit
-    // covers the analytic surface.
-    val sideEffecting = Set("scan_csv_serde", "infer_schema",
-      "partition_discovery", "schema_evolution_add_only", "sink_jdbc",
-      "workflow_dag", "bookmark_incremental", "event_trigger_filtered",
-      "stream_watermark_late", "stream_dedup_stateful",
-      "stream_foreachbatch_pipeline", "join_bucketed_colocated",
-      "scan_json", "scan_orc", "scan_text_logs",
-      "multimodal_meta", "multimodal_frames",
-      "etl_compact_files", "etl_upsert_scd1", "etl_snapshot_diff",
-      "scan_csv_corrupt", "etl_backfill_partition", "workflow_fanin")
+    // covers the analytic surface (list shared with ContractSpec).
+    val sideEffecting = QuerySets.sideEffecting
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(intended).filterNot(sideEffecting)
       .filter { name =>

@@ -1,0 +1,21 @@
+package graft.queries
+
+/** Query-name sets shared by the audit-style specs (PlanSpec, ContractSpec)
+  * so the classification lives in one place. */
+object QuerySets {
+  /** Builders that run REAL side effects the moment they are invoked —
+    * streaming jobs, CSV crawls, JDBC/parquet loads, partition rewrites.
+    * Plan/schema-level audits skip these rather than re-running a whole
+    * ETL pipeline per assertion (their outputs are read-back scans whose
+    * correctness the oracle gate already covers). */
+  val sideEffecting: Set[String] = Set(
+    "scan_csv_serde", "infer_schema",
+    "partition_discovery", "schema_evolution_add_only", "sink_jdbc",
+    "workflow_dag", "bookmark_incremental", "event_trigger_filtered",
+    "stream_watermark_late", "stream_dedup_stateful",
+    "stream_foreachbatch_pipeline", "join_bucketed_colocated",
+    "scan_json", "scan_orc", "scan_text_logs",
+    "multimodal_meta", "multimodal_frames",
+    "etl_compact_files", "etl_upsert_scd1", "etl_snapshot_diff",
+    "scan_csv_corrupt", "etl_backfill_partition", "workflow_fanin")
+}

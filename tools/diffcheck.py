@@ -45,10 +45,12 @@ def compare(name, sf_dir, out_dir, con):
     # map cell raises TypeError there (round 5: embed_quantize shipped
     # array<int> — green here, red at the gate, all round). Reproduce the
     # sort so a representation the driver cannot hash fails HERE too.
+    # TypeError on multi-column sorts (unhashable in factorize); ValueError
+    # on single-column sorts (ndarray comparison is ambiguous in argsort)
     try:
         spark.to_pandas().sort_values(by=sc)
         oracle.to_pandas().sort_values(by=oc)
-    except TypeError as e:
+    except (TypeError, ValueError) as e:
         return f"FAIL {name}: driver-style pandas sort would fail: {e}"
     s_rows = spark.select(sc).to_pylist()
     o_rows = oracle.select(oc).to_pylist()
