@@ -215,6 +215,52 @@ object Similarity {
         .select("rn", "vec_id")
         .orderBy("rn")
     }),
+    // MMR diversified retrieval (round 6): greedy maximal-marginal-
+    // relevance re-rank of the exact top-20 candidates — pick 5, each step
+    // maximizing 0.7·rel − 0.3·max_sim_to_already_selected (λ=0.7, the
+    // relevance/diversity re-rank every retrieval stack runs after ANN).
+    // Determinism: rel and pairwise sims are 4dp-quantized FIRST (the knn
+    // discipline), so the MMR score is identical float arithmetic on
+    // identical inputs in both engines; every argmax tie-breaks on vec_id.
+    // Scale honesty: the greedy loop is k-bounded BY CONSTRUCTION (5 steps
+    // over ≤20 rows — the candidate pool IS the scale contract; production
+    // swaps the exact top-20 for an ANN pool). No collect: the steps chain
+    // lazily, checkpointed per step to keep the plan flat.
+    "retrieval_mmr" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val cand = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"), col("embedding"),
+          round(cosine(col("embedding"), col("qv")), 4).as("rel"))
+        .orderBy(desc("rel"), asc("vec_id")).limit(20)
+        .localCheckpoint()
+      val sims = cand
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_e"))
+        .crossJoin(cand
+          .select(col("vec_id").as("b_id"), col("embedding").as("b_e")))
+        .filter(col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(cosine(col("a_e"), col("b_e")), 4).as("sim"))
+        .localCheckpoint()
+      var selected = cand.select(col("vec_id"), col("rel"))
+        .orderBy(desc("rel"), asc("vec_id")).limit(1)
+        .select(col("vec_id"), col("rel"), lit(1).as("step"))
+        .localCheckpoint()
+      for (t <- 2 to 5) {
+        val pick = cand.select(col("vec_id"), col("rel"))
+          .join(selected.select("vec_id"), Seq("vec_id"), "left_anti")
+          .join(sims, col("vec_id") === col("a_id"))
+          .join(selected.select(col("vec_id").as("b_id")), "b_id")
+          .groupBy(col("vec_id"), col("rel"))
+          .agg(max(col("sim")).as("maxsim"))
+          .select(col("vec_id"), col("rel"),
+            (lit(0.7) * col("rel") - lit(0.3) * col("maxsim")).as("mmr"))
+          .orderBy(desc("mmr"), asc("vec_id")).limit(1)
+          .select(col("vec_id"), col("rel"), lit(t).as("step"))
+        selected = selected.unionByName(pick).localCheckpoint()
+      }
+      selected.select("step", "vec_id", "rel").orderBy("step")
+    }),
     // E5 — nearest neighbour per probe vector within its label block
     // (probe set capped at vec_id < 200 so bench cost stays linear-ish).
     // Scale honesty: label blocking bounds the pair space by the label
@@ -446,6 +492,50 @@ object Similarity {
         |  SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rn
         |  FROM sims) t
         |WHERE rn <= 10 ORDER BY rn""".stripMargin,
+    // greedy MMR replayed as chained CTEs (one per selection step). The
+    // emitted rel forces BIT-parity of the cosine itself, so the oracle
+    // mirrors Spark's exact shape in DOUBLE — dot/(norm·norm) over
+    // double-cast lists via list_inner_product (the kmeans recipe);
+    // list_cosine_similarity would compute in FLOAT on these FLOAT[]
+    // fixtures and drift at the 8th decimal. 0.7/0.3 CAST to DOUBLE
+    // (bare decimals are DECIMAL in DuckDB).
+    "retrieval_mmr" -> {
+      val steps = (2 to 5).map { t =>
+        s"""s$t AS (SELECT * FROM s${t - 1} UNION ALL (
+           |  SELECT c.vec_id, c.rel, $t AS step FROM cand c
+           |  JOIN sims ON sims.a_id = c.vec_id
+           |  JOIN s${t - 1} p ON sims.b_id = p.vec_id
+           |  WHERE c.vec_id NOT IN (SELECT vec_id FROM s${t - 1})
+           |  GROUP BY c.vec_id, c.rel
+           |  ORDER BY CAST(0.7 AS DOUBLE) * c.rel
+           |           - CAST(0.3 AS DOUBLE) * MAX(sims.sim) DESC, c.vec_id
+           |  LIMIT 1))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ed AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |q AS (SELECT e AS qe FROM ed WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT vec_id, e,
+         |         round(list_inner_product(e, (SELECT qe FROM q))
+         |               / (sqrt(list_inner_product(e, e))
+         |                  * sqrt(list_inner_product((SELECT qe FROM q),
+         |                                            (SELECT qe FROM q)))),
+         |               4) AS rel
+         |  FROM ed WHERE vec_id <> 0
+         |  ORDER BY rel DESC, vec_id LIMIT 20),
+         |sims AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |         round(list_inner_product(a.e, b.e)
+         |               / (sqrt(list_inner_product(a.e, a.e))
+         |                  * sqrt(list_inner_product(b.e, b.e))), 4) AS sim
+         |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+         |s1 AS (SELECT vec_id, rel, 1 AS step FROM cand
+         |       ORDER BY rel DESC, vec_id LIMIT 1),
+         |$steps
+         |SELECT step, vec_id, rel FROM s5 ORDER BY step""".stripMargin
+    },
     "knn_pairs_label" ->
       """WITH pairs AS (
         |  SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,

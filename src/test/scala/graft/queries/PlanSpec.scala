@@ -317,8 +317,10 @@ class PlanSpec extends SparkSpec {
       // each iteration — linear broadcast passes, not pair explosions
       "retrieval_bm25", "pagerank_clicks",
       // graph_triangles crosses three 1-row census aggregates;
-      // text_bigram_lm broadcasts the 1-row vocabulary size
-      "graph_triangles", "text_bigram_lm")
+      // text_bigram_lm broadcasts the 1-row vocabulary size;
+      // retrieval_mmr crosses the broadcast query vector and the 20-row
+      // checkpointed candidate pool (k-bounded by construction)
+      "graph_triangles", "text_bigram_lm", "retrieval_mmr")
     // ETL/streaming queries run real side effects — planning-only audit
     // covers the analytic surface (list shared with ContractSpec).
     val sideEffecting = QuerySets.sideEffecting
