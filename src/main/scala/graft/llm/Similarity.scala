@@ -139,6 +139,53 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Greedy maximal-marginal-relevance selection: pick `k` of the exact
+    * top-`pool` candidates by query cosine, each step maximizing
+    * lam·rel − (1−lam)·max_sim_to_already_selected. rel and the pairwise
+    * sims are 4dp-quantized FIRST (the knn discipline) so every greedy
+    * argmax compares identical floats in both engines; ties break on
+    * vec_id. k-bounded by construction — the candidate pool IS the scale
+    * contract (production swaps the exact top-pool for an ANN pool) — and
+    * collect-free: steps chain lazily, checkpointed per step to keep the
+    * plan flat. Fewer than k candidates yields fewer than k rows (each
+    * exhausted step's argmax is empty), never an error. */
+  def mmrSelect(emb: DataFrame, queryId: Long, pool: Int, k: Int,
+      lam: Double): DataFrame = {
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"))
+    val cand = emb.filter(col("vec_id") =!= queryId).crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"),
+        round(cosine(col("embedding"), col("qv")), 4).as("rel"))
+      .orderBy(desc("rel"), asc("vec_id")).limit(pool)
+      .localCheckpoint()
+    val sims = cand
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_e"))
+      .crossJoin(cand
+        .select(col("vec_id").as("b_id"), col("embedding").as("b_e")))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(cosine(col("a_e"), col("b_e")), 4).as("sim"))
+      .localCheckpoint()
+    var selected = cand.select(col("vec_id"), col("rel"))
+      .orderBy(desc("rel"), asc("vec_id")).limit(1)
+      .select(col("vec_id"), col("rel"), lit(1).as("step"))
+      .localCheckpoint()
+    for (t <- 2 to k) {
+      val pick = cand.select(col("vec_id"), col("rel"))
+        .join(selected.select("vec_id"), Seq("vec_id"), "left_anti")
+        .join(sims, col("vec_id") === col("a_id"))
+        .join(selected.select(col("vec_id").as("b_id")), "b_id")
+        .groupBy(col("vec_id"), col("rel"))
+        .agg(max(col("sim")).as("maxsim"))
+        .select(col("vec_id"), col("rel"),
+          (lit(lam) * col("rel") - lit(1.0 - lam) * col("maxsim")).as("mmr"))
+        .orderBy(desc("mmr"), asc("vec_id")).limit(1)
+        .select(col("vec_id"), col("rel"), lit(t).as("step"))
+      selected = selected.unionByName(pick).localCheckpoint()
+    }
+    selected.select("step", "vec_id", "rel").orderBy("step")
+  }
+
   /** Spherical k-means (Lloyd) training shared by kmeans_lloyd and
     * ivf_index_build: K=8 seeds, two iterations, returns (trained
     * centroids, final assignment). Scale/determinism discipline:
@@ -226,41 +273,8 @@ object Similarity {
     // over ≤20 rows — the candidate pool IS the scale contract; production
     // swaps the exact top-20 for an ANN pool). No collect: the steps chain
     // lazily, checkpointed per step to keep the plan flat.
-    "retrieval_mmr" -> ((s, d) => {
-      val emb = embeddings(s, d)
-      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-      val cand = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
-        .select(col("vec_id"), col("embedding"),
-          round(cosine(col("embedding"), col("qv")), 4).as("rel"))
-        .orderBy(desc("rel"), asc("vec_id")).limit(20)
-        .localCheckpoint()
-      val sims = cand
-        .select(col("vec_id").as("a_id"), col("embedding").as("a_e"))
-        .crossJoin(cand
-          .select(col("vec_id").as("b_id"), col("embedding").as("b_e")))
-        .filter(col("a_id") =!= col("b_id"))
-        .select(col("a_id"), col("b_id"),
-          round(cosine(col("a_e"), col("b_e")), 4).as("sim"))
-        .localCheckpoint()
-      var selected = cand.select(col("vec_id"), col("rel"))
-        .orderBy(desc("rel"), asc("vec_id")).limit(1)
-        .select(col("vec_id"), col("rel"), lit(1).as("step"))
-        .localCheckpoint()
-      for (t <- 2 to 5) {
-        val pick = cand.select(col("vec_id"), col("rel"))
-          .join(selected.select("vec_id"), Seq("vec_id"), "left_anti")
-          .join(sims, col("vec_id") === col("a_id"))
-          .join(selected.select(col("vec_id").as("b_id")), "b_id")
-          .groupBy(col("vec_id"), col("rel"))
-          .agg(max(col("sim")).as("maxsim"))
-          .select(col("vec_id"), col("rel"),
-            (lit(0.7) * col("rel") - lit(0.3) * col("maxsim")).as("mmr"))
-          .orderBy(desc("mmr"), asc("vec_id")).limit(1)
-          .select(col("vec_id"), col("rel"), lit(t).as("step"))
-        selected = selected.unionByName(pick).localCheckpoint()
-      }
-      selected.select("step", "vec_id", "rel").orderBy("step")
-    }),
+    "retrieval_mmr" -> ((s, d) =>
+      mmrSelect(embeddings(s, d), queryId = 0, pool = 20, k = 5, lam = 0.7)),
     // E5 — nearest neighbour per probe vector within its label block
     // (probe set capped at vec_id < 200 so bench cost stays linear-ish).
     // Scale honesty: label blocking bounds the pair space by the label
