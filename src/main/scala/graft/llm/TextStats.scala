@@ -523,6 +523,39 @@ object TextStats {
           (col("c1") + col("v")).as("p_den"))
         .orderBy(desc("c12"), asc("w1"), asc("w2")).limit(30)
     }),
+    // Collocation extraction by pointwise mutual information (round 6) —
+    // the phrase-mining pass behind tokenizer-vocabulary merges and
+    // stop-phrase lists. PMI = log lift; log is monotone, so ranking by
+    // the lift ratio c12·N/(c1·c2) IS ranking by PMI, and the ratio is
+    // emitted as an EXACT RATIONAL (lift_num, lift_den) plus the
+    // integer-fixed-point quantization lift_q6 = num·1e6 DIV den (the
+    // PageRank recipe) used only for the total order — zero float
+    // discipline. c12 >= 5 is the standard collocation min-count cut,
+    // applied before any join so the pair table shrinks first. 100 TB
+    // shape: identical to text_bigram_lm (one lead() window per doc,
+    // map-side-combinable counts); marginals c1/c2 join back on the
+    // skew-free token keys; N rides as a broadcast 1-row aggregate.
+    // (lift_num·1e6 needs N·c12·1e6 < 2^63 — at corpus scale swap the
+    // 1e6 quantizer for DECIMAL(38) or rank on log-space doubles.)
+    "collocation_pmi" -> ((s, d) => {
+      val toks = documents(s, d).select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      val big = toks.withColumn("w2", lead(col("w"), 1).over(byDoc))
+        .filter(col("w2").isNotNull)
+        .select(col("w").as("w1"), col("w2"))
+      val n = big.agg(count(lit(1)).as("n"))
+      val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= 5)
+      val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val c2 = big.groupBy("w2").agg(count(lit(1)).as("c2"))
+      c12.join(c1, "w1").join(c2, "w2").crossJoin(broadcast(n))
+        .select(col("w1"), col("w2"), col("c12"),
+          (col("c12") * col("n")).as("lift_num"),
+          (col("c1") * col("c2")).as("lift_den"),
+          expr("(c12 * n * 1000000) DIV (c1 * c2)").as("lift_q6"))
+        .orderBy(desc("lift_q6"), asc("w1"), asc("w2")).limit(25)
+    }),
     // Importance-weighted sampling (training-data pipeline op): per-doc keep
     // rate proportional to length (clamped 10-90%), applied as a pure
     // function of doc_id — md5 digits 9-12, disjoint from sample_split's
@@ -1175,6 +1208,23 @@ object TextStats {
         |SELECT w1, w2, c12, c12 + 1 AS p_num, c1 + v AS p_den
         |FROM c12 JOIN c1 USING (w1) CROSS JOIN v
         |ORDER BY c12 DESC, w1, w2 LIMIT 30""".stripMargin,
+    // lift as an exact rational + the 1e6 fixed-point quantization used
+    // for the order — DuckDB's // and Spark's DIV agree on non-negative
+    // integer floor division
+    "collocation_pmi" ->
+      """WITH d AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+        |big AS (
+        |  SELECT ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT) + 1] AS w2
+        |  FROM d, UNNEST(range(1, len(ws))) AS t(i)),
+        |n AS (SELECT COUNT(*) AS n FROM big),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big
+        |        GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+        |c2 AS (SELECT w2, COUNT(*) AS c2 FROM big GROUP BY 1)
+        |SELECT w1, w2, c12, c12 * n AS lift_num, c1 * c2 AS lift_den,
+        |       (c12 * n * 1000000) // (c1 * c2) AS lift_q6
+        |FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+        |ORDER BY lift_q6 DESC, w1, w2 LIMIT 25""".stripMargin,
     // md5 digits 9-12 (disjoint from 1-4 split and 5-8 stratified); floor
     // division for the rate (CAST would round in DuckDB, truncate in Spark)
     "weighted_sample" ->
