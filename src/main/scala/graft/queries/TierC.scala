@@ -1090,6 +1090,36 @@ object TierCWindow {
             count(lit(1)).over(w4)).as("moving_avg"))
         .orderBy("o_orderkey")
     }),
+    // C25b — rolling EXACT median (round 6): trailing-7-row median spend
+    // per customer — the robust-center rolling stat win_moving_avg's mean
+    // can't give. Spark has no exact median window function, so the frame
+    // is materialized with collect_list + array_sort and the middle
+    // element(s) picked by size parity — O(frame²·log frame) per row but
+    // the frame is a constant 7, and the partition key (o_custkey) is
+    // high-cardinality, so the 100 TB shape is one hash shuffle and
+    // constant per-row work, same as any other window here. Float-free:
+    // prices go through the DECIMAL(18,2) cast to integer CENTS first and
+    // the output is 2·median (sum of the two middle elements when the
+    // frame is even-sized) — always a long, never a fractional value, the
+    // §7.4e integer-exactness discipline. The oracle uses DuckDB's native
+    // median aggregate as an independent implementation (2·median of
+    // bigints is integer-exact in double far below 2^53).
+    "win_rolling_median" -> ((s, d) => {
+      val w7 = byCust.rowsBetween(-6, 0)
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+      val arr = array_sort(collect_list(cents).over(w7))
+      val nn = size(arr)
+      orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"),
+          when(nn % 2 === 1,
+              element_at(arr, ((nn + 1) / 2).cast("int")) * 2)
+            .otherwise(element_at(arr, (nn / 2).cast("int"))
+              + element_at(arr, (nn / 2 + 1).cast("int")))
+            .as("med2_cents"),
+          nn.as("n_win"))
+        .orderBy("o_orderkey")
+    }),
     // C26 — first_value/last_value with an explicit full-partition frame
     // (default frame would make last_value = current row).
     "win_first_last" -> ((s, d) => {
@@ -1414,6 +1444,44 @@ object TierCWindow {
           sum(expr("d * (d - 1) DIV 2")).as("n_wedges")))
       totals.crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
         .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
+    }),
+    // Common-neighbor link prediction (round 6) — the candidate-generation
+    // pass of graph-based recommendation: for every unlinked page pair at
+    // distance 2, count shared neighbors and rank by neighborhood Jaccard
+    // cn/(da+db-cn), emitted as an EXACT RATIONAL (cn, jac_den) plus the
+    // 1e6 fixed-point quantization for the total order — zero floats.
+    // Wedge enumeration from the shared neighbor is the standard exact CN
+    // algorithm and is Σd² by construction; the 100 TB lever is a hub cap
+    // (drop w with d above a threshold before pairing — hubs carry no
+    // Jaccard signal and bound the per-task pair space), not applied here
+    // because the fixture graph is hub-free (d ≤ 45). The left-anti
+    // against the edge set keeps only genuinely unlinked pairs.
+    "graph_common_neighbors" -> ((s, d) => {
+      val ev = events(s, d).filter(col("event_type") === lit("click"))
+        .select(col("user_id"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("page"))
+      val byUser = Window.partitionBy("user_id").orderBy("event_id")
+      val und = ev.withColumn("prev", lag(col("page"), 1).over(byUser))
+        .filter(col("prev").isNotNull && col("prev") =!= col("page"))
+        .select(least(col("prev"), col("page")).as("u"),
+          greatest(col("prev"), col("page")).as("v"))
+        .distinct()
+      val adj = und.select(col("u").as("w"), col("v").as("x"))
+        .unionAll(und.select(col("v").as("w"), col("u").as("x")))
+      val deg = adj.groupBy("w").agg(count(lit(1)).as("d"))
+      val cn = adj.as("e1").join(adj.as("e2"), "w")
+        .filter(col("e1.x") < col("e2.x"))
+        .select(col("e1.x").as("a"), col("e2.x").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+      val cand = cn.join(und,
+        cn("a") === und("u") && cn("b") === und("v"), "left_anti")
+      cand
+        .join(deg.select(col("w").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("w").as("b"), col("d").as("db")), "b")
+        .select(col("a"), col("b"), col("cn"),
+          (col("da") + col("db") - col("cn")).as("jac_den"),
+          expr("(cn * 1000000) DIV (da + db - cn)").as("jac_q6"))
+        .orderBy(desc("jac_q6"), asc("a"), asc("b")).limit(20)
     })
   )
 
@@ -1450,6 +1518,22 @@ object TierCWindow {
          |       / COUNT(*) $overCust ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
          |       AS moving_avg
          |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // native median aggregate as the independent implementation; 2·median
+    // of bigints is integer-exact in double far below 2^53
+    "win_rolling_median" ->
+      s"""WITH c AS (
+         |  SELECT o_orderkey, o_custkey, o_orderdate,
+         |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |           AS cents
+         |  FROM orders)
+         |SELECT o_orderkey, o_custkey,
+         |       CAST(2 * median(cents) $overCust
+         |            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+         |         AS med2_cents,
+         |       CAST(COUNT(*) $overCust
+         |            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS INT)
+         |         AS n_win
+         |FROM c ORDER BY o_orderkey""".stripMargin,
     "win_first_last" ->
       s"""SELECT o_orderkey, o_custkey,
          |       FIRST_VALUE(o_orderkey) $overCust ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_order,
@@ -1673,7 +1757,34 @@ object TierCWindow {
         |       (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg)
         |         AS n_wedges,
         |       n_triangles
-        |FROM tri""".stripMargin
+        |FROM tri""".stripMargin,
+    // same edge derivation; NOT EXISTS is the independent spelling of the
+    // Spark plan's left-anti; // and DIV agree on non-negative floor
+    "graph_common_neighbors" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS page
+        |  FROM events WHERE event_type = 'click'),
+        |seq AS (
+        |  SELECT page, lag(page) OVER (PARTITION BY user_id
+        |                               ORDER BY event_id) AS prev
+        |  FROM ev),
+        |und AS (SELECT DISTINCT least(prev, page) AS u,
+        |                        greatest(prev, page) AS v
+        |        FROM seq WHERE prev IS NOT NULL AND prev <> page),
+        |adj AS (SELECT u AS w, v AS x FROM und
+        |        UNION ALL SELECT v AS w, u AS x FROM und),
+        |deg AS (SELECT w, COUNT(*) AS d FROM adj GROUP BY w),
+        |cn AS (SELECT e1.x AS a, e2.x AS b, COUNT(*) AS cn
+        |       FROM adj e1 JOIN adj e2 USING (w)
+        |       WHERE e1.x < e2.x GROUP BY 1, 2),
+        |cand AS (SELECT * FROM cn WHERE NOT EXISTS (
+        |           SELECT 1 FROM und WHERE u = cn.a AND v = cn.b))
+        |SELECT a, b, cn, da.d + db.d - cn AS jac_den,
+        |       (cn * 1000000) // (da.d + db.d - cn) AS jac_q6
+        |FROM cand JOIN deg da ON da.w = cand.a
+        |          JOIN deg db ON db.w = cand.b
+        |ORDER BY jac_q6 DESC, a, b LIMIT 20""".stripMargin
   )
 }
 
