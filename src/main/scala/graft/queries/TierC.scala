@@ -1298,6 +1298,47 @@ object TierCWindow {
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_week", "week_offset")
     }),
+    // Exponentially-weighted moving average (round 6) — the trend-smoothing
+    // recurrence dashboards and drift monitors run over metric series.
+    // EWMA is inherently sequential (s_t depends on s_{t-1}), which Spark
+    // windows cannot express — so the per-key series folds INSIDE a SQL
+    // higher-order function: collect the sorted monthly series, then
+    // transform(i -> aggregate(prefix_i)) replays the recurrence per
+    // prefix. The recurrence itself is INTEGER FIXED POINT (§7.4e PageRank
+    // recipe), and deliberately in the all-non-negative form
+    // s_t = (3·s_{t-1} + x_t·1e6) DIV 4   (α = 1/4)
+    // so truncating vs flooring division can never diverge between
+    // engines — bit-exact, zero float discipline. O(T²) fold work per key
+    // is the price of per-prefix output; T = months (~80) is a constant,
+    // and the 100 TB shape is one groupBy on the (high-cardinality in
+    // production) series key with constant per-key work. Revenue rides as
+    // integer cents; 3·s + x·1e6 stays under 2^63 for series sums to
+    // ~7·10^11 cents — beyond that drop the quantizer to 1e3 or fold in
+    // DECIMAL(38,0).
+    "timeseries_ewma" -> ((s, d) => {
+      val monthly = orders(s, d)
+        .select(col("o_orderstatus").as("st"),
+          ((year(col("o_orderdate")) - 1992) * 12
+            + month(col("o_orderdate")) - 1).as("ym"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        .groupBy("st", "ym").agg(sum(col("cents")).as("v"))
+      monthly.groupBy("st")
+        .agg(array_sort(collect_list(struct(col("ym"), col("v")))).as("sv"))
+        .select(col("st"),
+          expr("transform(sv, p -> p.ym)").as("yms"),
+          expr("transform(sv, p -> p.v)").as("vs"),
+          expr("transform(sv, p -> p.v * 1000000L)").as("xs"))
+        .withColumn("es", expr(
+          """transform(sequence(1, size(xs)),
+            |  i -> aggregate(slice(xs, 2, i - 1), element_at(xs, 1),
+            |                 (acc, x) -> (3L * acc + x) DIV 4L))""".stripMargin))
+        .select(col("st"),
+          explode(expr("arrays_zip(yms, vs, es)")).as("z"))
+        .select(col("st"), col("z.yms").as("ym"),
+          col("z.vs").as("cents"), col("z.es").as("ewma_q6"))
+        .orderBy("st", "ym")
+    }),
     // C24c — time-series gap-fill + forward fill: the observed daily revenue
     // series per order priority is completed to EVERY calendar day of
     // 1995-01 (sequence() explode — expression-level, no shuffle, no
@@ -1645,6 +1686,34 @@ object TierCWindow {
         |SELECT cohort_week, week_offset, COUNT(*) AS n_users
         |FROM cells GROUP BY cohort_week, week_offset
         |ORDER BY cohort_week, week_offset""".stripMargin,
+    // list_reduce replays the same all-non-negative integer recurrence per
+    // prefix; its seed IS the first element (no init arg), matching the
+    // Spark fold's element_at(xs, 1) seed; // vs DIV can't diverge because
+    // every term is non-negative
+    "timeseries_ewma" ->
+      """WITH m AS (
+        |  SELECT o_orderstatus AS st,
+        |         (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1
+        |           AS ym,
+        |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |                       AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |g AS (
+        |  SELECT st, list(ym ORDER BY ym) AS yms,
+        |         list(v ORDER BY ym) AS vs,
+        |         list(v * 1000000 ORDER BY ym) AS xs
+        |  FROM m GROUP BY st),
+        |e AS (
+        |  SELECT st, yms, vs,
+        |         list_transform(range(1, len(xs) + 1),
+        |           i -> list_reduce(xs[1:CAST(i AS INT)],
+        |                            (acc, x) -> (3 * acc + x) // 4)) AS es
+        |  FROM g)
+        |SELECT st, CAST(yms[CAST(i AS INT)] AS INT) AS ym,
+        |       vs[CAST(i AS INT)] AS cents,
+        |       es[CAST(i AS INT)] AS ewma_q6
+        |FROM e, UNNEST(range(1, len(yms) + 1)) AS t(i)
+        |ORDER BY st, ym""".stripMargin,
     "timeseries_gapfill" ->
       """WITH days AS (
         |  SELECT p.o_orderpriority, CAST(g.generate_series AS DATE) AS day
