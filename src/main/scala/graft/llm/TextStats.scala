@@ -424,6 +424,30 @@ object TextStats {
         .select("rank", "token", "n_occurrences", "n_docs")
         .orderBy("rank")
     }),
+    // Vocabulary coverage curve (round 6) — the "how many tokens does a
+    // k-word vocab cover" readout tokenizer sizing is decided from.
+    // Coverage at rank k is the EXACT RATIONAL (cum_freq, total_tokens):
+    // a running sum over the top-30 slice divided (by the consumer) into
+    // the broadcast 1-row corpus total — no floats. Discipline note: the
+    // running-sum window runs AFTER the top-30 TakeOrdered, so it numbers
+    // 30 rows, not |V| (the k-bounded global-window shape, §7.4); the
+    // total comes from the pre-limit counts so the rational's denominator
+    // is the true corpus size.
+    "vocab_coverage" -> ((s, d) => {
+      val tok = documents(s, d)
+        .select(explode(tokens(col("text"))).as("token"))
+      val counts = tok.groupBy("token").agg(count(lit(1)).as("freq"))
+      val total = counts.agg(sum(col("freq")).as("total_tokens"))
+      val w = Window.orderBy(desc("freq"), asc("token"))
+      counts.orderBy(desc("freq"), asc("token")).limit(30)
+        .withColumn("rank", row_number().over(w))
+        .withColumn("cum_freq",
+          sum(col("freq")).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .crossJoin(broadcast(total))
+        .select("rank", "token", "freq", "cum_freq", "total_tokens")
+        .orderBy("rank")
+    }),
     // TF-IDF top terms per document (training-data pipeline op): the
     // classic relevance weighting — tf(doc, term) × ln(N / df(term)) — kept
     // oracle-hashable by quantizing the score to 1e-4 before ranking (ties
@@ -609,6 +633,34 @@ object TextStats {
           count(lit(1)).as("n_events"),
           decSum(col("value")).as("sum_value"))
         .orderBy("split")
+    }),
+    // A/B experiment readout (round 6) — deterministic variant assignment
+    // + funnel conversion, the analysis pass every event pipeline ends in.
+    // Assignment hashes the USER (md5 digits 21-24 — next free range;
+    // 17-20 is sample_user_holdout), never the event, for the same
+    // leakage reason as the holdout split; conversion = a purchase event
+    // AFTER the user's first click (event_id order — the fixture's
+    // ns-timestamp ordering trap, §7.4e). The conversion rate is the
+    // EXACT RATIONAL (n_converted, n_clickers) — no division, no floats;
+    // the z-test the analyst runs on top is driver-side arithmetic over
+    // these four longs, not a distributed op. One user_id groupBy, then a
+    // 2-key aggregate: the 100 TB shape is a straight two-level rollup.
+    "abtest_conversion" -> ((s, d) => {
+      val per = events(s, d).groupBy("user_id")
+        .agg(min(when(col("event_type") === "click", col("event_id")))
+            .as("first_click"),
+          max(when(col("event_type") === "purchase", col("event_id")))
+            .as("last_purchase"))
+      per
+        .withColumn("variant",
+          when(md5Fold(col("user_id"), 21) % 2 === 0, "A").otherwise("B"))
+        .groupBy("variant")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("first_click").isNotNull.cast("long")).as("n_clickers"),
+          sum((col("first_click").isNotNull &&
+            col("last_purchase") > col("first_click")).cast("long"))
+            .as("n_converted"))
+        .orderBy("variant")
     }),
     // Mix-diversity profile per language: Gini impurity and Shannon
     // entropy of the source distribution — the "is this slice dominated by
@@ -1062,6 +1114,34 @@ object TextStats {
         |       COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
+    // md5 hex digits 21-24 of the USER id; conversion compares event_ids
+    // (never the ns timestamps); the rate is the exact rational
+    // (n_converted, n_clickers)
+    "abtest_conversion" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |         MIN(CASE WHEN event_type = 'click' THEN event_id END)
+        |           AS first_click,
+        |         MAX(CASE WHEN event_type = 'purchase' THEN event_id END)
+        |           AS last_purchase
+        |  FROM events GROUP BY user_id),
+        |h AS (
+        |  SELECT *, md5(CAST(user_id AS VARCHAR)) AS hx FROM per),
+        |v AS (
+        |  SELECT first_click, last_purchase,
+        |    CASE WHEN ((((CASE WHEN ord(hx[21:21]) >= 97 THEN ord(hx[21:21]) - 87 ELSE ord(hx[21:21]) - 48 END) * 16
+        |      + (CASE WHEN ord(hx[22:22]) >= 97 THEN ord(hx[22:22]) - 87 ELSE ord(hx[22:22]) - 48 END)) * 16
+        |      + (CASE WHEN ord(hx[23:23]) >= 97 THEN ord(hx[23:23]) - 87 ELSE ord(hx[23:23]) - 48 END)) * 16
+        |      + (CASE WHEN ord(hx[24:24]) >= 97 THEN ord(hx[24:24]) - 87 ELSE ord(hx[24:24]) - 48 END)) % 2 = 0
+        |      THEN 'A' ELSE 'B' END AS variant
+        |  FROM h)
+        |SELECT variant, COUNT(*) AS n_users,
+        |       CAST(SUM(CASE WHEN first_click IS NOT NULL
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clickers,
+        |       CAST(SUM(CASE WHEN first_click IS NOT NULL
+        |                      AND last_purchase > first_click
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+        |FROM v GROUP BY variant ORDER BY variant""".stripMargin,
     "profile_entropy" ->
       """WITH c AS (
         |  SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY 1, 2),
@@ -1146,6 +1226,23 @@ object TextStats {
         |         row_number() OVER (ORDER BY n_occurrences DESC, token) AS rank
         |  FROM c) t
         |WHERE rank <= 50 ORDER BY rank""".stripMargin,
+    // coverage as the exact rational (cum_freq, total_tokens); the
+    // denominator comes from the pre-limit counts
+    "vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT unnest(str_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token),
+        |t AS (SELECT CAST(SUM(freq) AS BIGINT) AS total_tokens FROM c),
+        |r AS (
+        |  SELECT token, freq,
+        |         row_number() OVER (ORDER BY freq DESC, token) AS rank,
+        |         CAST(SUM(freq) OVER (ORDER BY freq DESC, token
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cum_freq
+        |  FROM c)
+        |SELECT CAST(rank AS INT) AS rank, token, freq, cum_freq,
+        |       total_tokens
+        |FROM r CROSS JOIN t WHERE rank <= 30 ORDER BY rank""".stripMargin,
     "tfidf_topk" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),

@@ -741,6 +741,39 @@ object TierCAgg {
         .agg(corr.as("corr_qty_disc"), n.as("n"))
         .orderBy("l_returnflag")
     }),
+    // Grouped OLS trend (round 6) — per-status linear-regression slope of
+    // monthly revenue vs month index, the drift/trend detector behind
+    // metric monitoring. Where agg_corr needed the decimal→double
+    // discipline, the slope needs NO floats at all: with integer x (the
+    // 1992-anchored month index — the zorder lesson) and integer y
+    // (monthly revenue cents) the closed form
+    // slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) is a ratio of two exact
+    // longs, emitted as the EXACT RATIONAL (slope_num, slope_den) —
+    // consumers divide at read time. All five sums are map-side-combinable
+    // longs in one pass over the pre-aggregated monthly table; worst-case
+    // magnitudes (~10^16 at sf0.1) sit far under 2^63. DuckDB sums in
+    // HUGEINT, so every product is exact there too — CAST back to BIGINT
+    // is the only discipline the oracle needs.
+    "regression_slope" -> ((s, d) => {
+      val monthly = orders(s, d)
+        .select(col("o_orderstatus").as("st"),
+          ((year(col("o_orderdate")) - 1992) * 12
+            + month(col("o_orderdate")) - 1).cast("long").as("x"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        .groupBy("st", "x").agg(sum(col("cents")).as("y"))
+      monthly.groupBy("st").agg(
+          count(lit(1)).as("n_months"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("st"), col("n_months"),
+          (col("n_months") * col("sxy") - col("sx") * col("sy"))
+            .as("slope_num"),
+          (col("n_months") * col("sxx") - col("sx") * col("sx"))
+            .as("slope_den"))
+        .orderBy("st")
+    }),
     // C14g — the arg-max / boolean aggregate family: max_by/min_by with an
     // explicit (value, PK) struct so ties break deterministically (a bare
     // max_by(x, price) is nondeterministic whenever prices tie — the same
@@ -938,6 +971,26 @@ object TierCAgg {
         |       (sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qty_disc,
         |       n
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    // integer-only closed form; DuckDB's HUGEINT sums make every product
+    // exact — CAST back to BIGINT is the only needed discipline
+    "regression_slope" ->
+      """WITH m AS (
+        |  SELECT o_orderstatus AS st,
+        |         CAST((year(o_orderdate) - 1992) * 12 + month(o_orderdate)
+        |              - 1 AS BIGINT) AS x,
+        |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |                       AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |a AS (
+        |  SELECT st, COUNT(*) AS n_months,
+        |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |         CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |         CAST(SUM(x * y) AS BIGINT) AS sxy
+        |  FROM m GROUP BY st)
+        |SELECT st, n_months,
+        |       CAST(n_months * sxy - sx * sy AS BIGINT) AS slope_num,
+        |       CAST(n_months * sxx - sx * sx AS BIGINT) AS slope_den
+        |FROM a ORDER BY st""".stripMargin,
     // the oracle resolves arg-max through a window rank over the same
     // (value, PK) ordering — an independent implementation, not max_by
     "agg_argminmax" ->

@@ -321,8 +321,9 @@ class PlanSpec extends SparkSpec {
       // retrieval_mmr crosses the broadcast query vector and the 20-row
       // checkpointed candidate pool (k-bounded by construction)
       "graph_triangles", "text_bigram_lm", "retrieval_mmr",
-      // collocation_pmi broadcasts the 1-row total-bigram count N
-      "collocation_pmi")
+      // collocation_pmi broadcasts the 1-row total-bigram count N;
+      // vocab_coverage broadcasts the 1-row corpus token total
+      "collocation_pmi", "vocab_coverage")
     // ETL/streaming queries run real side effects — planning-only audit
     // covers the analytic surface (list shared with ContractSpec).
     val sideEffecting = QuerySets.sideEffecting
