@@ -257,6 +257,26 @@ object TierCJoins {
           dec4Sum(l("l_extendedprice") * (lit(1) - l("l_discount"))).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("r_name", "n_name")
+    }),
+    // Market-basket co-occurrence (round 6) — the support-counting pass of
+    // association mining: how often two brands land in the same order.
+    // The fact-table side is the interesting part at 100 TB: lineitem
+    // joins the broadcast part dim to tag brands, collapses to DISTINCT
+    // (order, brand) FIRST — the basket width bound — and only then
+    // self-joins per order, so the pair space is Σ basket_width², bounded
+    // by the 7-item order cap, never |lineitem|². Counts are exact longs;
+    // top-25 by (support, b1, b2) total order.
+    "basket_brand_pairs" -> ((s, d) => {
+      val ib = lineitem(s, d)
+        .join(broadcast(part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand"))
+        .distinct()
+      ib.as("a").join(ib.as("b"), "l_orderkey")
+        .filter(col("a.p_brand") < col("b.p_brand"))
+        .groupBy(col("a.p_brand").as("b1"), col("b.p_brand").as("b2"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(desc("n_orders"), asc("b1"), asc("b2")).limit(25)
     })
   )
 
@@ -388,7 +408,16 @@ object TierCJoins {
         |JOIN nation   ON c_nationkey = n_nationkey
         |JOIN region   ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name
-        |ORDER BY r_name, n_name""".stripMargin
+        |ORDER BY r_name, n_name""".stripMargin,
+    "basket_brand_pairs" ->
+      """WITH ib AS (
+        |  SELECT DISTINCT l_orderkey, p_brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT a.p_brand AS b1, b.p_brand AS b2, COUNT(*) AS n_orders
+        |FROM ib a JOIN ib b USING (l_orderkey)
+        |WHERE a.p_brand < b.p_brand
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, b1, b2 LIMIT 25""".stripMargin
   )
 }
 
@@ -652,6 +681,32 @@ object TierCAgg {
         .select(col("o_custkey"), col("s").cast("double").as("spend"),
           col("dev").cast("double").as("dev"))
         .orderBy("o_custkey")
+    }),
+    // Tukey-fence outliers (round 6) — the third member of the outlier
+    // family: zscore (parametric), MAD (robust-median), IQR fence (the
+    // boxplot rule dashboards actually draw). ENTIRELY in integers:
+    // per-customer spend rides as cents, the quartiles are actual data
+    // values (the shared sortedPick index formula), and both fences
+    // compare in 2× space — 2·cents < 5·q1 − 3·q3 IS cents < q1 − 1.5·IQR
+    // with no fractional value ever materialized. Zero floats end to end,
+    // no threshold-gap analysis needed. Quartiles buffer the value list
+    // (agg_percentile_disc shape); the 100 TB path swaps in the GK sketch.
+    "anomaly_iqr_fence" -> ((s, d) => {
+      val spend = orders(s, d).groupBy("o_custkey")
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("cents"),
+          count(lit(1)).as("n_orders"))
+      val q = spend.agg(sortedPick(col("cents"), 0.25).as("q1"),
+        sortedPick(col("cents"), 0.75).as("q3"))
+      spend.crossJoin(broadcast(q))
+        .withColumn("side",
+          when(lit(2) * col("cents") < lit(5) * col("q1") - lit(3) * col("q3"),
+            "low")
+          .when(lit(2) * col("cents") > lit(5) * col("q3") - lit(3) * col("q1"),
+            "high"))
+        .filter(col("side").isNotNull)
+        .select(col("o_custkey"), col("cents"), col("n_orders"), col("side"))
+        .orderBy(desc("cents"), asc("o_custkey"))
     }),
     // C18b — multi-granularity time rollup: the (year, month) → (year) →
     // grand-total grouping-sets pyramid every calendar dashboard issues.
@@ -928,6 +983,25 @@ object TierCAgg {
         |SELECT o_custkey, CAST(s AS DOUBLE) AS spend, CAST(dev AS DOUBLE) AS dev
         |FROM dev, mad WHERE dev > 3 * mad
         |ORDER BY o_custkey""".stripMargin,
+    // the 2× space comparison: 2·cents vs 5·q1−3·q3 / 5·q3−3·q1 — the
+    // 1.5·IQR fences with no fractional value ever materialized
+    "anomaly_iqr_fence" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |                       AS BIGINT)) AS BIGINT) AS cents,
+        |         COUNT(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey),
+        |q AS (
+        |  SELECT list_sort(list(cents))[CAST(greatest(ceil(0.25 * COUNT(*)), 1) AS INT)] AS q1,
+        |         list_sort(list(cents))[CAST(greatest(ceil(0.75 * COUNT(*)), 1) AS INT)] AS q3
+        |  FROM spend)
+        |SELECT o_custkey, cents, n_orders,
+        |       CASE WHEN 2 * cents < 5 * q1 - 3 * q3 THEN 'low'
+        |            ELSE 'high' END AS side
+        |FROM spend, q
+        |WHERE 2 * cents < 5 * q1 - 3 * q3 OR 2 * cents > 5 * q3 - 3 * q1
+        |ORDER BY cents DESC, o_custkey""".stripMargin,
     "rollup_time_grain" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS yr,
         |       CAST(month(o_orderdate) AS INT) AS mon,

@@ -322,8 +322,10 @@ class PlanSpec extends SparkSpec {
       // checkpointed candidate pool (k-bounded by construction)
       "graph_triangles", "text_bigram_lm", "retrieval_mmr",
       // collocation_pmi broadcasts the 1-row total-bigram count N;
-      // vocab_coverage broadcasts the 1-row corpus token total
-      "collocation_pmi", "vocab_coverage")
+      // vocab_coverage broadcasts the 1-row corpus token total;
+      // anomaly_iqr_fence broadcasts the 1-row quartile pair (the
+      // anomaly_mad shape)
+      "collocation_pmi", "vocab_coverage", "anomaly_iqr_fence")
     // ETL/streaming queries run real side effects — planning-only audit
     // covers the analytic surface (list shared with ContractSpec).
     val sideEffecting = QuerySets.sideEffecting
