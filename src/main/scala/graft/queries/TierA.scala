@@ -159,6 +159,30 @@ object TierA {
           new Crawler(s).crawl(srcR, s"wff_r_$sfx"))))
       s.read.parquet(out).orderBy("nation_id")
     }),
+    // A7c — Glue-Studio visual job (round 6): the declarative transform
+    // node graph compiled to ONE Catalyst plan (etl/VisualJob.scala). The
+    // filter node sits "late" in the graph and the mapping node drops
+    // columns mid-graph, yet the compiled plan pushes both to the scans —
+    // the design point: node boundaries are invisible to the optimizer
+    // because compile() builds plan, never executes per node.
+    "etl_visual_job" -> ((s, d) => {
+      import graft.etl.VisualJob._
+      val graph = Map[String, Node](
+        "orders" -> Source("orders"),
+        "customer" -> Source("customer"),
+        "big_orders" -> FilterRows("orders", "o_totalprice > 100000"),
+        "cust_slim" -> ApplyMapping("customer", Seq(
+          ("c_custkey", "o_custkey", "bigint"),
+          ("c_mktsegment", "segment", "string"))),
+        "joined" -> EquiJoin("big_orders", "cust_slim", Seq("o_custkey")),
+        "by_segment" -> Aggregate("joined", Seq("segment"), Seq(
+          "n" -> "count(1)",
+          "revenue" ->
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)")))
+      compile(graph,
+        Map("orders" -> orders(s, d), "customer" -> customer(s, d)),
+        "by_segment").orderBy("segment")
+    }),
     // A8 — Job-Bookmark increments (README.md:145): two AvailableNow runs
     // over a growing dir; the checkpoint guarantees file-level exactly-once.
     "bookmark_incremental" -> ((s, d) => {
@@ -514,6 +538,15 @@ object TierA {
         |       r_name AS region_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |ORDER BY nation_id""".stripMargin,
+    // the compiled node graph must equal the plain relational spelling —
+    // proving the declarative DSL adds no semantics of its own
+    "etl_visual_job" ->
+      """SELECT c_mktsegment AS segment, COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 100000
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
     "bookmark_incremental" ->
       """SELECT * FROM nation ORDER BY n_nationkey""",
     "etl_compact_files" ->

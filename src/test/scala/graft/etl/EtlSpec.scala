@@ -251,4 +251,42 @@ class EtlSpec extends SparkSpec {
       Workflow.run(Seq(Workflow.node("a", "ghost")(id)))
     }
   }
+
+  test("A7c: visual-job node boundaries are invisible to the optimizer") {
+    // a filter declared LATE in the graph (after the join node) must still
+    // reach the parquet scan — the single-plan compilation claim
+    import VisualJob._
+    val graph = Map[String, Node](
+      "orders" -> Source("orders"),
+      "customer" -> Source("customer"),
+      "cust_slim" -> ApplyMapping("customer", Seq(
+        ("c_custkey", "o_custkey", "bigint"),
+        ("c_mktsegment", "segment", "string"))),
+      "joined" -> EquiJoin("orders", "cust_slim", Seq("o_custkey")),
+      "late_filter" -> FilterRows("joined", "o_totalprice > 100000"))
+    val df = compile(graph, Map(
+      "orders" -> graft.core.Tables.orders(spark, sf),
+      "customer" -> graft.core.Tables.customer(spark, sf)), "late_filter")
+    val scans = df.queryExecution.executedPlan.toString
+    assert(scans.contains("GreaterThan(o_totalprice,100000.0)"),
+      s"late filter did not push to the scan:\n$scans")
+    // the mapping node's column pruning reaches the customer scan too
+    assert(scans.contains("ReadSchema: struct<c_custkey:bigint,c_mktsegment:string>"),
+      s"mapping node did not prune the customer scan:\n$scans")
+  }
+
+  test("A7c: visual-job compile rejects cycles, unknown nodes, unbound sources") {
+    import VisualJob._
+    val src = Map("orders" -> graft.core.Tables.orders(spark, sf))
+    intercept[IllegalArgumentException] {
+      compile(Map[String, Node](
+        "a" -> FilterRows("b", "1=1"), "b" -> FilterRows("a", "1=1")), src, "a")
+    }
+    intercept[IllegalArgumentException] {
+      compile(Map[String, Node]("a" -> FilterRows("ghost", "1=1")), src, "a")
+    }
+    intercept[IllegalArgumentException] {
+      compile(Map[String, Node]("a" -> Source("missing")), src, "a")
+    }
+  }
 }
