@@ -1247,6 +1247,24 @@ object TierCWindow {
           nn.as("n_win"))
         .orderBy("o_orderkey")
     }),
+    // Share-of-total per partition (round 6) — Redshift's RATIO_TO_REPORT.
+    // The ratio is the EXACT RATIONAL (cents, status_total_cents): integer
+    // numerator and denominator, no division, no floats. Deliberately NOT
+    // a window: an unbounded-frame sum over the 3-value o_orderstatus key
+    // would funnel 100 TB into 3 window partitions (the topk_per_group
+    // trap); the grouped total is 3 rows, broadcast back — the shape that
+    // scales is agg + broadcast join, identical semantics.
+    "win_ratio_share" -> ((s, d) => {
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+      val base = orders(s, d).select(col("o_orderkey"),
+        col("o_orderstatus"), cents.as("cents"))
+      val totals = base.groupBy("o_orderstatus")
+        .agg(sum(col("cents")).as("status_total_cents"))
+      base.join(broadcast(totals), "o_orderstatus")
+        .select("o_orderkey", "o_orderstatus", "cents", "status_total_cents")
+        .orderBy("o_orderkey")
+    }),
     // C26 — first_value/last_value with an explicit full-partition frame
     // (default frame would make last_value = current row).
     "win_first_last" -> ((s, d) => {
@@ -1686,6 +1704,17 @@ object TierCWindow {
          |       / COUNT(*) $overCust ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
          |       AS moving_avg
          |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // the oracle spells it as the WINDOW sum (Redshift's actual
+    // RATIO_TO_REPORT shape) — an independent construction of the same
+    // (cents, total) pairs the broadcast-join plan emits
+    "win_ratio_share" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |         AS cents,
+        |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |                     AS BIGINT)) OVER (PARTITION BY o_orderstatus)
+        |            AS BIGINT) AS status_total_cents
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     // native median aggregate as the independent implementation; 2·median
     // of bigints is integer-exact in double far below 2^53
     "win_rolling_median" ->
