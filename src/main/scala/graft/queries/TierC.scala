@@ -260,21 +260,28 @@ object TierCJoins {
     }),
     // Market-basket co-occurrence (round 6) — the support-counting pass of
     // association mining: how often two brands land in the same order.
-    // The fact-table side is the interesting part at 100 TB: lineitem
-    // joins the broadcast part dim to tag brands, collapses to DISTINCT
-    // (order, brand) FIRST — the basket width bound — and only then
-    // self-joins per order, so the pair space is Σ basket_width², bounded
-    // by the 7-item order cap, never |lineitem|². Counts are exact longs;
-    // top-25 by (support, b1, b2) total order.
+    // The 100 TB shape is TWO shuffles, no self-join: lineitem tags brands
+    // via the broadcast part dim, ONE groupBy(order) collects each
+    // basket's distinct sorted brand set (the basket-width bound — ≤7
+    // items per order caps the set), the ordered pairs expand MAP-SIDE
+    // from the array (transform-with-index over the sorted set, so b1<b2
+    // by construction), and the pair counts combine map-side into the
+    // second shuffle. A distinct + per-order self-join would pay a third
+    // shuffle and rebuild the same pair space the array expansion gets
+    // for free. Counts are exact longs; top-25 by (support, b1, b2).
     "basket_brand_pairs" -> ((s, d) => {
-      val ib = lineitem(s, d)
+      val baskets = lineitem(s, d)
         .join(broadcast(part(s, d)),
           col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey"), col("p_brand"))
-        .distinct()
-      ib.as("a").join(ib.as("b"), "l_orderkey")
-        .filter(col("a.p_brand") < col("b.p_brand"))
-        .groupBy(col("a.p_brand").as("b1"), col("b.p_brand").as("b2"))
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+      baskets
+        .select(explode(expr(
+          """flatten(transform(bs, (x, i) ->
+            |  transform(slice(bs, i + 2, size(bs)),
+            |            y -> struct(x AS b1, y AS b2))))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.b1").as("b1"), col("p.b2").as("b2"))
         .agg(count(lit(1)).as("n_orders"))
         .orderBy(desc("n_orders"), asc("b1"), asc("b2")).limit(25)
     })
