@@ -152,6 +152,27 @@ class PlanSpec extends SparkSpec {
       s"interval join fell back to a pair-space plan:\n$plan")
   }
 
+  test("r6: basket pairs plan exactly two hash exchanges and no self-join") {
+    // groupBy(order) + map-side pair expansion + groupBy(pair): a third
+    // exchange or any Join beyond the broadcast dim tag means the
+    // distinct+self-join shape crept back
+    val plan = executedPlan("basket_brand_pairs")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2,
+      s"basket pairs plan $exchanges hash exchanges, expected 2:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"basket pairs planned a non-broadcast join:\n$plan")
+  }
+
+  test("r6: ratio-to-report plans a broadcast join-back, never a window") {
+    // the unbounded window over the 3-value status key is the 100 TB
+    // funnel this query exists to avoid
+    val plan = executedPlan("win_ratio_share")
+    assert(!plan.contains("Window"), s"ratio share planned a window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"totals are not broadcast back:\n$plan")
+  }
+
   test("vocab top-k takes per-partition heaps, not a global sort") {
     val plan = executedPlan("vocab_topk")
     assert(plan.contains("TakeOrderedAndProject"), s"vocab plan:\n$plan")
