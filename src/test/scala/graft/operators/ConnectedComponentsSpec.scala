@@ -44,29 +44,35 @@ class ConnectedComponentsSpec extends SparkSpec {
   }
 
   test("frontier collapses per round — edge work tracks the delta, not the graph") {
-    // The neighbour-min join builds on DELTA (last round's changed
-    // vertices), so per-round edge work must shrink with the frontier.
-    // Star graph: every leaf adopts the centre's label in round 1, so the
-    // round-2 frontier is EXACTLY zero — if stable vertices re-entered the
-    // join, convergence detection would still work but the frontier
-    // telemetry would show n-1 again. Deterministic, no timing involved.
+    // The neighbour-min join builds on DELTA (the previous half-step's
+    // changed vertices), so per-round edge work must shrink with the
+    // frontier. onRound reports the END-of-round frontier: the vertices
+    // still moving after a doubled round's two halves.
+    // Star graph: every leaf adopts the centre's label in the FIRST half,
+    // the second half changes nothing — one scheduled round, frontier 0.
+    // If stable vertices re-entered the join, convergence detection would
+    // still work but a second round would fire. Deterministic, no timing.
     val star = (1L until 32L).map(i => (0L, i))
     val fronts = scala.collection.mutable.ArrayBuffer[Long]()
     val e = star.toDF("src", "dst")
     val v = spark.range(32).select(col("id"))
     ConnectedComponents.run(e, "src", "dst", v, "id",
       onRound = (_, n) => fronts += n)
-    assert(fronts.toSeq == Seq(31L, 0L),
-      s"star frontier must be (n-1, 0), got $fronts")
-    // Path graph: the frontier must strictly decrease after the jump kicks
-    // in and end at exactly 0 — total frontier work far below rounds×|V|
-    // (full-graph propagation would hold every round at |V|).
+    assert(fronts.toSeq == Seq(0L),
+      s"star must converge in ONE doubled round, got $fronts")
+    // Path graph: the end-of-round frontier must be non-increasing and end
+    // at exactly 0 — total frontier work far below rounds×|V| (full-graph
+    // propagation would hold every round at |V|). The doubled round also
+    // caps scheduled rounds at ~half the half-step count: well under 6
+    // for a 64-path with pointer jumping.
     val path = (0L until 63L).map(i => (i, i + 1))
     val pf = scala.collection.mutable.ArrayBuffer[Long]()
     ConnectedComponents.run(path.toDF("src", "dst"),
       "src", "dst", spark.range(64).select(col("id")), "id",
       onRound = (_, n) => pf += n)
     assert(pf.last == 0L)
+    assert(pf.size <= 5, s"doubled rounds must converge the 64-path in ≤5 " +
+      s"scheduled rounds, got ${pf.size}")
     assert(pf.toSeq == pf.toSeq.sorted.reverse,
       s"path frontier must be non-increasing, got $pf")
     assert(pf.sum < 64L * (pf.size - 1),
