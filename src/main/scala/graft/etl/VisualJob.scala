@@ -72,6 +72,8 @@ object VisualJob {
         case FilterRows(in, predicate) => resolve(in).filter(expr(predicate))
         case EquiJoin(l, r, keys, how) => resolve(l).join(resolve(r), keys, how)
         case Aggregate(in, groupBy, aggs) =>
+          require(aggs.nonEmpty,
+            s"node '$name': Aggregate needs at least one aggregate")
           val exprs = aggs.map { case (alias, e) => expr(e).as(alias) }
           resolve(in).groupBy(groupBy.map(col): _*)
             .agg(exprs.head, exprs.tail: _*)

@@ -148,9 +148,16 @@ object Similarity {
     * contract (production swaps the exact top-pool for an ANN pool) — and
     * collect-free: steps chain lazily, checkpointed per step to keep the
     * plan flat. Fewer than k candidates yields fewer than k rows (each
-    * exhausted step's argmax is empty), never an error. */
+    * exhausted step's argmax is empty), never an error.
+    *
+    * Both weights are EXPLICIT literal doubles: computing the diversity
+    * weight as 1.0 − lamRel would yield a different IEEE double than the
+    * oracle's parsed literal (1.0 − 0.7 = 0.30000000000000004 ≠ 0.3) and
+    * break the bit-parity the 4dp quantization exists to guarantee —
+    * callers pass the same two decimal literals the oracle SQL spells. */
   def mmrSelect(emb: DataFrame, queryId: Long, pool: Int, k: Int,
-      lam: Double): DataFrame = {
+      lamRel: Double, lamDiv: Double): DataFrame = {
+    require(k >= 1, s"mmrSelect: k must be >= 1, got $k")
     val q = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qv"))
     val cand = emb.filter(col("vec_id") =!= queryId).crossJoin(broadcast(q))
@@ -178,7 +185,7 @@ object Similarity {
         .groupBy(col("vec_id"), col("rel"))
         .agg(max(col("sim")).as("maxsim"))
         .select(col("vec_id"), col("rel"),
-          (lit(lam) * col("rel") - lit(1.0 - lam) * col("maxsim")).as("mmr"))
+          (lit(lamRel) * col("rel") - lit(lamDiv) * col("maxsim")).as("mmr"))
         .orderBy(desc("mmr"), asc("vec_id")).limit(1)
         .select(col("vec_id"), col("rel"), lit(t).as("step"))
       selected = selected.unionByName(pick).localCheckpoint()
@@ -274,7 +281,8 @@ object Similarity {
     // swaps the exact top-20 for an ANN pool). No collect: the steps chain
     // lazily, checkpointed per step to keep the plan flat.
     "retrieval_mmr" -> ((s, d) =>
-      mmrSelect(embeddings(s, d), queryId = 0, pool = 20, k = 5, lam = 0.7)),
+      mmrSelect(embeddings(s, d), queryId = 0, pool = 20, k = 5,
+        lamRel = 0.7, lamDiv = 0.3)),
     // E5 — nearest neighbour per probe vector within its label block
     // (probe set capped at vec_id < 200 so bench cost stays linear-ish).
     // Scale honesty: label blocking bounds the pair space by the label

@@ -123,8 +123,11 @@ object ConnectedComponents {
     * edge-min step alone is the correct fixpoint. least() is
     * belt-and-braces monotonicity (comp(x) ≤ x).
     * Returns (labels-after, frontier-after), both views of one lazily
-    * checkpointed step so a composed caller computes the step once. */
-  private def halfStep(sym: DataFrame, labels: DataFrame,
+    * checkpointed step so a composed caller computes the step once.
+    * Package-private so the operator spec can pin the frontier
+    * restriction directly (an empty delta must change NOTHING, even on
+    * labels that a full-graph build side would rewrite). */
+  private[operators] def halfStep(sym: DataFrame, labels: DataFrame,
       delta: DataFrame): (DataFrame, DataFrame) = {
     val nbrMin = sym.join(delta.withColumnRenamed("cc_id", "cc_did")
         .withColumnRenamed("cc_comp", "cc_dcomp"),

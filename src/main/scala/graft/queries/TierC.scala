@@ -834,6 +834,9 @@ object TierCAgg {
           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
           sum(col("x") * col("x")).as("sxx"),
           sum(col("x") * col("y")).as("sxy"))
+        // a single-month group has n·Σx² = (Σx)² — no trend is defined and
+        // the rational's denominator would be 0; exclude it in BOTH engines
+        .filter(col("n_months") > 1)
         .select(col("st"), col("n_months"),
           (col("n_months") * col("sxy") - col("sx") * col("sy"))
             .as("slope_num"),
@@ -1072,7 +1075,7 @@ object TierCAgg {
         |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
         |         CAST(SUM(x * x) AS BIGINT) AS sxx,
         |         CAST(SUM(x * y) AS BIGINT) AS sxy
-        |  FROM m GROUP BY st)
+        |  FROM m GROUP BY st HAVING COUNT(*) > 1)
         |SELECT st, n_months,
         |       CAST(n_months * sxy - sx * sy AS BIGINT) AS slope_num,
         |       CAST(n_months * sxx - sx * sx AS BIGINT) AS slope_den

@@ -79,6 +79,30 @@ class ConnectedComponentsSpec extends SparkSpec {
       s"total frontier work must undercut rounds×|V|, got $pf")
   }
 
+  test("half-step builds on the frontier only — an empty delta changes nothing") {
+    // The doubled round reports only the END-of-round frontier, so the
+    // loop telemetry can no longer show stable vertices re-entering the
+    // join; pin the restriction at the half-step directly. Labels are
+    // deliberately INCONSISTENT (1 still carries its own id next to
+    // neighbour 0): a full-graph build side would rewrite 1 → 0, the
+    // frontier-restricted join with an EMPTY delta must change nothing.
+    val sym = Seq((0L, 1L), (1L, 0L)).toDF("cc_src", "cc_dst")
+    val labels = Seq((0L, 0L), (1L, 1L)).toDF("cc_id", "cc_comp")
+    val empty = labels.filter(lit(false))
+    val (after, frontier) = ConnectedComponents.halfStep(sym, labels, empty)
+    assert(frontier.count() == 0L, "empty frontier must stay empty")
+    assert(after.orderBy("cc_id").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 0L), (1L, 1L)),
+      "labels must pass through untouched when the delta is empty")
+    // and the same labels DO collapse when vertex 0 is in the frontier
+    val (fixed, moved) = ConnectedComponents.halfStep(sym, labels,
+      Seq((0L, 0L)).toDF("cc_id", "cc_comp"))
+    assert(moved.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 0L)), "frontier vertex 0 must pull neighbour 1 down")
+    assert(fixed.orderBy("cc_id").collect().map(_.getLong(1)).toSeq ==
+      Seq(0L, 0L))
+  }
+
   test("random graphs match a plain union-find (frontier+jump cross-check)") {
     // the distributed loop now skips stable vertices and jumps pointers —
     // both are easy places for a subtle soundness bug, so check the exact

@@ -83,7 +83,7 @@ class Round6Spec extends SparkSpec {
     val emb = graft.core.Tables.embeddings(spark, sf)
       .filter(col("vec_id") < 4)
     val out = graft.llm.Similarity.mmrSelect(emb, queryId = 0,
-      pool = 20, k = 5, lam = 0.7).collect()
+      pool = 20, k = 5, lamRel = 0.7, lamDiv = 0.3).collect()
     assert(out.length == 3, "3 candidates can only fill 3 of k=5 steps")
     assert(out.map(_.getInt(0)).toSeq == Seq(1, 2, 3), "steps stay dense")
   }
