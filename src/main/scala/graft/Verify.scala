@@ -18,7 +18,12 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver keeps only a bounded stdout/stderr tail,
+    // and the k-bounded global-window queries each emit a benign
+    // "WindowExec: No Partition Defined" WARN that was crowding real
+    // signal out of it. Verify's own failure diagnostics go through
+    // System.err.println directly, so they survive the raised level.
+    spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
     val unknown = only -- SparkEntry.queries.keySet
     require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
