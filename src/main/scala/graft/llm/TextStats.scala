@@ -520,6 +520,9 @@ object TextStats {
         .withColumn("rank",
           row_number().over(Window.orderBy(desc("score"), asc("doc_id"))))
         .select("rank", "doc_id", "score")
+        // explicit output order: diffcheck compares rows positionally, so
+        // the contract must not lean on the window's physical sort
+        .orderBy("rank")
     }),
     // Bigram language-model estimation (round 6) — the n-gram-LM counting
     // pass quality filters build their perplexity proxies from. Add-one
@@ -577,7 +580,12 @@ object TextStats {
         .select(col("w1"), col("w2"), col("c12"),
           (col("c12") * col("n")).as("lift_num"),
           (col("c1") * col("c2")).as("lift_den"),
-          expr("(c12 * n * 1000000) DIV (c1 * c2)").as("lift_q6"))
+          // checked multiplies: c12·N·1e6 wraps silently past long range
+          // (N·c12 > ~9.2e12) while DuckDB's HUGEINT stays exact — the
+          // guard turns a silent engine divergence into a loud failure
+          expr("coalesce(try_multiply(try_multiply(c12, n), 1000000L), " +
+            "raise_error('collocation_pmi: lift_q6 long overflow')) " +
+            "DIV (c1 * c2)").as("lift_q6"))
         .orderBy(desc("lift_q6"), asc("w1"), asc("w2")).limit(25)
     }),
     // Importance-weighted sampling (training-data pipeline op): per-doc keep

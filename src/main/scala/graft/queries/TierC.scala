@@ -1646,17 +1646,18 @@ object TierCWindow {
       totals.crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
         .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
     }),
-    // Common-neighbor link prediction (round 6) — the candidate-generation
-    // pass of graph-based recommendation: for every unlinked page pair at
-    // distance 2, count shared neighbors and rank by neighborhood Jaccard
-    // cn/(da+db-cn), emitted as an EXACT RATIONAL (cn, jac_den) plus the
-    // 1e6 fixed-point quantization for the total order — zero floats.
-    // Wedge enumeration from the shared neighbor is the standard exact CN
-    // algorithm and is Σd² by construction; the 100 TB lever is a hub cap
-    // (drop w with d above a threshold before pairing — hubs carry no
-    // Jaccard signal and bound the per-task pair space), not applied here
-    // because the fixture graph is hub-free (d ≤ 45). The left-anti
-    // against the edge set keeps only genuinely unlinked pairs.
+    // Common-neighbor link prediction (round 6; degree cap implemented
+    // round 7) — the candidate-generation pass of graph-based
+    // recommendation, delegated to operators.CommonNeighbors: wedge
+    // enumeration from the shared neighbor with centers above `maxDegree`
+    // dropped BEFORE the self-join, bounding candidate work at cap·|E|
+    // (the Σd² hub blow-up lever, implemented — see the operator's
+    // Scaladoc and the planted-hub bound test in CommonNeighborsSpec).
+    // Ranked by neighborhood Jaccard cn/(da+db-cn) as an EXACT RATIONAL
+    // (cn, jac_den) plus the 1e6 fixed-point quantization for the total
+    // order — zero floats. The fixture click graph's max degree is 99 at
+    // sf0.1, so the documented cluster-default cap of 1000 leaves fixture
+    // output bit-identical to uncapped (asserted in CommonNeighborsSpec).
     "graph_common_neighbors" -> ((s, d) => {
       val ev = events(s, d).filter(col("event_type") === lit("click"))
         .select(col("user_id"), col("event_id"),
@@ -1667,22 +1668,7 @@ object TierCWindow {
         .select(least(col("prev"), col("page")).as("u"),
           greatest(col("prev"), col("page")).as("v"))
         .distinct()
-      val adj = und.select(col("u").as("w"), col("v").as("x"))
-        .unionAll(und.select(col("v").as("w"), col("u").as("x")))
-      val deg = adj.groupBy("w").agg(count(lit(1)).as("d"))
-      val cn = adj.as("e1").join(adj.as("e2"), "w")
-        .filter(col("e1.x") < col("e2.x"))
-        .select(col("e1.x").as("a"), col("e2.x").as("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("cn"))
-      val cand = cn.join(und,
-        cn("a") === und("u") && cn("b") === und("v"), "left_anti")
-      cand
-        .join(deg.select(col("w").as("a"), col("d").as("da")), "a")
-        .join(deg.select(col("w").as("b"), col("d").as("db")), "b")
-        .select(col("a"), col("b"), col("cn"),
-          (col("da") + col("db") - col("cn")).as("jac_den"),
-          expr("(cn * 1000000) DIV (da + db - cn)").as("jac_q6"))
-        .orderBy(desc("jac_q6"), asc("a"), asc("b")).limit(20)
+      graft.operators.CommonNeighbors.run(und, maxDegree = 1000L, topK = 20)
     })
   )
 

@@ -18,4 +18,14 @@ object QuerySets {
     "multimodal_meta", "multimodal_frames",
     "etl_compact_files", "etl_upsert_scd1", "etl_snapshot_diff",
     "scan_csv_corrupt", "etl_backfill_partition", "workflow_fanin")
+
+  /** Builders that call an EAGER localCheckpoint() while constructing
+    * their DataFrame (iterative operators: the checkpoint is the lineage
+    * cut that makes the loop's plan linear). Invoking one to read
+    * `.schema` executes the full iterative pipeline, so schema-level
+    * audits treat these like `sideEffecting` and rely on the oracle gate
+    * (which would fail loudly on an array/map column) plus their unit
+    * specs for schema coverage. */
+  val eagerCheckpointing: Set[String] = Set(
+    "retrieval_mmr", "pagerank_clicks")
 }
