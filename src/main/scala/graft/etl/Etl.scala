@@ -181,6 +181,39 @@ object Workflow {
   }
 }
 
+/** A7d — scheduled trigger (README.md:116: the crawler's "Frequency" knob —
+  * the guide selects "Run on demand", but the knob's other values are
+  * Hourly / Daily / ... cron schedules). Fires the workflow DAG when the
+  * injected virtual clock reaches the next due time; missed windows
+  * COALESCE into one run (a schedule states cadence, not a backlog: a
+  * trigger that came due three times while the previous run was still
+  * going runs once, then resumes cadence from the slot AFTER the poll
+  * that fired — so fires are exactly the first poll of each non-empty
+  * period slot). Virtual-clock injection keeps it deterministic and
+  * wall-sleep-free (SURVEY §7.3: tests never sleep); production drives
+  * poll() from the orchestrator's timer. The declarative twin of this
+  * recurrence is the `workflow_scheduled` query, which computes the same
+  * fire set over the event stream's timestamps in one groupBy — EtlSpec
+  * asserts poll-per-tick parity between the two. */
+class ScheduledTrigger(nodes: Seq[Workflow.Node], startAt: Long, period: Long) {
+  require(period > 0, "period must be positive")
+  private var due = startAt
+  private var fires = 0
+  def firedCount: Int = fires
+  def nextDue: Long = due
+
+  /** One poll at virtual time `now` (polls must be non-decreasing): runs
+    * the DAG iff `now >= nextDue`, returning its outputs when fired. */
+  def poll(now: Long): Option[Map[String, DataFrame]] =
+    if (now < due) None
+    else {
+      val out = Workflow.run(nodes)
+      fires += 1
+      due = startAt + period * ((now - startAt) / period + 1L)
+      Some(out)
+    }
+}
+
 /** A8/A9/D6 — incremental file pipeline. Job-Bookmark semantics
   * (README.md:145, "process only new files since the last run") ==
   * Structured Streaming file source + checkpoint + Trigger.AvailableNow;

@@ -483,6 +483,28 @@ object TierA {
       Incremental.runAvailableNow(s, src, schema, ckpt, sink,
         globFilter = Some("*.csv"))
       s.read.parquet(sink).orderBy("r_regionkey")
+    }),
+    // A7d — scheduled-trigger fire plan (README.md:116: the crawler's
+    // "Frequency" knob — Hourly here). Given the event stream's timestamps
+    // as the poll opportunities and the earliest tick as the schedule
+    // anchor, compute the runs an hourly trigger performs: missed windows
+    // coalesce, so fires are exactly the FIRST tick of each non-empty
+    // hour slot (etl.ScheduledTrigger implements the same recurrence
+    // imperatively; EtlSpec asserts poll-per-tick parity). One shuffle
+    // (the slot groupBy) + a broadcast 1-row anchor — all epoch-second
+    // longs, zero floats, and the shape is linear in ticks at any scale.
+    "workflow_scheduled" -> ((s, d) => {
+      val ticks = events(s, d)
+        .select(unix_timestamp(col("ts")).as("tick")).distinct()
+      val anchor = ticks.agg(min(col("tick")).as("s0"))
+      ticks.crossJoin(broadcast(anchor))
+        .select(col("tick"), col("s0"),
+          expr("(tick - s0) DIV 3600").as("slot"))
+        .groupBy("slot", "s0")
+        .agg(min(col("tick")).as("fire_ts_s"), count(lit(1)).as("n_ticks"))
+        .select(col("slot"), col("fire_ts_s"), col("n_ticks"),
+          (col("s0") + (col("slot") + lit(1L)) * lit(3600L)).as("next_due_s"))
+        .orderBy("slot")
     })
   )
 
@@ -658,6 +680,19 @@ object TierA {
         |       MAX(o_orderdate) AS max_date
         |FROM orders""".stripMargin,
     "event_trigger_filtered" ->
-      """SELECT * FROM region ORDER BY r_regionkey"""
+      """SELECT * FROM region ORDER BY r_regionkey""",
+    // floor(epoch(..)) truncates to whole seconds exactly like Spark's
+    // unix_timestamp (all fixture timestamps are post-1970, so floor ==
+    // truncate); a bare epoch()::BIGINT would ROUND the µs fraction
+    "workflow_scheduled" ->
+      """WITH t AS (SELECT DISTINCT
+        |             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS tick
+        |           FROM events),
+        |a AS (SELECT MIN(tick) AS s0 FROM t),
+        |sl AS (SELECT tick, s0, (tick - s0) // 3600 AS slot
+        |       FROM t CROSS JOIN a)
+        |SELECT slot, MIN(tick) AS fire_ts_s, COUNT(*) AS n_ticks,
+        |       s0 + (slot + 1) * 3600 AS next_due_s
+        |FROM sl GROUP BY slot, s0 ORDER BY slot""".stripMargin
   )
 }

@@ -241,6 +241,37 @@ class EtlSpec extends SparkSpec {
     assert(!new java.io.File(out).exists(), "nothing may land in the sink")
   }
 
+  test("A7d: scheduled trigger fires once per period slot, coalescing missed windows") {
+    import graft.core.Tables
+    var runs = 0
+    val trig = new ScheduledTrigger(Seq(
+      Workflow.node("crawl")(_ => { runs += 1; Tables.region(spark, sf) })),
+      startAt = 1000L, period = 10L)
+    assert(trig.poll(999L).isEmpty && runs == 0, "before start: never fires")
+    assert(trig.poll(1000L).nonEmpty && runs == 1 && trig.nextDue == 1010L)
+    assert(trig.poll(1009L).isEmpty && runs == 1, "inside the slot: no refire")
+    // the clock jumps three periods: ONE coalesced run, cadence resumes
+    // from the slot after the poll that fired — never a backlog of runs
+    assert(trig.poll(1035L).nonEmpty && runs == 2 && trig.nextDue == 1040L)
+    assert(trig.poll(1039L).isEmpty && runs == 2)
+    assert(trig.poll(1040L).nonEmpty && runs == 3 && trig.nextDue == 1050L)
+    assert(trig.firedCount == 3)
+  }
+
+  test("A7d: poll-per-tick replays the workflow_scheduled fire rule") {
+    // bursts and gaps: fires must be exactly the first tick of each
+    // non-empty slot — the rule the oracle-checked query computes in one
+    // groupBy (slots of width 10 anchored at 0: 0,1 | 12,13 | 25,26,27 |
+    // 59 | 61 → fire at 0, 12, 25, 59, 61)
+    val ticks = Seq(0L, 1L, 12L, 13L, 25L, 26L, 27L, 59L, 61L)
+    val trig = new ScheduledTrigger(Seq(
+      Workflow.node("crawl")(_ => graft.core.Tables.region(spark, sf))),
+      startAt = 0L, period = 10L)
+    val fired = ticks.filter(t => trig.poll(t).nonEmpty)
+    assert(fired == Seq(0L, 12L, 25L, 59L, 61L),
+      s"fires must be first-tick-per-slot, got $fired")
+  }
+
   test("A7b: workflow rejects cycles and unknown watch targets") {
     val id = (up: Map[String, org.apache.spark.sql.DataFrame]) =>
       up.values.headOption.getOrElse(graft.core.Tables.region(spark, sf))

@@ -346,7 +346,9 @@ class PlanSpec extends SparkSpec {
       // vocab_coverage broadcasts the 1-row corpus token total;
       // anomaly_iqr_fence broadcasts the 1-row quartile pair (the
       // anomaly_mad shape)
-      "collocation_pmi", "vocab_coverage", "anomaly_iqr_fence")
+      "collocation_pmi", "vocab_coverage", "anomaly_iqr_fence",
+      // r7: workflow_scheduled broadcasts the 1-row schedule anchor
+      "workflow_scheduled")
     // ETL/streaming queries run real side effects — planning-only audit
     // covers the analytic surface (list shared with ContractSpec).
     val sideEffecting = QuerySets.sideEffecting
