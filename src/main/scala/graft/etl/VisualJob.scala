@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /** Glue-Studio visual job (reference README.md:147-151 — the console's
   * "Change schema" job is one node of Studio's drag-and-drop transform
   * graph): a DECLARATIVE node DAG — sources, ApplyMapping, filter, join,
-  * aggregate — compiled to ONE Catalyst plan.
+  * aggregate, union, drop-duplicates, drop-fields — compiled to ONE
+  * Catalyst plan.
   *
   * The design point mirrors what Glue's codegen does with the visual
   * graph: each node compiles to a Dataset transformation and nothing
@@ -51,6 +52,28 @@ object VisualJob {
     def inputs: Seq[String] = Seq(input)
   }
 
+  /** Union — Studio's n-ary Union node. Resolves columns BY NAME (Studio
+    * requires matching schemas and pairs columns by name, not position), so
+    * an upstream ApplyMapping that reordered fields cannot silently pair
+    * the wrong columns. */
+  case class Union(branches: Seq[String]) extends Node {
+    def inputs: Seq[String] = branches
+  }
+
+  /** Drop Duplicates — Studio's dedupe node: whole-row when `keys` is
+    * empty, else first-arbitrary-row per key tuple (Spark's dropDuplicates
+    * semantics — Studio makes the same no-ordering guarantee). */
+  case class DropDuplicates(input: String, keys: Seq[String] = Nil)
+      extends Node {
+    def inputs: Seq[String] = Seq(input)
+  }
+
+  /** Drop Fields — Studio's column-removal node (the complement of
+    * ApplyMapping's keep-list). */
+  case class DropFields(input: String, fields: Seq[String]) extends Node {
+    def inputs: Seq[String] = Seq(input)
+  }
+
   /** Compile the graph to the plan of `output`. Pure plan construction:
     * no action, no temp views, no per-node materialization. Rejects
     * unknown node references, unbound sources and cycles. */
@@ -77,6 +100,21 @@ object VisualJob {
           val exprs = aggs.map { case (alias, e) => expr(e).as(alias) }
           resolve(in).groupBy(groupBy.map(col): _*)
             .agg(exprs.head, exprs.tail: _*)
+        case Union(branches) =>
+          require(branches.size >= 2,
+            s"node '$name': Union needs at least two branches")
+          branches.map(resolve).reduce(_ unionByName _)
+        case DropDuplicates(in, keys) =>
+          val df = resolve(in)
+          if (keys.isEmpty) df.dropDuplicates() else df.dropDuplicates(keys)
+        case DropFields(in, fields) =>
+          require(fields.nonEmpty,
+            s"node '$name': DropFields needs at least one field")
+          val df = resolve(in)
+          val missing = fields.filterNot(df.columns.contains)
+          require(missing.isEmpty,
+            s"node '$name': DropFields names unknown fields $missing")
+          df.drop(fields: _*)
       }
       visiting.remove(name)
       done(name) = df

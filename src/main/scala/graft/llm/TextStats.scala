@@ -579,13 +579,19 @@ object TextStats {
       c12.join(c1, "w1").join(c2, "w2").crossJoin(broadcast(n))
         .select(col("w1"), col("w2"), col("c12"),
           (col("c12") * col("n")).as("lift_num"),
-          (col("c1") * col("c2")).as("lift_den"),
-          // checked multiplies: c12·N·1e6 wraps silently past long range
-          // (N·c12 > ~9.2e12) while DuckDB's HUGEINT stays exact — the
-          // guard turns a silent engine divergence into a loud failure
+          // checked multiplies on BOTH sides of the ratio: c12·N·1e6 wraps
+          // silently past long range (N·c12 > ~9.2e12), and so does the
+          // denominator c1·c2 at the same corpus scales (c1·c2 > ~9.2e18) —
+          // while DuckDB's HUGEINT stays exact on both. The guards turn a
+          // silent engine divergence into a loud failure (r7 ADVICE).
+          expr("coalesce(try_multiply(c1, c2), " +
+            "raise_error('collocation_pmi: lift_den long overflow'))")
+            .as("lift_den"),
           expr("coalesce(try_multiply(try_multiply(c12, n), 1000000L), " +
             "raise_error('collocation_pmi: lift_q6 long overflow')) " +
-            "DIV (c1 * c2)").as("lift_q6"))
+            "DIV coalesce(try_multiply(c1, c2), " +
+            "raise_error('collocation_pmi: lift_q6 denominator overflow'))")
+            .as("lift_q6"))
         .orderBy(desc("lift_q6"), asc("w1"), asc("w2")).limit(25)
     }),
     // Importance-weighted sampling (training-data pipeline op): per-doc keep

@@ -29,6 +29,18 @@ import org.apache.spark.sql.functions._
   */
 object CommonNeighbors {
 
+  /** Both edge directions as (w, x) plus per-node degree — derived ONCE and
+    * shared by [[wedgePairs]] and [[run]] (r7 verdict #4: run() used to
+    * rebuild what wedgePairs re-derived, planning the union + degree
+    * shuffle twice; one derivation also gives AQE's ReuseExchange identical
+    * subtrees to collapse where deg feeds both sides of the final join). */
+  private def adjDeg(und: DataFrame): (DataFrame, DataFrame) = {
+    val adj = und.select(col("u").as("w"), col("v").as("x"))
+      .unionAll(und.select(col("v").as("w"), col("u").as("x")))
+    val deg = adj.groupBy("w").agg(count(lit(1)).as("d"))
+    (adj, deg)
+  }
+
   /** Candidate (a, b) wedge endpoints, one row per (center, pair) wedge —
     * the pre-aggregation pair stream, exposed so tests can assert the
     * O(cap·|E|) bound on the enumerated pair count directly.
@@ -36,9 +48,12 @@ object CommonNeighbors {
     * @param und distinct undirected edges as (u, v) with u < v
     */
   def wedgePairs(und: DataFrame, maxDegree: Long): DataFrame = {
-    val adj = und.select(col("u").as("w"), col("v").as("x"))
-      .unionAll(und.select(col("v").as("w"), col("u").as("x")))
-    val deg = adj.groupBy("w").agg(count(lit(1)).as("d"))
+    val (adj, deg) = adjDeg(und)
+    wedgePairsFrom(adj, deg, maxDegree)
+  }
+
+  private def wedgePairsFrom(adj: DataFrame, deg: DataFrame,
+      maxDegree: Long): DataFrame = {
     // the cap: only low-degree nodes survive as wedge centers; the
     // semi-join shares the adj-on-w partitioning the self-join needs
     val capped = adj.join(
@@ -54,10 +69,8 @@ object CommonNeighbors {
     * @return (a, b, cn, jac_den, jac_q6) ordered by jac_q6 desc, a, b
     */
   def run(und: DataFrame, maxDegree: Long, topK: Int): DataFrame = {
-    val adj = und.select(col("u").as("w"), col("v").as("x"))
-      .unionAll(und.select(col("v").as("w"), col("u").as("x")))
-    val deg = adj.groupBy("w").agg(count(lit(1)).as("d"))
-    val cn = wedgePairs(und, maxDegree)
+    val (adj, deg) = adjDeg(und)
+    val cn = wedgePairsFrom(adj, deg, maxDegree)
       .groupBy("a", "b").agg(count(lit(1)).as("cn"))
     val cand = cn.join(und,
       cn("a") === und("u") && cn("b") === und("v"), "left_anti")

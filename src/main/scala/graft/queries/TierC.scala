@@ -720,6 +720,38 @@ object TierCAgg {
         .select(col("o_custkey"), col("cents"), col("n_orders"), col("side"))
         .orderBy(desc("cents"), asc("o_custkey"))
     }),
+    // Tukey fences via the GK sketch (round 8; r7 verdict #5) — the
+    // "100 TB quartile path" anomaly_iqr_fence's comment names, now
+    // implemented instead of described: same integer-cents spend table and
+    // the same 2×-space fence compare, but q1/q3 come from
+    // percentile_approx (mergeable GK sketch — one map-side-combined pass,
+    // fixed memory) instead of sortedPick's per-group value buffer, so the
+    // quartile step scales like any other aggregate. percentile_approx
+    // returns OBSERVED data values (rank error ≤ n/accuracy), so the
+    // fences stay in exact integer space — the only approximation is WHICH
+    // order statistic gets picked. Unit-tier like agg_approx_percentile
+    // (DuckDB cannot replay the sketch); PlanSpec brackets both quartiles
+    // and both fences between exact order statistics at rank ± the
+    // sketch's error band.
+    "anomaly_iqr_fence_approx" -> ((s, d) => {
+      val spend = orders(s, d).groupBy("o_custkey")
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("cents"),
+          count(lit(1)).as("n_orders"))
+      val q = spend.agg(percentile_approx(col("cents"),
+          array(lit(0.25), lit(0.75)), lit(10000)).as("qs"))
+        .select(element_at(col("qs"), 1).as("q1"),
+          element_at(col("qs"), 2).as("q3"))
+      spend.crossJoin(broadcast(q))
+        .withColumn("side",
+          when(lit(2) * col("cents") < lit(5) * col("q1") - lit(3) * col("q3"),
+            "low")
+          .when(lit(2) * col("cents") > lit(5) * col("q3") - lit(3) * col("q1"),
+            "high"))
+        .filter(col("side").isNotNull)
+        .select(col("o_custkey"), col("cents"), col("n_orders"), col("side"))
+        .orderBy(desc("cents"), asc("o_custkey"))
+    }),
     // C18b — multi-granularity time rollup: the (year, month) → (year) →
     // grand-total grouping-sets pyramid every calendar dashboard issues.
     // One pass — Spark expands grouping sets before the partial aggregate,
@@ -1656,8 +1688,11 @@ object TierCWindow {
     // Ranked by neighborhood Jaccard cn/(da+db-cn) as an EXACT RATIONAL
     // (cn, jac_den) plus the 1e6 fixed-point quantization for the total
     // order — zero floats. The fixture click graph's max degree is 99 at
-    // sf0.1, so the documented cluster-default cap of 1000 leaves fixture
-    // output bit-identical to uncapped (asserted in CommonNeighborsSpec).
+    // sf0.1, so the cluster-default cap of 1000 leaves fixture output
+    // bit-identical to uncapped (asserted in CommonNeighborsSpec) — and
+    // since r8 the DuckDB oracle applies the SAME cap (lowdeg CTE), so the
+    // gate checks the cap's semantics rather than relying on the fixture
+    // staying below it.
     "graph_common_neighbors" -> ((s, d) => {
       val ev = events(s, d).filter(col("event_type") === lit("click"))
         .select(col("user_id"), col("event_id"),
@@ -1985,7 +2020,11 @@ object TierCWindow {
         |       n_triangles
         |FROM tri""".stripMargin,
     // same edge derivation; NOT EXISTS is the independent spelling of the
-    // Spark plan's left-anti; // and DIV agree on non-negative floor
+    // Spark plan's left-anti; // and DIV agree on non-negative floor.
+    // lowdeg mirrors the Spark side's maxDegree=1000 wedge-center cap
+    // (r7 ADVICE): with the cap in BOTH engines the differential gate
+    // verifies the cap's semantics by design, and a future fixture with a
+    // hub of degree >1000 can no longer diverge the two sides.
     "graph_common_neighbors" ->
       """WITH ev AS (
         |  SELECT user_id, event_id,
@@ -2001,8 +2040,10 @@ object TierCWindow {
         |adj AS (SELECT u AS w, v AS x FROM und
         |        UNION ALL SELECT v AS w, u AS x FROM und),
         |deg AS (SELECT w, COUNT(*) AS d FROM adj GROUP BY w),
+        |lowdeg AS (SELECT w FROM deg WHERE d <= 1000),
         |cn AS (SELECT e1.x AS a, e2.x AS b, COUNT(*) AS cn
         |       FROM adj e1 JOIN adj e2 USING (w)
+        |                   JOIN lowdeg USING (w)
         |       WHERE e1.x < e2.x GROUP BY 1, 2),
         |cand AS (SELECT * FROM cn WHERE NOT EXISTS (
         |           SELECT 1 FROM und WHERE u = cn.a AND v = cn.b))

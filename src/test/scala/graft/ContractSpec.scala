@@ -37,6 +37,7 @@ class ContractSpec extends SparkSpec {
     val unitOnly = Set(
       "agg_approx_distinct",  // HLL sketch (PlanSpec: ±5% of exact)
       "agg_approx_percentile", // GK sketch (PlanSpec: exact rank-band bracket)
+      "anomaly_iqr_fence_approx", // GK quartiles (PlanSpec: fence brackets)
       "agg_hll_merge",        // HLL sketch union (PlanSpec: ±5% + merge≡single-pass)
       "agg_cms_freq",         // Count-Min sketch (PlanSpec: bounds + merge≡single-pass)
       "minhash_signature",    // xxhash64 signatures (LlmSpec: aggregator parity)
@@ -80,9 +81,13 @@ class ContractSpec extends SparkSpec {
     // Build the line with worst-case-width values so query growth or a
     // formatting change can never silently re-break driver parsing.
     val line = Bench.summaryLine(total = 99999.999, n = SparkEntry.queries.size,
-      failed = SparkEntry.queries.size, sf = "/root/testdata/sf0.1")
+      failed = SparkEntry.queries.size, sf = "/root/testdata/sf0.1",
+      loadStart = 99.99, loadEnd = 99.99)
     assert(line.length < 1024, s"bench summary line too long (${line.length}B): $line")
     assert(line.startsWith("""{"metric":"total","value":"""))
+    assert(line.contains("\"loadavg\":"),
+      "summary must carry the 1-min load average (r7 verdict #1: " +
+        "bench drift is unadjudicable without it)")
     assert(!line.contains("\"queries\""),
       "per-query detail must never be inlined into the summary line")
   }

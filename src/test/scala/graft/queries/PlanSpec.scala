@@ -319,6 +319,45 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("r8: approx IQR fences land inside the exact rank band") {
+    // r7 verdict #5 — the GK quartile path implemented, not described.
+    // percentile_approx(accuracy 10000) guarantees rank error ≤ n/10000
+    // and returns an OBSERVED value, so each approx quartile must be a
+    // sorted spend value within ⌈n/10000⌉+1 positions of sortedPick's
+    // rank ceil(q·n) (the +1 absorbs the sketch's floor-vs-ceil pick at
+    // fractional ranks — the two legal neighbors of p·n). The fences
+    // inherit brackets by interval arithmetic over the quartile bands.
+    val spend = Tables.orders(spark, sf).groupBy("o_custkey")
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).as("cents"))
+    val cents = spend.select("cents").collect().map(_.getLong(0)).sorted
+    val n = cents.length
+    val slack = n / 10000 + 1
+    def band(q: Double): (Long, Long) = {
+      val r = math.ceil(q * n).toInt // sortedPick's 1-based rank
+      (cents(math.max(0, r - 1 - slack)), cents(math.min(n - 1, r - 1 + slack)))
+    }
+    val qs = spend.agg(percentile_approx(col("cents"),
+        array(lit(0.25), lit(0.75)), lit(10000)).as("qs"))
+      .select(element_at(col("qs"), 1), element_at(col("qs"), 2)).head()
+    val (aq1, aq3) = (qs.getLong(0), qs.getLong(1))
+    val (q1lo, q1hi) = band(0.25); val (q3lo, q3hi) = band(0.75)
+    assert(aq1 >= q1lo && aq1 <= q1hi, s"q1=$aq1 outside [$q1lo, $q1hi]")
+    assert(aq3 >= q3lo && aq3 <= q3hi, s"q3=$aq3 outside [$q3lo, $q3hi]")
+    val lowFence = 5L * aq1 - 3L * aq3 // the 2× integer space fences
+    val highFence = 5L * aq3 - 3L * aq1
+    assert(lowFence >= 5L * q1lo - 3L * q3hi && lowFence <= 5L * q1hi - 3L * q3lo,
+      s"low fence $lowFence outside its exact rank band")
+    assert(highFence >= 5L * q3lo - 3L * q1hi && highFence <= 5L * q3hi - 3L * q1lo,
+      s"high fence $highFence outside its exact rank band")
+    // the query's verdict column IS the fence rule over the approx quartiles
+    SparkEntryPlan("anomaly_iqr_fence_approx").collect().foreach { r =>
+      val c = r.getLong(1); val side = r.getString(3)
+      if (side == "low") assert(2 * c < lowFence, s"row $r not below low fence")
+      else assert(2 * c > highFence, s"row $r not above high fence")
+    }
+  }
+
   test("no query plans an unintended cartesian or nested-loop join") {
     // join_cross_theta IS the theta/BNLJ demo; knn_cosine_topk broadcasts a
     // single-row query vector (BNLJ over 1 row — the cheap, intended shape);
@@ -348,7 +387,10 @@ class PlanSpec extends SparkSpec {
       // anomaly_mad shape)
       "collocation_pmi", "vocab_coverage", "anomaly_iqr_fence",
       // r7: workflow_scheduled broadcasts the 1-row schedule anchor
-      "workflow_scheduled")
+      "workflow_scheduled",
+      // r8: the GK-sketch fence variant broadcasts the same 1-row
+      // quartile pair as its exact sibling
+      "anomaly_iqr_fence_approx")
     // ETL/streaming queries run real side effects — planning-only audit
     // covers the analytic surface (list shared with ContractSpec).
     val sideEffecting = QuerySets.sideEffecting
