@@ -27,5 +27,9 @@ object QuerySets {
     * (which would fail loudly on an array/map column) plus their unit
     * specs for schema coverage. */
   val eagerCheckpointing: Set[String] = Set(
-    "retrieval_mmr", "pagerank_clicks")
+    "retrieval_mmr", "pagerank_clicks",
+    // r8: CommonNeighbors.adjDeg checkpoints the shared adjacency/degree
+    // tables so the edge derivation computes once, not ~6× (one re-plan
+    // per consumer defeated ReuseExchange via per-branch null filters)
+    "graph_common_neighbors")
 }
