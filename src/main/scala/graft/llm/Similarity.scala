@@ -210,6 +210,28 @@ object Similarity {
     *    ConnectedComponents discipline) — without it, iteration i's plan
     *    re-executes every earlier iteration inside its own lineage
     *    (measured 6.5s → 2.4s at sf0.1). */
+  /** Exact INTEGER dot-product scores of every vector (vec_id ≠ 0) against
+    * the int8-quantized probe vec_id = 0 (one global symmetric scale, so
+    * relative order is preserved and scores are exact longs) — the body of
+    * `knn_quantized_topk`, factored so `retrieval_rrf` fuses the identical
+    * ranking. */
+  private[llm] def quantizedScores(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val gmax = emb.agg(nullif(max(array_max(transform(col("embedding"),
+      x => abs(x.cast("double"))))), lit(0.0)).as("m"))
+    val q = emb.crossJoin(broadcast(gmax))
+      .withColumn("qv", transform(col("embedding"),
+        x => floor(x.cast("double") * (lit(127.0) / col("m")) + lit(0.5))
+          .cast("double")))
+      .select("vec_id", "qv")
+    val probe = q.filter(col("vec_id") === 0)
+      .select(col("qv").as("pv"))
+    q.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        graft.functions.VectorOps.dot_product(col("qv"), col("pv"))
+          .cast("long").as("score"))
+  }
+
   private def lloydTrain(s: SparkSession, d: String,
       k: Int = 8, iters: Int = 2): (DataFrame, DataFrame) = {
     val unit = embeddings(s, d)
@@ -390,24 +412,8 @@ object Similarity {
     // integer-valued doubles (exact); top-k is TakeOrdered with a PK
     // tiebreak (integer scores tie often). nullif guards the degenerate
     // all-zero corpus the same way embed_quantize guards the all-zero row.
-    "knn_quantized_topk" -> ((s, d) => {
-      val emb = embeddings(s, d)
-      val gmax = emb.agg(nullif(max(array_max(transform(col("embedding"),
-        x => abs(x.cast("double"))))), lit(0.0)).as("m"))
-      val q = emb.crossJoin(broadcast(gmax))
-        .withColumn("qv", transform(col("embedding"),
-          x => floor(x.cast("double") * (lit(127.0) / col("m")) + lit(0.5))
-            .cast("double")))
-        .select("vec_id", "qv")
-      val probe = q.filter(col("vec_id") === 0)
-        .select(col("qv").as("pv"))
-      q.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
-        .select(col("vec_id"),
-          graft.functions.VectorOps.dot_product(col("qv"), col("pv"))
-            .cast("long").as("score"))
-        .orderBy(desc("score"), asc("vec_id"))
-        .limit(10)
-    }),
+    "knn_quantized_topk" -> ((s, d) =>
+      quantizedScores(s, d).orderBy(desc("score"), asc("vec_id")).limit(10)),
     // Int8 symmetric quantization of the embedding column (training-data
     // pipeline op): per-vector scale = 127/max|x|, q_i = floor(x·scale+0.5)
     // — the storage/serving compression step (4× smaller than float32).

@@ -18,6 +18,41 @@ object TextStats {
 
   private def tokens(c: Column): Column = split(c, " ")
 
+  /** Okapi BM25 top-20 for the fixed 3-term query — the body of
+    * `retrieval_bm25`, factored so `retrieval_rrf` fuses the identical
+    * ranking (float discipline and determinism notes at the query entry). */
+  private def bm25Top20(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("join", "filter", "stream")
+    val docs = documents(s, d)
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tok"))
+    val tf = tok.filter(col("token").isin(terms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val contrib = tf.join(broadcast(dfreq), "token").join(dl, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf", log((col("n_docs").cast("double") - col("df") + 0.5)
+        / (col("df").cast("double") + 0.5) + 1.0))
+      .withColumn("c", col("idf") * (col("tf") * 2.2) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+          (col("dl").cast("double") * col("n_docs")) / col("n_tok"))))
+    def term(t: String) = coalesce(
+      max(when(col("token") === t, col("c"))), lit(0.0))
+    contrib.groupBy("doc_id")
+      .agg(term("join").as("c1"), term("filter").as("c2"),
+        term("stream").as("c3"))
+      .select(col("doc_id"),
+        round(col("c1") + col("c2") + col("c3"), 4).as("score"))
+      .orderBy(desc("score"), asc("doc_id")).limit(20)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("score"), asc("doc_id"))))
+      .select("rank", "doc_id", "score")
+      // explicit output order: diffcheck compares rows positionally, so
+      // the contract must not lean on the window's physical sort
+      .orderBy("rank")
+  }
+
   /** A tiny per-language marker lexicon for the n-gram/stopword language-ID
     * heuristic. Deterministic and self-contained (no model files). */
   val LangMarkers: Map[String, Seq[String]] = Map(
@@ -493,36 +528,34 @@ object TextStats {
     // the shuffle (the filter prunes ~99% of token rows at the map side),
     // df and corpus stats are broadcast 1-to-3-row aggregates, and the
     // global top-20 is a TakeOrdered, never a full sort.
-    "retrieval_bm25" -> ((s, d) => {
-      val terms = Seq("join", "filter", "stream")
-      val docs = documents(s, d)
-      val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val corpus = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tok"))
-      val tf = tok.filter(col("token").isin(terms: _*))
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      val contrib = tf.join(broadcast(dfreq), "token").join(dl, "doc_id")
-        .crossJoin(broadcast(corpus))
-        .withColumn("idf", log((col("n_docs").cast("double") - col("df") + 0.5)
-          / (col("df").cast("double") + 0.5) + 1.0))
-        .withColumn("c", col("idf") * (col("tf") * 2.2) /
-          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
-            (col("dl").cast("double") * col("n_docs")) / col("n_tok"))))
-      def term(t: String) = coalesce(
-        max(when(col("token") === t, col("c"))), lit(0.0))
-      contrib.groupBy("doc_id")
-        .agg(term("join").as("c1"), term("filter").as("c2"),
-          term("stream").as("c3"))
-        .select(col("doc_id"),
-          round(col("c1") + col("c2") + col("c3"), 4).as("score"))
-        .orderBy(desc("score"), asc("doc_id")).limit(20)
-        .withColumn("rank",
-          row_number().over(Window.orderBy(desc("score"), asc("doc_id"))))
-        .select("rank", "doc_id", "score")
-        // explicit output order: diffcheck compares rows positionally, so
-        // the contract must not lean on the window's physical sort
-        .orderBy("rank")
+    "retrieval_bm25" -> ((s, d) => bm25Top20(s, d)),
+    // Reciprocal-rank fusion (round 8) — the standard hybrid-retrieval
+    // merge (RRF: score = Σ 1/(k0 + rank), k0 = 60) of the two ranking
+    // modalities the engine already serves: lexical BM25 (bm25Top20,
+    // ranked on round-4 scores) and the quantized-embedding integer dot
+    // ranking (Similarity.quantizedScores; doc_id ≡ vec_id in the fixture
+    // corpus). RRF consumes only the RANKS — both input orders are already
+    // engine-deterministic — so the fused score is INTEGER FIXED POINT:
+    // rrf_q9 = 1e9 DIV (60+r_text) + 1e9 DIV (60+r_vec), with a ranking
+    // that misses a doc contributing 0 (standard RRF over top-k lists) —
+    // zero floats end to end. 100 TB shape: each ranking is a TakeOrdered
+    // top-20, the fusion is a full-outer join of two 20-row lists —
+    // constant work regardless of corpus size; the rank window over the
+    // vector list runs AFTER the limit (k-bounded, the vocab_coverage
+    // pattern).
+    "retrieval_rrf" -> ((s, d) => {
+      val text = bm25Top20(s, d).select(col("doc_id"), col("rank").as("r_text"))
+      val vec = Similarity.quantizedScores(s, d)
+        .orderBy(desc("score"), asc("vec_id")).limit(20)
+        .withColumn("r_vec",
+          row_number().over(Window.orderBy(desc("score"), asc("vec_id"))))
+        .select(col("vec_id").as("doc_id"), col("r_vec"))
+      text.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("r_text"), col("r_vec"),
+          (coalesce(expr("1000000000L DIV (60 + r_text)"), lit(0L)) +
+            coalesce(expr("1000000000L DIV (60 + r_vec)"), lit(0L)))
+            .as("rrf_q9"))
+        .orderBy(desc("rrf_q9"), asc("doc_id")).limit(15)
     }),
     // Bigram language-model estimation (round 6) — the n-gram-LM counting
     // pass quality filters build their perplexity proxies from. Add-one
@@ -1305,6 +1338,64 @@ object TextStats {
         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
         |       doc_id, score
         |FROM agg ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // the two component rankings replay their own proven oracles (bm25
+    // CTEs above, the quantized dot from knn_quantized_topk); the fusion
+    // itself is pure integer arithmetic — // and DIV agree on positives
+    "retrieval_rrf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        |corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS n_tok FROM dl),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+        |       WHERE token IN ('join','filter','stream') GROUP BY doc_id, token),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        |contrib AS (
+        |  SELECT tf.doc_id, tf.token,
+        |         ln((CAST(n_docs AS DOUBLE) - df + CAST(0.5 AS DOUBLE))
+        |            / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |            + CAST(1.0 AS DOUBLE))
+        |         * (tf * CAST(2.2 AS DOUBLE))
+        |         / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |            + CAST(0.75 AS DOUBLE)
+        |              * (CAST(dl.dl AS DOUBLE) * n_docs) / n_tok)) AS c
+        |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN corpus),
+        |bm AS (
+        |  SELECT doc_id,
+        |         round(coalesce(max(CASE WHEN token = 'join' THEN c END), CAST(0 AS DOUBLE))
+        |             + coalesce(max(CASE WHEN token = 'filter' THEN c END), CAST(0 AS DOUBLE))
+        |             + coalesce(max(CASE WHEN token = 'stream' THEN c END), CAST(0 AS DOUBLE)),
+        |           4) AS score
+        |  FROM contrib GROUP BY doc_id),
+        |atop AS (
+        |  SELECT doc_id,
+        |         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+        |           AS r_text
+        |  FROM (SELECT doc_id, score FROM bm
+        |        ORDER BY score DESC, doc_id LIMIT 20)),
+        |m AS (
+        |  SELECT nullif(MAX(list_max(list_transform(embedding,
+        |           x -> abs(CAST(x AS DOUBLE))))), 0.0) AS m
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding,
+        |           x -> floor(CAST(x AS DOUBLE) * (127.0 / m) + 0.5)) AS qv
+        |  FROM embeddings, m),
+        |p AS (SELECT qv AS pv FROM q WHERE vec_id = 0),
+        |vs AS (SELECT q.vec_id, CAST(list_dot_product(q.qv, p.pv) AS BIGINT) AS score
+        |       FROM q, p WHERE q.vec_id <> 0),
+        |btop AS (
+        |  SELECT vec_id AS doc_id,
+        |         CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS INT)
+        |           AS r_vec
+        |  FROM (SELECT vec_id, score FROM vs
+        |        ORDER BY score DESC, vec_id LIMIT 20))
+        |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, a.r_text, b.r_vec,
+        |       CAST(COALESCE(CAST(1000000000 AS BIGINT) // (60 + a.r_text), 0)
+        |          + COALESCE(CAST(1000000000 AS BIGINT) // (60 + b.r_vec), 0)
+        |            AS BIGINT) AS rrf_q9
+        |FROM atop a FULL OUTER JOIN btop b ON a.doc_id = b.doc_id
+        |ORDER BY rrf_q9 DESC, doc_id LIMIT 15""".stripMargin,
     // positions via range() over the split array — an independent bigram
     // construction (the Spark plan windows with lead())
     "text_bigram_lm" ->

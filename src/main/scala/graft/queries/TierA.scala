@@ -183,6 +183,31 @@ object TierA {
         Map("orders" -> orders(s, d), "customer" -> customer(s, d)),
         "by_segment").orderBy("segment")
     }),
+    // A7c-b — the round-8 Studio palette nodes (Union, DropDuplicates,
+    // DropFields) through the differential gate, not just unit tests: two
+    // row-preserving filter branches of the same table union by name, the
+    // whole-row dedup collapses rows satisfying BOTH predicates, so
+    // union-distinct ≡ a single OR filter — which is exactly how the
+    // oracle spells it (an independent construction; a by-position union
+    // or a dedup that dropped too much/little would hash-diverge). The
+    // DropFields node sits before the branch split and must prune the
+    // scan; dedup-then-aggregate stays one Catalyst plan.
+    "etl_visual_job_union" -> ((s, d) => {
+      import graft.etl.VisualJob._
+      val graph = Map[String, Node](
+        "orders" -> Source("orders"),
+        "slim" -> DropFields("orders", Seq("o_orderdate")),
+        "hi" -> FilterRows("slim", "o_totalprice > 150000"),
+        "urgent" -> FilterRows("slim", "o_orderpriority = '1-URGENT'"),
+        "both" -> Union(Seq("hi", "urgent")),
+        "uniq" -> DropDuplicates("both"),
+        "by_status" -> Aggregate("uniq", Seq("o_orderstatus"), Seq(
+          "n" -> "count(1)",
+          "revenue" ->
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)")))
+      compile(graph, Map("orders" -> orders(s, d)), "by_status")
+        .orderBy("o_orderstatus")
+    }),
     // A8 — Job-Bookmark increments (README.md:145): two AvailableNow runs
     // over a growing dir; the checkpoint guarantees file-level exactly-once.
     "bookmark_incremental" -> ((s, d) => {
@@ -569,6 +594,16 @@ object TierA {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_totalprice > 100000
         |GROUP BY 1 ORDER BY segment""".stripMargin,
+    // union-distinct of two selections of one table ≡ the OR filter —
+    // the oracle's independent spelling of Union + whole-row
+    // DropDuplicates (orders' PK guarantees no intra-branch dupes)
+    "etl_visual_job_union" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS revenue
+        |FROM orders
+        |WHERE o_totalprice > 150000 OR o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     "bookmark_incremental" ->
       """SELECT * FROM nation ORDER BY n_nationkey""",
     "etl_compact_files" ->

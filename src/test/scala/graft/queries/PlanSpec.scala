@@ -389,8 +389,10 @@ class PlanSpec extends SparkSpec {
       // r7: workflow_scheduled broadcasts the 1-row schedule anchor
       "workflow_scheduled",
       // r8: the GK-sketch fence variant broadcasts the same 1-row
-      // quartile pair as its exact sibling
-      "anomaly_iqr_fence_approx")
+      // quartile pair as its exact sibling; retrieval_rrf contains both
+      // component rankings' intended broadcast passes (bm25 corpus stats,
+      // quantized probe vector)
+      "anomaly_iqr_fence_approx", "retrieval_rrf")
     // ETL/streaming queries run real side effects — planning-only audit
     // covers the analytic surface (list shared with ContractSpec).
     val sideEffecting = QuerySets.sideEffecting
