@@ -632,6 +632,45 @@ object TierCAgg {
         .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
         .orderBy("dow", "hr")
     }),
+    // C14i' — two-period categorical drift (round 8): the monitoring
+    // readout a production pipeline alarms on when an upstream source
+    // changes shape. Events split at a fixed calendar boundary (the
+    // fixture window's midpoint, Jan 16); per event_type the early/late
+    // counts, the share of each period in q6 INTEGER FIXED POINT
+    // (n·1e6 DIV total — all non-negative, truncate ≡ floor), their
+    // delta, and the Pearson chi-square cell statistic as the EXACT
+    // RATIONAL (num, den) = ((o1·T2 − o2·T1)², T1·T2·(o1+o2)) — the 2×k
+    // per-cell decomposition with the constant N factor left to the
+    // reader, so every value is an exact long. Every multiply is
+    // try_multiply + raise_error (the collocation_pmi overflow
+    // discipline): at a corpus scale where o·T wraps, the query fails
+    // loudly instead of silently diverging from DuckDB's HUGEINT.
+    // 100 TB shape: one map-side-combined groupBy to a |event_type|-sized
+    // table, totals re-aggregated from THAT table (never a second scan)
+    // and broadcast back as one row.
+    "profile_drift" -> ((s, d) => {
+      val cut = lit("2024-01-16").cast("timestamp")
+      val per = events(s, d)
+        .groupBy("event_type").agg(
+          sum(when(col("ts") < cut, 1L).otherwise(0L)).as("n_early"),
+          sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("n_late"))
+      val tot = per.agg(sum("n_early").as("t_early"),
+        sum("n_late").as("t_late"))
+      def guarded(e: String, what: String) =
+        s"coalesce(try_multiply($e), raise_error('profile_drift $what overflow'))"
+      per.crossJoin(broadcast(tot))
+        .withColumn("share_early_q6", expr("n_early * 1000000L DIV t_early"))
+        .withColumn("share_late_q6", expr("n_late * 1000000L DIV t_late"))
+        .withColumn("xd", expr(
+          s"${guarded("n_early, t_late", "cross")} - ${guarded("n_late, t_early", "cross")}"))
+        .select(col("event_type"), col("n_early"), col("n_late"),
+          col("share_early_q6"), col("share_late_q6"),
+          (col("share_late_q6") - col("share_early_q6")).as("delta_q6"),
+          expr(guarded("xd, xd", "num")).as("chi2_num"),
+          expr(s"${guarded(s"${guarded("t_early, t_late", "den")}, n_early + n_late", "den")}")
+            .as("chi2_den"))
+        .orderBy("event_type")
+    }),
     // C14d' — key-skew profile: the measurement that justifies (or
     // refuses) a salted join. Group sizes for the candidate shuffle key,
     // then max/median/p99 size and the skew factor max/mean — the number
@@ -1169,6 +1208,30 @@ object TierCAgg {
         |       COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY dow, hr""".stripMargin,
+    // independent spelling: two period CTEs full-outer-joined (a missing
+    // type in one period must still surface), vs the Spark conditional-sum
+    // pivot; // and DIV agree on non-negatives, BIGINT products are exact
+    "profile_drift" ->
+      """WITH e AS (SELECT event_type, COUNT(*) AS n_early FROM events
+        |           WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+        |           GROUP BY 1),
+        |l AS (SELECT event_type, COUNT(*) AS n_late FROM events
+        |      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
+        |      GROUP BY 1),
+        |j AS (SELECT COALESCE(e.event_type, l.event_type) AS event_type,
+        |             COALESCE(n_early, 0) AS n_early,
+        |             COALESCE(n_late, 0) AS n_late
+        |      FROM e FULL OUTER JOIN l ON e.event_type = l.event_type),
+        |t AS (SELECT SUM(n_early) AS t_early, SUM(n_late) AS t_late FROM j)
+        |SELECT event_type, n_early, n_late,
+        |       CAST(n_early * 1000000 // t_early AS BIGINT) AS share_early_q6,
+        |       CAST(n_late * 1000000 // t_late AS BIGINT) AS share_late_q6,
+        |       CAST(n_late * 1000000 // t_late
+        |          - n_early * 1000000 // t_early AS BIGINT) AS delta_q6,
+        |       CAST((n_early * t_late - n_late * t_early)
+        |          * (n_early * t_late - n_late * t_early) AS BIGINT) AS chi2_num,
+        |       CAST(t_early * t_late * (n_early + n_late) AS BIGINT) AS chi2_den
+        |FROM j CROSS JOIN t ORDER BY event_type""".stripMargin,
     "profile_skew" ->
       """WITH sizes AS (
         |  SELECT o_custkey, COUNT(*) AS sz FROM orders GROUP BY o_custkey)

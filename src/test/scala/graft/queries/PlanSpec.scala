@@ -392,7 +392,10 @@ class PlanSpec extends SparkSpec {
       // quartile pair as its exact sibling; retrieval_rrf contains both
       // component rankings' intended broadcast passes (bm25 corpus stats,
       // quantized probe vector)
-      "anomaly_iqr_fence_approx", "retrieval_rrf")
+      "anomaly_iqr_fence_approx", "retrieval_rrf",
+      // r8: profile_drift broadcasts the 1-row period-total pair
+      // re-aggregated from the |event_type|-sized count table
+      "profile_drift")
     // ETL/streaming queries run real side effects — planning-only audit
     // covers the analytic surface (list shared with ContractSpec).
     val sideEffecting = QuerySets.sideEffecting
