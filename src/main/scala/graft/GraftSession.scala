@@ -59,6 +59,14 @@ private[graft] object GraftFunctions {
       SqlArgs.arity("canonical_url", exprs, 1, 1)
       CanonicalUrl(exprs.head)
     }),
+    // runtime-filter surface (wrappers over Spark's internal
+    // BloomFilterAggregate / BloomFilterMightContain — see BloomPrefilter)
+    ("bloom_agg",
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
+      BloomPrefilter.aggBuilder _),
+    ("bloom_might_contain",
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
+      BloomPrefilter.containsBuilder _),
   )
 }
 

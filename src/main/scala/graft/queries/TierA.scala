@@ -255,6 +255,40 @@ object TierA {
         .agg(count(lit(1)).as("n_items"))
         .orderBy("o_orderstatus")
     }),
+    // A11b — bloom runtime-prefilter join (round 8), the third scale lever
+    // of the join family after bucketing (once-at-write co-location) and
+    // salting (skew): when a dim-side predicate keeps <1% of keys but the
+    // surviving set is still too big to broadcast, the classic plan
+    // shuffles the ENTIRE fact side. The runtime-filter move: build a
+    // bloom over the selective side's join keys (one tiny aggregate),
+    // ship it as a scalar subquery, and prune the fact side MAP-SIDE
+    // before its shuffle — at 100 TB that converts a full-fact-table
+    // shuffle into ~the matching fraction. The exact equi-join that
+    // follows clears bloom false positives, so results are identical to
+    // the plain join by construction (the oracle IS the plain join — no
+    // bloom anywhere in it). Uses Spark's own runtime-filter expressions
+    // (BloomFilterAggregate/MightContain — what InjectRuntimeFilter
+    // inserts when its heuristics fire) surfaced as graft SQL functions;
+    // stating the filter explicitly documents the intent and works where
+    // the optimizer's cost gate declines. estimatedItems is fixture-fixed
+    // (65536 covers 56× the sf0.1 build side); production sizes it from
+    // table stats — only the FP rate depends on it, never correctness.
+    "join_bloom_prefilter" -> ((s, d) => {
+      graft.GraftSession.register(s) // idempotent; a GraftSession has these
+      orders(s, d).createOrReplaceTempView("orders")
+      lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |WHERE o_totalprice > 480000 AND o_orderpriority = '1-URGENT'
+          |  AND bloom_might_contain(
+          |        (SELECT bloom_agg(xxhash64(o_orderkey), 65536L) FROM orders
+          |         WHERE o_totalprice > 480000 AND o_orderpriority = '1-URGENT'),
+          |        xxhash64(l_orderkey))
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    }),
     // A13 — SCD-1 upsert (MERGE-by-PK) without a table format: load a base
     // version, apply an update batch where updates win by primary key, and
     // publish as a new version directory (object stores swap versions via
@@ -562,6 +596,15 @@ object TierA {
       """SELECT o_orderstatus, COUNT(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the PLAIN join — the bloom prefilter is pure plumbing that must not
+    // change a single row, so the oracle contains no trace of it
+    "join_bloom_prefilter" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 480000 AND o_orderpriority = '1-URGENT'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "scan_orc" ->
       """SELECT * FROM nation ORDER BY n_nationkey""",
     // round-trip: the regex-parsed log lines must reconstruct the table

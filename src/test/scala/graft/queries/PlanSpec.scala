@@ -23,6 +23,18 @@ class PlanSpec extends SparkSpec {
       "a 25-row dimension must never sort-merge against the probe side")
   }
 
+  test("A11b: the bloom runtime prefilter prunes the fact side below the join") {
+    val df = SparkEntryPlan("join_bloom_prefilter")
+    df.collect() // AQE finalizes subquery reuse only on execution
+    val plan = df.queryExecution.executedPlan.toString
+    // the prefilter must gate the FACT key (l_orderkey) — i.e. run on the
+    // probe branch before the join — not merely exist somewhere in the plan
+    val factPrefilter = plan.linesIterator.exists(l =>
+      l.contains("might_contain") && l.contains("l_orderkey"))
+    assert(factPrefilter,
+      s"no might_contain filter on the fact-side join key in:\n$plan")
+  }
+
   test("C1: filters are pushed to the parquet scan") {
     val plan = executedPlan("filter_compare")
     assert(plan.contains("PushedFilters: [IsNotNull") ||
