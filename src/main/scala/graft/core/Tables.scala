@@ -65,28 +65,42 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  /** events.ts is INT64 TIMESTAMP(NANOS) at rest, which Spark's parquet
-    * reader rejects natively; read it as raw nanos (legacy flag) and
-    * truncate to µs TimestampType — the same floor-division DuckDB applies
-    * when casting TIMESTAMP_NS → TIMESTAMP, so oracles stay aligned
-    * (SURVEY §7.4.3). */
+  /** events.ts has shipped in two physical vintages: INT64 TIMESTAMP(NANOS)
+    * (read as raw nanos via the legacy flag, then floor-truncated to µs —
+    * the same floor DuckDB applies casting TIMESTAMP_NS → TIMESTAMP) and
+    * TIMESTAMP_MICROS with isAdjustedToUTC=0 (arrives as TIMESTAMP_NTZ;
+    * with the session pinned to UTC the NTZ→LTZ cast is instant-preserving,
+    * matching DuckDB's CAST(ts AS TIMESTAMP) exactly). Dispatch on the
+    * post-read type so both vintages work (SURVEY §7.4.3). */
+  private def tsToTimestamp(dt: DataType): Column = dt match {
+    case LongType => expr("timestamp_micros(ts div 1000)") // NANOS-as-long
+    case TimestampNTZType | TimestampType => col("ts").cast(TimestampType)
+    case other =>
+      throw new IllegalStateException(
+        s"events.ts read as unsupported type $other; expected INT64 nanos " +
+          "(with nanosAsLong) or a µs timestamp")
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = t(s, d, "events")
+    raw.withColumn("ts", tsToTimestamp(raw.schema("ts").dataType))
   }
 
   /** Streaming view of the events table (file source), same ts conversion.
     * The file source wants a directory; stage a symlink dir over the single
-    * driver-generated file. */
+    * driver-generated file. The explicit schema is taken from a batch read
+    * of the actual file, so it tracks whichever physical vintage is on
+    * disk. */
   def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$d/events.parquet").schema // ts: LongType nanos
+    val raw = s.read.parquet(s"$d/events.parquet").schema
     val dir = java.nio.file.Paths.get(scratchDir("graft_events_src"))
     java.nio.file.Files.createSymbolicLink(
       dir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$d/events.parquet"))
     s.readStream.schema(raw).parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", tsToTimestamp(raw("ts").dataType))
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
