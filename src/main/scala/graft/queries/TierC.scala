@@ -1767,6 +1767,50 @@ object TierCWindow {
           greatest(col("prev"), col("page")).as("v"))
         .distinct()
       graft.operators.CommonNeighbors.run(und, maxDegree = 1000L, topK = 20)
+    }),
+    // Bounded-hop reachability over the click graph (round 10): "pages
+    // within 3 clicks of the seed set" via operators.Bfs — the frontier
+    // loop whose per-round cost tracks the frontier's edges, never the
+    // whole graph. Seeds are pages ≡ 0 (mod 97), a deterministic non-empty
+    // subset of the 0-99 page vocabulary. The (page, dist) fixpoint is
+    // unique (first-reach distance, unit weights), so the DuckDB oracle is
+    // an UNROLLED per-hop derivation — an independent construction, not a
+    // replay of the loop.
+    "graph_bfs_reach" -> ((s, d) => {
+      val ev = events(s, d).filter(col("event_type") === lit("click"))
+        .select(col("user_id"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("page"))
+      val byUser = Window.partitionBy("user_id").orderBy("event_id")
+      val und = ev.withColumn("prev", lag(col("page"), 1).over(byUser))
+        .filter(col("prev").isNotNull && col("prev") =!= col("page"))
+        .select(least(col("prev"), col("page")).as("u"),
+          greatest(col("prev"), col("page")).as("v"))
+        .distinct()
+      val seeds = ev.select("page").distinct()
+        .filter(col("page") % 97 === 0)
+      graft.operators.Bfs.run(und, "u", "v", seeds, "page", maxHops = 3)
+        .orderBy("dist", "page")
+    }),
+    // Synchronous label propagation (round 10): 4 fixed rounds of
+    // most-frequent-neighbor-label with ties toward the smaller label —
+    // both randomness sources of classic LPA pinned (update order via
+    // synchronous rounds, tie-breaks via min-label), so the result is a
+    // pure function of the graph and the DuckDB oracle can replay the
+    // identical all-integer recurrence as chained CTEs (the
+    // pagerank_clicks recipe). Isolated pages keep their own label.
+    "graph_communities_lpa" -> ((s, d) => {
+      val ev = events(s, d).filter(col("event_type") === lit("click"))
+        .select(col("user_id"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("page"))
+      val byUser = Window.partitionBy("user_id").orderBy("event_id")
+      val und = ev.withColumn("prev", lag(col("page"), 1).over(byUser))
+        .filter(col("prev").isNotNull && col("prev") =!= col("page"))
+        .select(least(col("prev"), col("page")).as("u"),
+          greatest(col("prev"), col("page")).as("v"))
+        .distinct()
+      val nodes = ev.select("page").distinct()
+      graft.operators.LabelPropagation.run(und, "u", "v", nodes, "page", 4)
+        .orderBy("page")
     })
   )
 
@@ -2114,7 +2158,78 @@ object TierCWindow {
         |       (cn * 1000000) // (da.d + db.d - cn) AS jac_q6
         |FROM cand JOIN deg da ON da.w = cand.a
         |          JOIN deg db ON db.w = cand.b
-        |ORDER BY jac_q6 DESC, a, b LIMIT 20""".stripMargin
+        |ORDER BY jac_q6 DESC, a, b LIMIT 20""".stripMargin,
+    // UNROLLED per-hop derivation: hop h = neighbors of hop h-1 minus
+    // everything settled earlier — an independent construction of the BFS
+    // fixpoint (unit weights make first-reach distance unique, so no
+    // tie-break divergence is possible between the loop and the unroll).
+    "graph_bfs_reach" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS page
+        |  FROM events WHERE event_type = 'click'),
+        |seq AS (
+        |  SELECT page, lag(page) OVER (PARTITION BY user_id
+        |                               ORDER BY event_id) AS prev
+        |  FROM ev),
+        |und AS (SELECT DISTINCT least(prev, page) AS u,
+        |                        greatest(prev, page) AS v
+        |        FROM seq WHERE prev IS NOT NULL AND prev <> page),
+        |adj AS (SELECT u AS w, v AS x FROM und
+        |        UNION ALL SELECT v AS w, u AS x FROM und),
+        |h0 AS (SELECT page AS id FROM (SELECT DISTINCT page FROM ev)
+        |       WHERE page % 97 = 0),
+        |h1 AS (SELECT DISTINCT x AS id FROM adj JOIN h0 ON adj.w = h0.id
+        |       WHERE x NOT IN (SELECT id FROM h0)),
+        |h2 AS (SELECT DISTINCT x AS id FROM adj JOIN h1 ON adj.w = h1.id
+        |       WHERE x NOT IN (SELECT id FROM h0
+        |                       UNION ALL SELECT id FROM h1)),
+        |h3 AS (SELECT DISTINCT x AS id FROM adj JOIN h2 ON adj.w = h2.id
+        |       WHERE x NOT IN (SELECT id FROM h0
+        |                       UNION ALL SELECT id FROM h1
+        |                       UNION ALL SELECT id FROM h2))
+        |SELECT id AS page, CAST(d AS BIGINT) AS dist FROM (
+        |  SELECT id, 0 AS d FROM h0
+        |  UNION ALL SELECT id, 1 FROM h1
+        |  UNION ALL SELECT id, 2 FROM h2
+        |  UNION ALL SELECT id, 3 FROM h3) t
+        |ORDER BY dist, page""".stripMargin,
+    // the identical synchronous recurrence, 4 unrolled rounds (the
+    // pagerank_clicks recipe): round r = per-vertex argmax of neighbor
+    // label counts over round r-1, ties to the smaller label; vertices
+    // absent from adj (isolated) carry their previous label.
+    "graph_communities_lpa" -> {
+      val roundCte = (1 to 4).map { i =>
+        s"""l$i AS (
+           |  SELECT id, lab FROM (
+           |    SELECT adj.w AS id, p.lab,
+           |           ROW_NUMBER() OVER (PARTITION BY adj.w
+           |             ORDER BY COUNT(*) DESC, p.lab ASC) AS rn
+           |    FROM adj JOIN l${i - 1} p ON adj.x = p.id
+           |    GROUP BY adj.w, p.lab) t
+           |  WHERE rn = 1
+           |  UNION ALL
+           |  SELECT id, lab FROM l${i - 1}
+           |  WHERE id NOT IN (SELECT w FROM adj))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id,
+         |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS page
+         |  FROM events WHERE event_type = 'click'),
+         |seq AS (
+         |  SELECT page, lag(page) OVER (PARTITION BY user_id
+         |                               ORDER BY event_id) AS prev
+         |  FROM ev),
+         |und AS (SELECT DISTINCT least(prev, page) AS u,
+         |                        greatest(prev, page) AS v
+         |        FROM seq WHERE prev IS NOT NULL AND prev <> page),
+         |adj AS (SELECT u AS w, v AS x FROM und
+         |        UNION ALL SELECT v AS w, u AS x FROM und),
+         |nodes AS (SELECT DISTINCT page FROM ev),
+         |l0 AS (SELECT page AS id, page AS lab FROM nodes),
+         |$roundCte
+         |SELECT id AS page, lab AS label FROM l4 ORDER BY page""".stripMargin
+    }
   )
 }
 

@@ -31,5 +31,8 @@ object QuerySets {
     // r8: CommonNeighbors.adjDeg checkpoints the shared adjacency/degree
     // tables so the edge derivation computes once, not ~6× (one re-plan
     // per consumer defeated ReuseExchange via per-branch null filters)
-    "graph_common_neighbors")
+    "graph_common_neighbors",
+    // r10: Bfs/LabelPropagation checkpoint the symmetric edge list (and
+    // run their whole frontier/label loop) inside the builder
+    "graph_bfs_reach", "graph_communities_lpa")
 }
