@@ -420,6 +420,48 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unintended cartesian plans: $offenders")
   }
 
+  test("r10: containment dedup — no array rides a candidate join, id-pairs distinct, prefix precedes postings") {
+    // the scale contract of the AllPairs prefix-filter plan (Dedup.scala):
+    // (1) no gram ARRAY crosses any gh-keyed candidate-generation join —
+    // candidates travel as skinny rows, the arrays join back only after the
+    // (d_new, d_src) distinct; (2) that distinct is id-pairs-only (the wide
+    // shuffle's payload is two longs); (3) the postings join consumes an
+    // already-prefix-filtered side (the row_number-over-df window runs
+    // BELOW it — otherwise every gram of every batch doc would probe the
+    // posting lists and the filter would be decorative).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, Window => LWindow}
+    import org.apache.spark.sql.types.ArrayType
+    val lp = SparkEntryPlan("dedup_containment").queryExecution.optimizedPlan
+    val ghJoins = lp.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "gh")) => j
+    }
+    assert(ghJoins.size >= 2, s"expected dfreq + postings gh joins in:\n$lp")
+    ghJoins.foreach { j =>
+      val arrays = j.output.filter(_.dataType.isInstanceOf[ArrayType])
+      assert(arrays.isEmpty,
+        s"gram array ${arrays.map(_.name)} rides a candidate join:\n$j")
+    }
+    val pairDistinct = lp.collect {
+      case a: Aggregate if a.groupingExpressions.size == 2 &&
+        a.output.map(_.name).toSet == Set("d_new", "d_src") => a
+    }
+    assert(pairDistinct.nonEmpty, s"no (d_new, d_src)-only distinct in:\n$lp")
+    pairDistinct.foreach { a =>
+      assert(a.output.forall(!_.dataType.isInstanceOf[ArrayType]),
+        s"candidate distinct carries an array:\n$a")
+    }
+    val postingsJoin = ghJoins.find(j =>
+      j.left.output.exists(_.name == "d_src") ||
+        j.right.output.exists(_.name == "d_src"))
+    assert(postingsJoin.isDefined, s"no postings-side gh join in:\n$lp")
+    val prefixSide =
+      if (postingsJoin.get.left.output.exists(_.name == "d_src"))
+        postingsJoin.get.right
+      else postingsJoin.get.left
+    assert(prefixSide.collect { case w: LWindow => w }.nonEmpty,
+      s"prefix rank filter does not precede the postings join:\n$lp")
+  }
+
   test("whole-stage codegen covers the flagship aggregate") {
     // AQE only materializes codegen spans in the final plan — execute first.
     val df = SparkEntryPlan("agg_groupby_having")
