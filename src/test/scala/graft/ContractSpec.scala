@@ -29,6 +29,58 @@ class ContractSpec extends SparkSpec {
     assert(SparkEntry.queries.size == parts.map(_._2.size).sum)
   }
 
+  test("fixture canary: every table's physical types are ones the readers handle") {
+    // The driver regenerated /root/testdata between rounds 8 and 9 and
+    // silently flipped events.ts from INT64 TIMESTAMP(NANOS) to
+    // TIMESTAMP_MICROS — 26 queries errored at analysis before any test
+    // named the cause. This canary makes fixture drift a one-line failure
+    // naming the drifted column instead. Accepted sets = exactly what the
+    // repo's readers dispatch on (Tables.tsToTimestamp; plain parquet reads
+    // elsewhere), so growing a set here must come WITH a reader change.
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsLike: Set[DataType] = Set(LongType, TimestampType, TimestampNTZType)
+    val expect: Map[String, Map[String, Set[DataType]]] = Map(
+      "region" -> Map("r_regionkey" -> Set(IntegerType, LongType),
+        "r_name" -> Set(StringType)),
+      "nation" -> Map("n_nationkey" -> Set(IntegerType, LongType),
+        "n_regionkey" -> Set(IntegerType, LongType)),
+      "customer" -> Map("c_custkey" -> Set(LongType),
+        "c_acctbal" -> Set(DoubleType)),
+      "supplier" -> Map("s_suppkey" -> Set(LongType)),
+      "part" -> Map("p_partkey" -> Set(LongType),
+        "p_retailprice" -> Set(DoubleType)),
+      "orders" -> Map("o_orderkey" -> Set(LongType),
+        "o_totalprice" -> Set(DoubleType),
+        "o_orderdate" -> (tsLike + DateType)),
+      "lineitem" -> Map("l_orderkey" -> Set(LongType),
+        "l_quantity" -> Set(DoubleType), "l_extendedprice" -> Set(DoubleType),
+        "l_shipdate" -> (tsLike + DateType)),
+      "events" -> Map("event_id" -> Set(LongType), "ts" -> tsLike,
+        "user_id" -> Set(LongType), "value" -> Set(DoubleType),
+        "props" -> Set(StringType)),
+      "documents" -> Map("doc_id" -> Set(LongType), "text" -> Set(StringType),
+        "n_chars" -> Set(LongType)),
+      "embeddings" -> Map("vec_id" -> Set(LongType),
+        "embedding" -> Set(ArrayType(FloatType), ArrayType(FloatType, false)),
+        "label" -> Set(IntegerType, LongType)))
+    val drifted = expect.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
+      val schema = spark.read.parquet(s"$sf/$table.parquet").schema
+      cols.toSeq.sortBy(_._1).flatMap { case (name, ok) =>
+        schema.find(_.name == name) match {
+          case None => Some(s"$table.$name: column MISSING from fixture")
+          case Some(f) if !ok.contains(f.dataType) =>
+            Some(s"$table.$name: fixture has ${f.dataType}, readers handle $ok")
+          case _ => None
+        }
+      }
+    }
+    assert(drifted.isEmpty, s"fixture schema drifted:\n${drifted.mkString("\n")}")
+    // the reader output contract downstream queries compile against
+    assert(graft.core.Tables.events(spark, sf).schema("ts").dataType ==
+      TimestampType, "Tables.events must surface ts as TIMESTAMP")
+  }
+
   test("every query is either oracle-checked or on the justified unit-only list") {
     // Adding a query without a DuckDB oracle is allowed ONLY for output
     // DuckDB genuinely cannot reproduce (engine-local xxhash64 signatures,
