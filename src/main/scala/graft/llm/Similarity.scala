@@ -414,6 +414,19 @@ object Similarity {
     // all-zero corpus the same way embed_quantize guards the all-zero row.
     "knn_quantized_topk" -> ((s, d) =>
       quantizedScores(s, d).orderBy(desc("score"), asc("vec_id")).limit(10)),
+    // Radius (range) search — the OTHER similarity-search modality next to
+    // top-k: every vector whose integer quantized dot with the probe
+    // clears a fixed threshold, however many or few that is (dedup wants
+    // "all near-dups", not "the 10 nearest"). Same exact-integer scores as
+    // knn_quantized_topk (ONE shared quantizedScores definition), so the
+    // threshold needs no float gap analysis — any cut is hash-exact; 10000
+    // keeps the top ~5-12% of the fixture corpora (measured p90≈8-12k,
+    // max≈19-23k across sf0.001-0.1, nonempty at every SF). At scale the
+    // filter is map-side on the scored pass (no top-k heap, no global
+    // sort barrier until the bounded survivor set).
+    "knn_radius_quantized" -> ((s, d) =>
+      quantizedScores(s, d).filter(col("score") >= 10000)
+        .orderBy(desc("score"), asc("vec_id"))),
     // Int8 symmetric quantization of the embedding column (training-data
     // pipeline op): per-vector scale = 127/max|x|, q_i = floor(x·scale+0.5)
     // — the storage/serving compression step (4× smaller than float32).
@@ -598,6 +611,23 @@ object Similarity {
         |SELECT q.vec_id, CAST(list_dot_product(q.qv, p.pv) AS BIGINT) AS score
         |FROM q, p WHERE q.vec_id <> 0
         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // same quantization pipeline, threshold filter instead of LIMIT — the
+    // scores are exact integers so the >= 10000 cut cannot straddle noise
+    "knn_radius_quantized" ->
+      """WITH m AS (
+        |  SELECT nullif(MAX(list_max(list_transform(embedding,
+        |           x -> abs(CAST(x AS DOUBLE))))), 0.0) AS m
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding,
+        |           x -> floor(CAST(x AS DOUBLE) * (127.0 / m) + 0.5)) AS qv
+        |  FROM embeddings, m),
+        |p AS (SELECT qv AS pv FROM q WHERE vec_id = 0)
+        |SELECT q.vec_id, CAST(list_dot_product(q.qv, p.pv) AS BIGINT) AS score
+        |FROM q, p WHERE q.vec_id <> 0
+        |  AND list_dot_product(q.qv, p.pv) >= 10000
+        |ORDER BY score DESC, vec_id ASC""".stripMargin,
     // exact IEEE agreement: float→double casts, one multiply, floor-half-up
     // — no round() anywhere, so engine rounding conventions can't diverge
     "embed_quantize" ->

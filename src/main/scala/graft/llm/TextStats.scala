@@ -829,6 +829,29 @@ object TextStats {
         length(substring(col("text"), 1, 64)).cast("long").as("n_bytes"))
       Multimodal.frameSample(s, media, stride = 16, frameLen = 8)
         .orderBy("doc_id", "frame")
+    }),
+    // Byte-exact payload dedup — the FIRST pass of any multimodal dedup at
+    // 100 TB (identical image/audio files re-crawled under different URLs
+    // dominate raw-crawl duplication; perceptual hashing only runs on what
+    // survives this). Digest-only shuffle (32-byte sha256 per payload —
+    // the dedup_exact_text discipline applied to the binary column): the
+    // payloads themselves never move, keeper = min doc_id per digest,
+    // bytes_saved = what deleting the copies reclaims. Payloads are the
+    // staged first-64-byte stand-ins the other multimodal keys use
+    // (fixtures carry no real media by design).
+    "multimodal_dedup_bytes" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"),
+          sha2(encode(substring(col("text"), 1, 64), "UTF-8"), 256).as("h"),
+          length(encode(substring(col("text"), 1, 64), "UTF-8"))
+            .cast("long").as("n_bytes"))
+        .groupBy("h")
+        .agg(min(col("doc_id")).as("keeper"),
+          count(lit(1)).as("n_copies"),
+          max(col("n_bytes")).as("n_bytes"))
+        .select(col("keeper"), col("h"), col("n_copies"),
+          ((col("n_copies") - 1) * col("n_bytes")).as("bytes_saved"))
+        .orderBy("keeper")
     })
   )
 
@@ -866,6 +889,16 @@ object TextStats {
         |       CAST(8 AS INT) AS n_features,
         |       list_aggregate(list_transform(range(1, 9), i -> ord(text[i:i]) / 256.0), 'sum') AS feature_sum
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // same staged payload bytes (ASCII corpus: chars == bytes, so the
+    // VARCHAR-side sha256/length agree with Spark's binary-side ones)
+    "multimodal_dedup_bytes" ->
+      """WITH m AS (
+        |  SELECT doc_id, sha256(text[1:64]) AS h,
+        |         CAST(length(text[1:64]) AS BIGINT) AS n_bytes
+        |  FROM documents)
+        |SELECT MIN(doc_id) AS keeper, h, COUNT(*) AS n_copies,
+        |       (COUNT(*) - 1) * MAX(n_bytes) AS bytes_saved
+        |FROM m GROUP BY h ORDER BY keeper""".stripMargin,
     "text_tokens_bpe" ->
       """SELECT doc_id,
         |       CAST(len(str_split(text, ' ')) AS INT) AS ws_tokens,

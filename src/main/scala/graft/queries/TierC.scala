@@ -221,6 +221,21 @@ object TierCJoins {
       asofSurface(graft.operators.AsOfJoin.nearest(clicks, purchases,
         key = Seq("user_id"), leftTime = "ts", rightTime = "p_ts"))
     }),
+    // C12b''' — bounded-staleness as-of (merge_asof's `tolerance`, round
+    // 10): same backward lookup, but a carried purchase older than 1 day
+    // is no match at all — the "state must be FRESH" contract (a feature
+    //-store point-in-time join where a stale feature row is worse than
+    // null). Exercises AsOfJoin's tolerance path through the differential
+    // gate (previously unit-only): the bound applies AFTER the carry (a
+    // row-frame window can't express a time bound), nulling the payload
+    // struct wholesale. Same one-shuffle plan; the oracle composes
+    // DuckDB's native ASOF with the explicit CASE staleness test.
+    "join_asof_tolerance" -> ((s, d) => {
+      val (clicks, purchases) = clickPurchase(s, d)
+      asofSurface(graft.operators.AsOfJoin.backward(clicks, purchases,
+        key = Seq("user_id"), leftTime = "ts", rightTime = "p_ts",
+        tolerance = Some(expr("INTERVAL 1 DAY"))))
+    }),
     // C12c — PURE interval join (no natural equi key) via time-binning:
     // sampled order windows [o_orderdate, +3d] × every lineitem ship date.
     // Written naively this is a theta join — a cartesian pair space at
@@ -409,6 +424,21 @@ object TierCJoins {
         |      FROM e WHERE event_type = 'purchase' GROUP BY user_id, ts)
         |SELECT c.event_id, c.user_id, c.ts, p.p_ts, p.n_p, p.p_value
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.p_ts
+        |ORDER BY c.event_id""".stripMargin,
+    // native ASOF composed with the explicit CASE staleness test — the
+    // carry-then-bound semantics spelled independently of the Spark plan
+    "join_asof_tolerance" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  event_type, value FROM events),
+        |c AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS p_ts, COUNT(*) AS n_p,
+        |             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS p_value
+        |      FROM e WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id, c.ts,
+        |       CASE WHEN p.p_ts >= c.ts - INTERVAL 1 DAY THEN p.p_ts END AS p_ts,
+        |       CASE WHEN p.p_ts >= c.ts - INTERVAL 1 DAY THEN p.n_p END AS n_p,
+        |       CASE WHEN p.p_ts >= c.ts - INTERVAL 1 DAY THEN p.p_value END AS p_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.p_ts
         |ORDER BY c.event_id""".stripMargin,
     "join_multiway" ->
       """SELECT r_name, n_name,
@@ -1811,6 +1841,32 @@ object TierCWindow {
       val nodes = ev.select("page").distinct()
       graft.operators.LabelPropagation.run(und, "u", "v", nodes, "page", 4)
         .orderBy("page")
+    }),
+    // Degree profile of the click graph (round 10): the measurement that
+    // justifies the graph operators' knobs — CommonNeighbors' maxDegree
+    // hub cap and the triangle census's orientation bound are both
+    // decisions about THIS distribution (the same role profile_skew plays
+    // for the salted join). Histogram of undirected degrees with min/max
+    // node witnesses per bucket — all longs, two map-side-combinable
+    // aggregations (|V|-sized then |degree-vocabulary|-sized); nothing
+    // wider than (node, d) ever shuffles.
+    "graph_degree_stats" -> ((s, d) => {
+      val ev = events(s, d).filter(col("event_type") === lit("click"))
+        .select(col("user_id"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("page"))
+      val byUser = Window.partitionBy("user_id").orderBy("event_id")
+      val und = ev.withColumn("prev", lag(col("page"), 1).over(byUser))
+        .filter(col("prev").isNotNull && col("prev") =!= col("page"))
+        .select(least(col("prev"), col("page")).as("u"),
+          greatest(col("prev"), col("page")).as("v"))
+        .distinct()
+      val deg = und.select(col("u").as("node"))
+        .unionAll(und.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      deg.groupBy("d")
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+        .orderBy("d")
     })
   )
 
@@ -2229,7 +2285,30 @@ object TierCWindow {
          |l0 AS (SELECT page AS id, page AS lab FROM nodes),
          |$roundCte
          |SELECT id AS page, lab AS label FROM l4 ORDER BY page""".stripMargin
-    }
+    },
+    // same edge derivation as the other graph oracles; the histogram is a
+    // straight GROUP BY replay — the construction is shared, but every
+    // count/min/max is an exact long so any drift in the edge derivation
+    // itself (the risky part) hash-fails loudly
+    "graph_degree_stats" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS page
+        |  FROM events WHERE event_type = 'click'),
+        |seq AS (
+        |  SELECT page, lag(page) OVER (PARTITION BY user_id
+        |                               ORDER BY event_id) AS prev
+        |  FROM ev),
+        |und AS (SELECT DISTINCT least(prev, page) AS u,
+        |                        greatest(prev, page) AS v
+        |        FROM seq WHERE prev IS NOT NULL AND prev <> page),
+        |deg AS (SELECT node, COUNT(*) AS d FROM (
+        |          SELECT u AS node FROM und
+        |          UNION ALL SELECT v AS node FROM und) t
+        |        GROUP BY node)
+        |SELECT d, COUNT(*) AS n_nodes,
+        |       MIN(node) AS min_node, MAX(node) AS max_node
+        |FROM deg GROUP BY d ORDER BY d""".stripMargin
   )
 }
 

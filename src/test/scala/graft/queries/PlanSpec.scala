@@ -384,6 +384,9 @@ class PlanSpec extends SparkSpec {
       "tfidf_topk", "kmeans_lloyd", "zscore_outliers", "negative_pairs",
       "ivf_index_build", "anomaly_mad", "corpus_mix_rebalance",
       "knn_quantized_topk",
+      // r10: radius search shares knn_quantized_topk's two broadcast
+      // 1-row crossjoins (corpus max-abs scale, then the probe vector)
+      "knn_radius_quantized",
       // r6: retrieval_bm25 broadcasts the 1-row corpus stats and the
       // 3-row df table; pagerank_clicks broadcasts the 1-row N aggregate
       // each iteration — linear broadcast passes, not pair explosions
