@@ -1494,6 +1494,41 @@ object TierCWindow {
         .drop("sid")
         .orderBy("user_id", "session_start")
     }),
+    // C23b' — DYNAMIC-gap sessionization (round 10): the gap depends on
+    // the event (clicks cool off in 5 min, views in 15, everything else
+    // 30) — the batch twin of session_window's dynamic-gap form, and a
+    // structurally DIFFERENT recurrence from sessionize_batch: a varying
+    // gap means the session's expiry is the RUNNING MAX of t+gap over all
+    // previous events, not the previous event's lag (a short-gap event
+    // after a long-gap one must not close a session the long gap is still
+    // holding open). Everything in exact epoch-second longs; the break
+    // flag depends only on (t, gap) VALUES, and tied-t rows can never
+    // break against each other (t > t+gap is false), so equal-timestamp
+    // tie order can't change the result in either engine. 100 TB shape:
+    // three windows on ONE (user_id, t) sort — single hash shuffle,
+    // Catalyst reuses the sort; linear per key.
+    "sessionize_dynamic_gap" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("t")
+      val prevEnd = max(col("t") + col("gap")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, -1))
+      events(s, d)
+        .select(col("user_id"), col("ts").cast("long").as("t"),
+          when(col("event_type") === "click", 300L)
+            .when(col("event_type") === "view", 900L)
+            .otherwise(1800L).as("gap"),
+          col("value"))
+        .withColumn("new_s",
+          when(prevEnd.isNull || col("t") > prevEnd, 1).otherwise(0))
+        .withColumn("sid", sum(col("new_s")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(min(col("t")).as("session_start_s"),
+          max(col("t") + col("gap")).as("session_end_s"),
+          count(lit(1)).as("n_events"),
+          decSum(col("value")).as("sum_value"))
+        .drop("sid")
+        .orderBy("user_id", "session_start_s")
+    }),
     // C23e — sequential pattern matching (the MATCH_RECOGNIZE shape,
     // rewritten with lag since neither engine ships MR): find every
     // strictly-rising 3-order run in a customer's history. Row-pattern
@@ -1980,6 +2015,34 @@ object TierCWindow {
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sessions GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    // floor(epoch(..)) truncates to whole seconds exactly like Spark's
+    // timestamp→long cast (the workflow_scheduled recipe); the running-max
+    // expiry and cumsum replay the same all-integer recurrence
+    "sessionize_dynamic_gap" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t,
+        |         CAST(CASE event_type WHEN 'click' THEN 300
+        |              WHEN 'view' THEN 900 ELSE 1800 END AS BIGINT) AS gap,
+        |         value
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, t, gap, value,
+        |         CASE WHEN MAX(t + gap) OVER pw IS NULL
+        |                OR t > MAX(t + gap) OVER pw
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW pw AS (PARTITION BY user_id ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |s AS (
+        |  SELECT user_id, t, gap, value,
+        |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f)
+        |SELECT user_id, MIN(t) AS session_start_s,
+        |       MAX(t + gap) AS session_end_s, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_s""".stripMargin,
     "win_pattern_rising" ->
       """WITH l AS (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

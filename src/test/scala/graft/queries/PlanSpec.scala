@@ -35,6 +35,41 @@ class PlanSpec extends SparkSpec {
       s"no might_contain filter on the fact-side join key in:\n$plan")
   }
 
+  test("A4b: a partition-key filter prunes to exactly its directory") {
+    // the 100 TB contract behind Hive-style layouts (SURVEY §2 A4): a
+    // filter on the partition column must eliminate non-matching
+    // directories at PLANNING time — visible both in PartitionFilters on
+    // the scan and, decisively, in the actual file list the scan reads.
+    // A scan that lists every partition and filters rows would pass the
+    // correctness gate and still read the whole lake at scale.
+    // NB df.inputFiles is computed on the RELATION, before the filter —
+    // it lists every partition and would pass/fail meaninglessly here; the
+    // scan's own numFiles metric counts what execution actually listed
+    // after pruning.
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune")
+    Tables.orders(spark, sf).write
+      .partitionBy("o_orderstatus").mode("overwrite").parquet(dir.toString)
+    val pruned = spark.read.parquet(dir.toString)
+      .filter(col("o_orderstatus") === "F")
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no FileSourceScanExec leaf in the pruned plan"))
+    assert(scan.toString.contains("PartitionFilters:"),
+      s"no partition filters on the scan in:\n$scan")
+    import scala.jdk.CollectionConverters._
+    def parquetFiles(p: java.nio.file.Path): Long =
+      java.nio.file.Files.walk(p).iterator().asScala
+        .count(_.toString.endsWith(".parquet")).toLong
+    val fFiles = parquetFiles(dir.resolve("o_orderstatus=F"))
+    val allFiles = parquetFiles(dir)
+    assert(allFiles > fFiles, "fixture degenerate: only one partition written")
+    assert(scan.metrics("numFiles").value === fFiles,
+      s"scan listed ${scan.metrics("numFiles").value} files; " +
+        s"partition o_orderstatus=F holds $fFiles of $allFiles total — " +
+        "non-matching directories were not pruned")
+  }
+
   test("C1: filters are pushed to the parquet scan") {
     val plan = executedPlan("filter_compare")
     assert(plan.contains("PushedFilters: [IsNotNull") ||
