@@ -157,6 +157,25 @@ object TierD {
         .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
         .orderBy("c_mktsegment", "event_type")
     }),
+    // D7b — session assembly via typed flatMapGroupsWithState
+    // (graft.streaming.SessionAssembly): the variable-rows-per-key stateful
+    // API — one emitted row per closed session — that mapGroupsWithState
+    // (one row per key) and session_window (aggregate-only) can't express.
+    // 30-min gap in epoch-second longs, exact-decimal sums; under the
+    // AvailableNow one-batch harness the emitted sessions equal the batch
+    // sessionization, which is the DuckDB oracle (the stream_stream_join
+    // single-batch caveat, documented on the operator).
+    "stream_sessionize_flatmap" -> ((s, d) => withFewStatePartitions(s) {
+      val name = s"sfm_out_${java.lang.Long.toHexString(System.nanoTime)}"
+      val q = graft.streaming.SessionAssembly.sessions(eventsStream(s, d))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", scratchDir("graft_sfm_ckpt"))
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy("user_id", "session_start_s")
+    }),
     // D6 — bookmark semantics end-to-end (reference README.md:145): a file
     // source with checkpoint processes each file exactly once; the second
     // AvailableNow run emits only newly-landed files. EtlSpec asserts the
@@ -238,6 +257,30 @@ object TierD {
     "stream_foreachbatch_pipeline" ->
       """SELECT event_type, COUNT(*) AS cnt FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // D7b: the flatMapGroupsWithState session assembly over the one-batch
+    // AvailableNow input equals the batch sessionizer — the sessionize_batch
+    // recurrence in epoch seconds (floor(epoch(..)) == Spark's ts→long cast)
+    "stream_sessionize_flatmap" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t,
+        |         value
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, t, value,
+        |         CASE WHEN lag(t) OVER w IS NULL OR t >= lag(t) OVER w + 1800
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |sessions AS (
+        |  SELECT user_id, t, value,
+        |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, MIN(t) AS session_start_s, MAX(t) AS session_end_s,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_s""".stripMargin,
     // D7: final mapGroupsWithState state per user == the batch aggregate;
     // exact-decimal accumulation makes total_value order-independent.
     "stream_custom_state" ->

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Session assembly via typed `flatMapGroupsWithState` — the one stateful
+  * streaming API the rest of the engine didn't exercise (CustomState covers
+  * `mapGroupsWithState`, TierD's windows cover the built-ins). Where
+  * `session_window` can only aggregate, flatMap ownership of the state
+  * record lets the operator EMIT a variable number of rows per key per
+  * batch — here, one row per CLOSED session, the "emit sessions as they
+  * finish" shape.
+  *
+  * Semantics match the batch sessionizer (TierC `sessionize_batch`, 30-min
+  * gap) exactly, in epoch-second longs: a new session starts when an event
+  * arrives ≥ 1800 s after the previous event. Value sums travel as exact
+  * 2-decimal BigDecimals (CustomState's discipline) so results hash-match
+  * the DuckDB oracle.
+  *
+  * Batch-boundary contract (the stream_stream_join caveat, same shape):
+  * each batch emits the sessions its data closes AND flushes the open tail.
+  * Under the AvailableNow one-batch harness this equals the batch
+  * sessionization exactly — which is what the differential oracle checks.
+  * A multi-batch production run would instead hold the tail in state
+  * (`state.update` below is the carry) and flush it on an event-time
+  * timeout; the per-batch sort is bounded by a user's events per batch
+  * (the collect_list-style buffer bound, per key per batch — not per
+  * stream). */
+object SessionAssembly {
+
+  case class SEv(user_id: Long, t: Long, value: java.math.BigDecimal)
+  case class OpenTail(start: Long, end: Long, n: Long,
+      sum: java.math.BigDecimal)
+  case class SessionOut(user_id: Long, session_start_s: Long,
+      session_end_s: Long, n_events: Long, sum_value: Double)
+
+  val gapSeconds = 1800L
+
+  def assemble(uid: Long, evs: Iterator[SEv],
+      state: GroupState[OpenTail]): Iterator[SessionOut] = {
+    // the group iterator is unordered; sessionization needs event-time
+    // order within the batch (ties carry no order-dependence: the break
+    // test and the BigDecimal sum depend on values only)
+    val sorted = evs.toArray.sortBy(_.t)
+    if (sorted.isEmpty) return Iterator.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+    var cur = state.getOption.orNull
+    sorted.foreach { e =>
+      if (cur == null) cur = OpenTail(e.t, e.t, 1L, e.value)
+      else if (e.t >= cur.end + gapSeconds) {
+        out += SessionOut(uid, cur.start, cur.end, cur.n, cur.sum.doubleValue)
+        cur = OpenTail(e.t, e.t, 1L, e.value)
+      } else cur = OpenTail(cur.start, e.t, cur.n + 1L, cur.sum.add(e.value))
+    }
+    state.update(cur) // the cross-batch carry (see batch-boundary contract)
+    out += SessionOut(uid, cur.start, cur.end, cur.n, cur.sum.doubleValue)
+    out.iterator
+  }
+
+  /** Attach session assembly to an events stream with (user_id, ts, value).
+    * Append output: a session row is emitted once, when it closes. */
+  def sessions(events: DataFrame): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "CAST(ts AS LONG) AS t",
+        "CAST(value AS DECIMAL(18,2)) AS value")
+      .as[SEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenTail, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(assemble)
+  }
+}
