@@ -188,6 +188,17 @@ class PlanSpec extends SparkSpec {
       s"funnel plans $exchanges user_id exchanges, expected 1:\n$plan")
   }
 
+  test("C23b': dynamic-gap sessionizer's windows + aggregate share ONE user_id exchange") {
+    // the running-max expiry window, the cumsum window and the final
+    // (user_id, sid) aggregate all hash-partition by user_id — Catalyst
+    // must reuse a single shuffle, or the sessionizer pays three
+    val plan = executedPlan("sessionize_dynamic_gap")
+    val exchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(plan).length
+    assert(exchanges == 1,
+      s"dynamic sessionizer plans $exchanges user_id exchanges, expected 1:\n$plan")
+  }
+
   test("C12c: binned interval join hash-joins on the bin, never nested-loop") {
     // the whole point of binning: the no-equi-key theta join becomes a
     // plain equi join on the manufactured day-bin key
