@@ -1,0 +1,245 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness: measures rows-vs-seconds scaling curves for the
+  * operators whose SURVEY §2 "100 TB design" notes claim a complexity class
+  * (linear / candidate-bounded vs quadratic-in-block), by inflating the
+  * driver fixtures 1-16× into scratch (NEVER touching /root/testdata —
+  * TESTDATA.md:4-5) and timing each query at every multiplier.
+  *
+  * Inflation is NOT naive duplication — a copy that byte-duplicates every
+  * document would make the true near-dup pair count itself quadratic in the
+  * multiplier, so every operator (including the bucketed ones) would
+  * rightfully show a quadratic output curve and the measurement would say
+  * nothing about plan complexity. Instead each copy i is made
+  * CONTENT-DISJOINT from the others:
+  *
+  *  - documents: text is Caesar-rotated by i (letters only — token sets and
+  *    char-3-gram sets across copies are disjoint, length/whitespace
+  *    structure identical), and every doc gets a planted shared leading
+  *    token "blk" so the (first-token, length-band) blocking key used by
+  *    the exact pair-join operators forms blocks that GROW ×m. That
+  *    isolates exactly the claim under test: the exact operators do
+  *    block² pair work (expected slope ≈ 2 in log-time vs log-m) while the
+  *    MinHash/LSH/prefix-filter siblings on the SAME corpus stay ~linear
+  *    (cross-copy docs share no tokens, so buckets and posting lists stay
+  *    copy-local). n_chars keeps the base value (it feeds the length band).
+  *  - embeddings: vectors are circularly rotated by i (norm-preserving,
+  *    direction-scrambling — cross-copy cosines are unstructured), ids
+  *    offset; labels kept, so the per-label exact pair space grows ×m per
+  *    side (slope ≈ 2) while fixed probe sets (vec_id < 200 etc.) and the
+  *    scored-scan operators stay linear in the corpus.
+  *  - events: ids/users/pages offset per copy (props rebuilt as
+  *    {"k": k+100i}) — m disjoint isomorphic click graphs, so |V| and |E|
+  *    grow ×m with degree structure EXACTLY preserved: the graph loops'
+  *    frontier-/edge-proportional claims predict slope ≈ 1.
+  *
+  * Output: one JSON document (default /tmp/graft_scaling.json) with every
+  * (query, multiplier, input_rows, output_rows, seconds) point plus a
+  * fitted log2-slope per query over the top half of its curve; SCALING.md
+  * is written from this file. Not driver-invoked — run manually:
+  *   sbt "runMain graft.Scaling"
+  */
+object Scaling {
+
+  /** (query, cap): cap bounds the multiplier so the deliberately-quadratic
+    * references stay inside a local-run budget. */
+  case class Q(name: String, cap: Int)
+
+  private val Mults = Seq(1, 2, 4, 8, 16)
+
+  /** documents-family study (base sf0.01 — 500 docs ⇒ 8000 at 16×):
+    * the four exact-vs-bucketed dedup pairings on the doc corpus. */
+  private val DocsQueries = Seq(
+    Q("dedup_near_jaccard", 16), Q("dedup_ngram_jaccard", 16),
+    Q("dedup_clusters", 16),
+    Q("dedup_exact_text", 16), Q("dedup_minhash_lsh", 16),
+    Q("dedup_minhash_banded", 16), Q("dedup_containment", 16))
+
+  /** embeddings+events-family study (base sf0.1 — 2000 vecs / 100k events
+    * ⇒ 32000 / 1.6M at 16×). The exact per-label pair operators are capped
+    * at 8× (their measured point IS the quadratic blow-up). */
+  private val EmbQueries = Seq(
+    Q("dedup_embedding_cosine", 8), Q("knn_pairs_label", 8),
+    Q("dedup_embedding_ann", 16), Q("knn_pairs_label_ann", 16),
+    Q("knn_radius_quantized", 16), Q("knn_quantized_topk", 16))
+
+  private val GraphQueries = Seq(
+    Q("graph_bfs_reach", 16), Q("graph_communities_lpa", 16),
+    Q("graph_triangles", 16), Q("graph_degree_stats", 16),
+    Q("pagerank_clicks", 16))
+
+  case class Pt(query: String, mult: Int, inputRows: Long, outRows: Long,
+      sec: Double)
+
+  def main(args: Array[String]): Unit = {
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT",
+      "/tmp/graft_scaling.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val loadStart = Bench.loadAvg()
+
+    // ---- stage inflated corpora ---------------------------------------
+    val docsBase = sys.env.getOrElse("SPARK_GRAFT_DOCS_BASE",
+      "/root/testdata/sf0.01")
+    val eeBase = sys.env.getOrElse("SPARK_GRAFT_EE_BASE",
+      "/root/testdata/sf0.1")
+    val docsDirs = Mults.map(m => m -> stageFamily(spark, docsBase, m,
+      inflateDocs = true, inflateEmbEvents = false)).toMap
+    val eeDirs = Mults.map(m => m -> stageFamily(spark, eeBase, m,
+      inflateDocs = false, inflateEmbEvents = true)).toMap
+    System.err.println(s"[scaling] staged ${Mults.size}×2 corpora")
+
+    // warm the session so the first timed point doesn't absorb codegen init
+    spark.read.parquet(s"$docsBase/documents.parquet").count()
+    SparkEntry.queries("dedup_exact_text")(spark, docsBase).count()
+
+    // ---- run ----------------------------------------------------------
+    val pts = scala.collection.mutable.ArrayBuffer[Pt]()
+    def runSet(qs: Seq[Q], dirs: Map[Int, String], rowsOf: String => Long)
+        : Unit =
+      for (q <- qs; m <- Mults if m <= q.cap) {
+        val dir = dirs(m)
+        val t0 = System.nanoTime()
+        val n =
+          try SparkEntry.queries(q.name)(spark, dir).count()
+          catch { case e: Throwable =>
+            System.err.println(s"[scaling] ${q.name} x$m FAILED: $e"); -1L }
+        val sec = math.round((System.nanoTime() - t0) / 1e6) / 1e3
+        val pt = Pt(q.name, m, rowsOf(dir), n, sec)
+        pts += pt
+        System.err.println(
+          s"[scaling] ${q.name} x$m rows=${pt.inputRows} out=$n sec=$sec")
+      }
+    def tableRows(table: String)(dir: String): Long =
+      spark.read.parquet(s"$dir/$table.parquet").count()
+    runSet(DocsQueries, docsDirs, tableRows("documents"))
+    runSet(EmbQueries, eeDirs, tableRows("embeddings"))
+    runSet(GraphQueries, eeDirs, tableRows("events"))
+    val loadEnd = Bench.loadAvg()
+
+    // ---- fit + emit ---------------------------------------------------
+    val json = render(pts.toSeq, loadStart, loadEnd)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      json.getBytes("UTF-8"))
+    System.err.println(s"[scaling] wrote $outPath")
+    try spark.stop() catch { case _: Throwable => () }
+    println(s"""{"metric":"scaling","points":${pts.size},"out":"$outPath"}""")
+  }
+
+  /** Fitted log2(sec) slope between multiplier 4 and the curve's last
+    * point — the asymptotic half of the curve, where per-query fixed
+    * overhead (session/scan setup, ~0.3-1s here) distorts least. */
+  def slope(curve: Seq[(Int, Double)]): Double = {
+    val s = curve.sortBy(_._1).filter(_._2 > 0)
+    val hi = s.last
+    val lo = s.find(_._1 == 4).getOrElse(s.head)
+    if (hi._1 == lo._1) 0.0
+    else math.round(
+      (math.log(hi._2 / lo._2) / math.log(hi._1.toDouble / lo._1)) * 100) / 100.0
+  }
+
+  private def render(pts: Seq[Pt], l0: Double, l1: Double): String = {
+    val byQ = pts.groupBy(_.query).toSeq.sortBy(_._1)
+    val qJson = byQ.map { case (q, ps) =>
+      val curve = ps.sortBy(_.mult).map(p =>
+        s"""{"mult":${p.mult},"input_rows":${p.inputRows},"output_rows":${p.outRows},"sec":${p.sec}}""")
+        .mkString("[", ",", "]")
+      val sl = slope(ps.map(p => p.mult -> p.sec))
+      s""""$q":{"slope_log2":$sl,"points":$curve}"""
+    }.mkString("{", ",", "}")
+    s"""{"metric":"scaling","loadavg_start":$l0,"loadavg":$l1,"queries":$qJson}"""
+  }
+
+  // ---- corpus staging -------------------------------------------------
+
+  /** Letters-only Caesar rotation by `s` — token sets and char-n-gram sets
+    * of distinct rotations are disjoint (for letter content), while length,
+    * case pattern and whitespace structure are byte-identical. */
+  private def caesar(c: Column, s: Int): Column =
+    if (s % 26 == 0) c
+    else {
+      val lower = "abcdefghijklmnopqrstuvwxyz"
+      val rot = lower.drop(s % 26) + lower.take(s % 26)
+      translate(c, lower + lower.toUpperCase, rot + rot.toUpperCase)
+    }
+
+  /** Stage one inflated corpus dir: symlink every base table, replace the
+    * inflated ones with an m-copy content-disjoint union (see object doc).
+    * Dirs live in scratch (tmpfs) and are deleted on JVM exit. */
+  def stageFamily(spark: SparkSession, baseDir: String, m: Int,
+      inflateDocs: Boolean, inflateEmbEvents: Boolean): String = {
+    val dir = graft.core.Tables.scratchDir(s"graft_scale_x$m")
+    // match Tables.events' read posture so a NANOS-vintage fixture stages
+    // as raw longs (which the reader dispatch then handles) instead of
+    // failing the plain read
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = java.nio.file.Paths.get(baseDir)
+    val inflated =
+      (if (inflateDocs) Set("documents") else Set.empty[String]) ++
+        (if (inflateEmbEvents) Set("embeddings", "events")
+         else Set.empty[String])
+    java.nio.file.Files.list(base).forEach { p =>
+      val name = p.getFileName.toString
+      if (name.endsWith(".parquet") &&
+          !inflated.contains(name.stripSuffix(".parquet")))
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(dir, name), p)
+    }
+    if (inflateDocs) {
+      val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+      val span = docs.agg(max("doc_id")).head.getLong(0) + 1
+      val copies = (0 until m).map { i =>
+        docs.select((col("doc_id") + lit(i * span)).as("doc_id"),
+          // planted shared leading token: every doc of every copy shares
+          // blk_tok="blk", so the exact pair joins' blocks grow ×m — the
+          // behaviour under test. n_chars keeps the base value (the
+          // length-band input).
+          concat(lit("blk "), caesar(col("text"), i)).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }
+      copies.reduce(_.union(_)).repartition(math.max(4, m))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
+    if (inflateEmbEvents) {
+      val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      val dim = emb.select(size(col("embedding"))).head.getInt(0)
+      val vSpan = emb.agg(max("vec_id")).head.getLong(0) + 1
+      val eCopies = (0 until m).map { i =>
+        emb.select((col("vec_id") + lit(i * vSpan)).as("vec_id"),
+          (if (i == 0) col("embedding")
+           else transform(sequence(lit(0), lit(dim - 1)),
+             j => element_at(col("embedding"), pmod(j + lit(i), lit(dim)) + 1)))
+            .as("embedding"),
+          col("label"))
+      }
+      eCopies.reduce(_.union(_)).repartition(math.max(4, m))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+      val ev = spark.read.parquet(s"$baseDir/events.parquet")
+      val eSpan = ev.agg(max("event_id")).head.getLong(0) + 1
+      val uSpan = ev.agg(max("user_id")).head.getLong(0) + 1
+      val vCopies = (0 until m).map { i =>
+        ev.select((col("event_id") + lit(i * eSpan)).as("event_id"),
+          col("ts"), (col("user_id") + lit(i * uSpan)).as("user_id"),
+          col("event_type"), col("value"),
+          // pages offset by 100·i (fixture pages are 0..99): copy graphs
+          // are vertex-disjoint isomorphic images of the base click graph
+          concat(lit("{\"k\": "),
+            (get_json_object(col("props"), "$.k").cast("long") + lit(100L * i))
+              .cast("string"), lit("}")).as("props"))
+      }
+      vCopies.reduce(_.union(_)).repartition(math.max(4, m))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    }
+    dir
+  }
+}

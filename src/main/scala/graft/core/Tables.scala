@@ -102,6 +102,52 @@ object Tables {
     s.readStream.schema(raw).parquet(dir.toString)
       .withColumn("ts", tsToTimestamp(raw("ts").dataType))
   }
+  /** Streaming view of the events table staged as `chunks` event-time-
+    * ordered files, for gate queries that must exercise REAL multi-batch
+    * execution (r10 verdict #2: the stateful keys ran AvailableNow
+    * single-batch, so the cross-batch state carry was proven only in
+    * MemoryStream unit tests). With `maxFilesPerTrigger=1` an AvailableNow
+    * run executes exactly `chunks` micro-batches, oldest file first.
+    *
+    * The split is by global (ts, event_id) rank, so each user's events are
+    * non-decreasing in event time ACROSS batches — the ordering contract a
+    * production source (kafka per-key, or time-partitioned file drops)
+    * provides, and the one under which a stateful operator's cross-batch
+    * carry must reproduce the batch result. File order is pinned twice:
+    * zero-padded names and strictly increasing mtimes (the file source
+    * sorts by modification time). The ntile global sort is staging-only
+    * work at gate scale, not part of the measured operator. */
+  def eventsStreamChunked(s: SparkSession, d: String, chunks: Int): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = t(s, d, "events")
+    val dir = java.nio.file.Paths.get(scratchDir("graft_events_chunks"))
+    val byTime = org.apache.spark.sql.expressions.Window
+      .orderBy("ts", "event_id")
+    val chunked = raw.withColumn("graft_chunk", ntile(chunks).over(byTime))
+    (1 to chunks).foreach { i =>
+      val part = java.nio.file.Paths.get(scratchDir("graft_events_part"))
+      chunked.filter(col("graft_chunk") === i).drop("graft_chunk")
+        .coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val file = java.nio.file.Files.list(part).iterator()
+      val target = dir.resolve(f"chunk_$i%02d.parquet")
+      var moved = false
+      while (file.hasNext && !moved) {
+        val f = file.next()
+        if (f.toString.endsWith(".parquet")) {
+          java.nio.file.Files.move(f, target)
+          java.nio.file.Files.setLastModifiedTime(target,
+            java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+          moved = true
+        }
+      }
+      require(moved, s"no parquet part written for chunk $i")
+    }
+    val schema = s.read.parquet(dir.toString).schema
+    s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .withColumn("ts", tsToTimestamp(schema("ts").dataType))
+  }
+
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 

@@ -623,10 +623,12 @@ object Similarity {
         |         list_transform(embedding,
         |           x -> floor(CAST(x AS DOUBLE) * (127.0 / m) + 0.5)) AS qv
         |  FROM embeddings, m),
-        |p AS (SELECT qv AS pv FROM q WHERE vec_id = 0)
-        |SELECT q.vec_id, CAST(list_dot_product(q.qv, p.pv) AS BIGINT) AS score
-        |FROM q, p WHERE q.vec_id <> 0
-        |  AND list_dot_product(q.qv, p.pv) >= 10000
+        |p AS (SELECT qv AS pv FROM q WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT q.vec_id,
+        |         CAST(list_dot_product(q.qv, p.pv) AS BIGINT) AS score
+        |  FROM q, p WHERE q.vec_id <> 0)
+        |SELECT vec_id, score FROM scored WHERE score >= 10000
         |ORDER BY score DESC, vec_id ASC""".stripMargin,
     // exact IEEE agreement: float→double casts, one multiply, floor-half-up
     // — no round() anywhere, so engine rounding conventions can't diverge

@@ -47,38 +47,41 @@ object Bfs {
     // loop shuffles move skinny (id) / (id, dist) rows — size partitions
     // to the frontier, not the session's full-scan default (every surplus
     // partition is a task per stage per round; scheduling is the local
-    // floor). Restored after; results are checkpointed so nothing
-    // downstream inherits the narrow setting.
-    val spark = edges.sparkSession
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.min(prevShuffle.toInt, loopShufflePartitions))
-    try runLoop(edges, src, dst, seeds, id, maxHops)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-  }
-
-  private def runLoop(edges: DataFrame, src: String, dst: String,
-      seeds: DataFrame, id: String, maxHops: Int): DataFrame = {
+    // floor). Pinned per-frame with explicit hash repartition rather than
+    // a session-conf mutation, so a concurrently-shared session is never
+    // affected; localCheckpoint preserves the partitioning (LogicalRDD
+    // keeps outputPartitioning), so each round's join / distinct /
+    // anti-join all run under the one narrow exchange.
+    val p = loopShufflePartitions
     val sym = edges.select(col(src).as("bfs_u"), col(dst).as("bfs_v"))
       .union(edges.select(col(dst).as("bfs_u"), col(src).as("bfs_v")))
+      .repartition(p, col("bfs_u"))
       .localCheckpoint() // traversed every round — compute once
     var visited = seeds.select(col(id).as("bfs_id")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint()
+      .withColumn("dist", lit(0L))
+      .repartition(p, col("bfs_id")).localCheckpoint()
     var frontier = visited.select("bfs_id")
     var hop = 0L
     var frontierSize = frontier.count()
     while (frontierSize > 0 && hop < maxHops) {
       hop += 1
       // expand ONLY the frontier; anti-join drops anything already
-      // settled (including frontier-internal edges and back-edges)
+      // settled (including frontier-internal edges and back-edges).
+      // frontier carries hash(bfs_id, p) and sym hash(bfs_u, p), so the
+      // expand join needs no new exchange; the one repartition after the
+      // neighbour projection re-keys survivors for the distinct AND the
+      // anti-join (visited is hash(bfs_id, p) too) in a single p-wide
+      // shuffle of bare ids.
       val next = frontier
         .join(sym, frontier("bfs_id") === sym("bfs_u"))
-        .select(col("bfs_v").as("bfs_id")).distinct()
+        .select(col("bfs_v").as("bfs_id"))
+        .repartition(p, col("bfs_id")).distinct()
         .join(visited, Seq("bfs_id"), "left_anti")
         .withColumn("dist", lit(hop))
         .localCheckpoint()
       frontierSize = next.count() // the round's one job
-      visited = visited.union(next).localCheckpoint()
+      visited = visited.union(next)
+        .repartition(p, col("bfs_id")).localCheckpoint()
       frontier = next.select("bfs_id")
     }
     visited.select(col("bfs_id").as(id), col("dist"))

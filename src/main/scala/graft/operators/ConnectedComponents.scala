@@ -53,24 +53,27 @@ object ConnectedComponents {
     // full-table scans: every extra partition is an extra task PER STAGE
     // PER ROUND, and scheduling, not data, is the loop's local floor. At
     // cluster scale callers pass a larger value sized to |V|/executor.
-    // Restored after the loop; the returned labels are checkpointed, so
-    // no downstream plan inherits the narrow setting.
-    val spark = edges.sparkSession
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.min(prevShuffle.toInt, loopShufflePartitions))
-    try runLoop(edges, src, dst, vertices, id, maxIter, onRound)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // Pinned by EXPLICIT per-frame hash repartition (sym on its join key,
+    // labels/delta on vertex id — localCheckpoint preserves the
+    // partitioning, so each round's joins reuse the exchanges), never by
+    // mutating session-global shuffle.partitions: a concurrently-shared
+    // session must not observe the narrow setting. The per-round
+    // aggregation exchange stays at the session default and is
+    // size-coalesced by AQE (parallelismFirst=false in every builder).
+    runLoop(edges, src, dst, vertices, id, maxIter,
+      loopShufflePartitions, onRound)
   }
 
   private def runLoop(edges: DataFrame, src: String, dst: String,
-      vertices: DataFrame, id: String, maxIter: Int,
+      vertices: DataFrame, id: String, maxIter: Int, p: Int,
       onRound: (Int, Long) => Unit): DataFrame = {
     // symmetric orientation so min labels flow both ways
     val sym = edges.select(col(src).as("cc_src"), col(dst).as("cc_dst"))
       .union(edges.select(col(dst).as("cc_src"), col(src).as("cc_dst")))
+      .repartition(p, col("cc_src"))
       .localCheckpoint() // edges are reused every iteration — compute once
     var labels = vertices.select(col(id).as("cc_id"), col(id).as("cc_comp"))
+      .repartition(p, col("cc_id"))
       .localCheckpoint()
     // the frontier: vertices whose label changed last round (round 1: all —
     // nothing has propagated yet). A vertex changed by EITHER mechanism
@@ -93,8 +96,8 @@ object ConnectedComponents {
     // a full-fleet sync barrier, and halving barrier count halves the
     // straggler-tail exposure that local[32] cannot exhibit.
     while (changed > 0 && iter < maxIter) {
-      val (s1, d1) = halfStep(sym, labels, delta)
-      val (s2, d2) = halfStep(sym, s1, d1)
+      val (s1, d1) = halfStep(sym, labels, delta, p)
+      val (s2, d2) = halfStep(sym, s1, d1, p)
       delta = d2
       // the delta count is the round's ONE job — it materializes both
       // halves' lazy checkpoints as a side effect (an eager checkpoint
@@ -128,7 +131,7 @@ object ConnectedComponents {
     * restriction directly (an empty delta must change NOTHING, even on
     * labels that a full-graph build side would rewrite). */
   private[operators] def halfStep(sym: DataFrame, labels: DataFrame,
-      delta: DataFrame): (DataFrame, DataFrame) = {
+      delta: DataFrame, p: Int = 8): (DataFrame, DataFrame) = {
     val nbrMin = sym.join(delta.withColumnRenamed("cc_id", "cc_did")
         .withColumnRenamed("cc_comp", "cc_dcomp"),
         col("cc_src") === col("cc_did"))
@@ -139,10 +142,15 @@ object ConnectedComponents {
           .as("cc_p"))
     val m = prop.filter(col("cc_p") =!= col("cc_old"))
       .select(col("cc_id").as("m_id"), col("cc_p").as("m_comp"))
+    // re-key the half-step's output on vertex id at the loop width before
+    // it checkpoints: the next half's delta join and labels join then both
+    // reuse this one p-wide exchange of skinny rows (the conf-clamp this
+    // replaces paid the same exchange implicitly, session-globally)
     val step = prop.join(m, col("cc_p") === col("m_id"), "left")
       .select(col("cc_id"), col("cc_old"),
         least(col("cc_p"), coalesce(col("m_comp"), col("cc_p")))
           .as("cc_comp"))
+      .repartition(p, col("cc_id"))
       .localCheckpoint(eager = false)
     (step.select("cc_id", "cc_comp"),
       step.filter(col("cc_comp") =!= col("cc_old"))

@@ -38,20 +38,19 @@ object LabelPropagation {
   def run(edges: DataFrame, src: String, dst: String,
       vertices: DataFrame, id: String, rounds: Int,
       loopShufflePartitions: Int = 8): DataFrame = {
-    val spark = edges.sparkSession
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.min(prevShuffle.toInt, loopShufflePartitions))
-    try runLoop(edges, src, dst, vertices, id, rounds)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-  }
-
-  private def runLoop(edges: DataFrame, src: String, dst: String,
-      vertices: DataFrame, id: String, rounds: Int): DataFrame = {
+    // loop shuffles are sized per-frame with explicit hash repartition —
+    // never via a session-conf mutation (a shared session must not see the
+    // narrow setting). localCheckpoint preserves partitioning, so the
+    // vote join reuses sym's hash(lpa_v, p) and labels' hash(lpa_id, p)
+    // exchanges round after round; the arg-max window gets hash(lpa_u, p)
+    // from the one explicit repartition per round.
+    val p = loopShufflePartitions
     val sym = edges.select(col(src).as("lpa_u"), col(dst).as("lpa_v"))
       .union(edges.select(col(dst).as("lpa_u"), col(src).as("lpa_v")))
+      .repartition(p, col("lpa_v"))
       .localCheckpoint()
     var labels = vertices.select(col(id).as("lpa_id"), col(id).as("lpa_lab"))
+      .repartition(p, col("lpa_id"))
       .localCheckpoint()
     val win = Window.partitionBy("lpa_u")
       .orderBy(desc("lpa_n"), asc("lpa_lab"))
@@ -61,6 +60,7 @@ object LabelPropagation {
         .join(labels, sym("lpa_v") === labels("lpa_id"))
         .groupBy("lpa_u", "lpa_lab").agg(count(lit(1)).as("lpa_n"))
       val winner = votes
+        .repartition(p, col("lpa_u"))
         .withColumn("lpa_rn", row_number().over(win))
         .filter(col("lpa_rn") === 1)
         .select(col("lpa_u").as("lpa_id"), col("lpa_lab"))
@@ -68,6 +68,7 @@ object LabelPropagation {
       // previous (= initial) label via the anti side of the old table
       labels = winner
         .union(labels.join(winner, Seq("lpa_id"), "left_anti"))
+        .repartition(p, col("lpa_id"))
         .localCheckpoint()
       r += 1
     }

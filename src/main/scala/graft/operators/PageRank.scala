@@ -41,27 +41,28 @@ object PageRank {
   def run(edges: DataFrame, src: String, dst: String,
       nodes: DataFrame, id: String, iters: Int,
       loopShufflePartitions: Int = 8): DataFrame = {
-    val spark = edges.sparkSession
     // Materialize the caller's upstream pipelines (corpus-scale work — in
     // pagerank_clicks a window over the whole events table) at AMBIENT
-    // parallelism, BEFORE the loop clamp: the narrow partition count below
-    // is sized to the graph-skinny per-iteration shuffles only, and must
-    // never serialize the edge derivation itself.
+    // parallelism: only the graph-skinny loop frames below are narrowed,
+    // via explicit per-frame hash repartition (localCheckpoint preserves
+    // the partitioning, so each iteration's joins reuse the exchanges) —
+    // never via a session-global shuffle.partitions mutation, which a
+    // concurrently-shared session would observe. The per-iteration
+    // contribution aggregation stays at the session default and is
+    // size-coalesced by AQE.
+    val p = loopShufflePartitions
     val e = edges.select(col(src).as("pr_src"), col(dst).as("pr_dst"))
     val eo = e.join(e.groupBy("pr_src").agg(count(lit(1)).as("pr_od")),
-      "pr_src").localCheckpoint()
-    val v = nodes.select(col(id).as("pr_id")).localCheckpoint()
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.min(prevShuffle.toInt, loopShufflePartitions))
-    try runLoop(eo, v, id, iters)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      "pr_src").repartition(p, col("pr_src")).localCheckpoint()
+    val v = nodes.select(col(id).as("pr_id"))
+      .repartition(p, col("pr_id")).localCheckpoint()
+    runLoop(eo, v, id, iters, p)
   }
 
   /** @param eo edges pre-annotated with src out-degree, checkpointed
     * @param v  node ids, checkpointed */
   private def runLoop(eo: DataFrame, v: DataFrame, id: String,
-      iters: Int): DataFrame = {
+      iters: Int, p: Int): DataFrame = {
     // N rides along as a broadcast 1-row aggregate, never a driver constant
     val nRow = v.agg(count(lit(1)).as("pr_n"))
     var ranks = v
@@ -78,6 +79,7 @@ object PageRank {
           (expr(s"${Scale / 100 * 15}L DIV pr_n") +
             expr("(85 * coalesce(pr_s, 0L)) DIV 100")).as("pr_r"),
           col("pr_n"))
+        .repartition(p, col("pr_id"))
         .localCheckpoint()
     }
     ranks.select(col("pr_id").as(id), col("pr_r").as("rank"))

@@ -1719,18 +1719,10 @@ object TierCWindow {
     // (operators.PageRank): every step integer DIV/sum, so the iterative
     // operator is differentially checked bit-for-bit against a DuckDB
     // replay of the same recurrence — no float discipline needed at all.
-    "pagerank_clicks" -> ((s, d) => {
-      val ev = events(s, d).filter(col("event_type") === lit("click"))
-        .select(col("user_id"), col("event_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("page"))
-      val byUser = Window.partitionBy("user_id").orderBy("event_id")
-      val edges = ev.withColumn("src", lag(col("page"), 1).over(byUser))
-        .filter(col("src").isNotNull && col("src") =!= col("page"))
-        .select(col("src"), col("page").as("dst")).distinct()
-      val nodes = ev.select("page").distinct()
-      graft.operators.PageRank.run(edges, "src", "dst", nodes, "page", 5)
-        .orderBy(desc("rank"), asc("page"))
-    }),
+    "pagerank_clicks" -> ((s, d) =>
+      graft.operators.PageRank.run(ClickGraph.directed(s, d), "src", "dst",
+        ClickGraph.pages(s, d), "page", 5)
+        .orderBy(desc("rank"), asc("page"))),
     // Last-touch attribution (round 6): every purchase credits the same
     // user's most recent preceding touch (click/view) — the carry pattern
     // (last ignoreNulls over an event_id-ordered user window; the purchase
@@ -1770,15 +1762,7 @@ object TierCWindow {
     // The DuckDB oracle deliberately counts by the UNORIENTED a<b<c
     // three-way join — an independent construction of the same census.
     "graph_triangles" -> ((s, d) => {
-      val ev = events(s, d).filter(col("event_type") === lit("click"))
-        .select(col("user_id"), col("event_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("page"))
-      val byUser = Window.partitionBy("user_id").orderBy("event_id")
-      val und = ev.withColumn("prev", lag(col("page"), 1).over(byUser))
-        .filter(col("prev").isNotNull && col("prev") =!= col("page"))
-        .select(least(col("prev"), col("page")).as("u"),
-          greatest(col("prev"), col("page")).as("v"))
-        .distinct()
+      val und = ClickGraph.und(s, d)
       val deg = und.select(col("u").as("node"))
         .unionAll(und.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("d"))
@@ -1821,18 +1805,9 @@ object TierCWindow {
     // since r8 the DuckDB oracle applies the SAME cap (lowdeg CTE), so the
     // gate checks the cap's semantics rather than relying on the fixture
     // staying below it.
-    "graph_common_neighbors" -> ((s, d) => {
-      val ev = events(s, d).filter(col("event_type") === lit("click"))
-        .select(col("user_id"), col("event_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("page"))
-      val byUser = Window.partitionBy("user_id").orderBy("event_id")
-      val und = ev.withColumn("prev", lag(col("page"), 1).over(byUser))
-        .filter(col("prev").isNotNull && col("prev") =!= col("page"))
-        .select(least(col("prev"), col("page")).as("u"),
-          greatest(col("prev"), col("page")).as("v"))
-        .distinct()
-      graft.operators.CommonNeighbors.run(und, maxDegree = 1000L, topK = 20)
-    }),
+    "graph_common_neighbors" -> ((s, d) =>
+      graft.operators.CommonNeighbors.run(ClickGraph.und(s, d),
+        maxDegree = 1000L, topK = 20)),
     // Bounded-hop reachability over the click graph (round 10): "pages
     // within 3 clicks of the seed set" via operators.Bfs — the frontier
     // loop whose per-round cost tracks the frontier's edges, never the
@@ -1842,19 +1817,9 @@ object TierCWindow {
     // an UNROLLED per-hop derivation — an independent construction, not a
     // replay of the loop.
     "graph_bfs_reach" -> ((s, d) => {
-      val ev = events(s, d).filter(col("event_type") === lit("click"))
-        .select(col("user_id"), col("event_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("page"))
-      val byUser = Window.partitionBy("user_id").orderBy("event_id")
-      val und = ev.withColumn("prev", lag(col("page"), 1).over(byUser))
-        .filter(col("prev").isNotNull && col("prev") =!= col("page"))
-        .select(least(col("prev"), col("page")).as("u"),
-          greatest(col("prev"), col("page")).as("v"))
-        .distinct()
-      val seeds = ev.select("page").distinct()
-        .filter(col("page") % 97 === 0)
-      graft.operators.Bfs.run(und, "u", "v", seeds, "page", maxHops = 3)
-        .orderBy("dist", "page")
+      val seeds = ClickGraph.pages(s, d).filter(col("page") % 97 === 0)
+      graft.operators.Bfs.run(ClickGraph.und(s, d), "u", "v", seeds, "page",
+        maxHops = 3).orderBy("dist", "page")
     }),
     // Synchronous label propagation (round 10): 4 fixed rounds of
     // most-frequent-neighbor-label with ties toward the smaller label —
@@ -1863,20 +1828,10 @@ object TierCWindow {
     // pure function of the graph and the DuckDB oracle can replay the
     // identical all-integer recurrence as chained CTEs (the
     // pagerank_clicks recipe). Isolated pages keep their own label.
-    "graph_communities_lpa" -> ((s, d) => {
-      val ev = events(s, d).filter(col("event_type") === lit("click"))
-        .select(col("user_id"), col("event_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("page"))
-      val byUser = Window.partitionBy("user_id").orderBy("event_id")
-      val und = ev.withColumn("prev", lag(col("page"), 1).over(byUser))
-        .filter(col("prev").isNotNull && col("prev") =!= col("page"))
-        .select(least(col("prev"), col("page")).as("u"),
-          greatest(col("prev"), col("page")).as("v"))
-        .distinct()
-      val nodes = ev.select("page").distinct()
-      graft.operators.LabelPropagation.run(und, "u", "v", nodes, "page", 4)
-        .orderBy("page")
-    }),
+    "graph_communities_lpa" -> ((s, d) =>
+      graft.operators.LabelPropagation.run(ClickGraph.und(s, d), "u", "v",
+        ClickGraph.pages(s, d), "page", 4)
+        .orderBy("page")),
     // Degree profile of the click graph (round 10): the measurement that
     // justifies the graph operators' knobs — CommonNeighbors' maxDegree
     // hub cap and the triangle census's orientation bound are both
@@ -1886,15 +1841,7 @@ object TierCWindow {
     // aggregations (|V|-sized then |degree-vocabulary|-sized); nothing
     // wider than (node, d) ever shuffles.
     "graph_degree_stats" -> ((s, d) => {
-      val ev = events(s, d).filter(col("event_type") === lit("click"))
-        .select(col("user_id"), col("event_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("page"))
-      val byUser = Window.partitionBy("user_id").orderBy("event_id")
-      val und = ev.withColumn("prev", lag(col("page"), 1).over(byUser))
-        .filter(col("prev").isNotNull && col("prev") =!= col("page"))
-        .select(least(col("prev"), col("page")).as("u"),
-          greatest(col("prev"), col("page")).as("v"))
-        .distinct()
+      val und = ClickGraph.und(s, d)
       val deg = und.select(col("u").as("node"))
         .unionAll(und.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("d"))
@@ -2181,16 +2128,8 @@ object TierCWindow {
            |    JOIN outdeg o ON e.src = o.src
            |    GROUP BY e.dst) c ON nodes.page = c.dst)""".stripMargin
       }.mkString(",\n")
-      s"""WITH ev AS (
-         |  SELECT user_id, event_id,
-         |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS page
-         |  FROM events WHERE event_type = 'click'),
-         |seq AS (
-         |  SELECT page, lag(page) OVER (PARTITION BY user_id
-         |                               ORDER BY event_id) AS src
-         |  FROM ev),
-         |e AS (SELECT DISTINCT src, page AS dst FROM seq
-         |      WHERE src IS NOT NULL AND src <> page),
+      s"""WITH ${ClickGraph.OracleEv},
+         |${ClickGraph.OracleDirected},
          |outdeg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
          |nodes AS (SELECT DISTINCT page FROM ev),
          |nn AS (SELECT COUNT(*) AS n FROM nodes),
@@ -2221,17 +2160,8 @@ object TierCWindow {
     // deliberately the UNORIENTED a<b<c three-way join — an independent
     // construction of the census the oriented Spark plan computes
     "graph_triangles" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id,
-        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS page
-        |  FROM events WHERE event_type = 'click'),
-        |seq AS (
-        |  SELECT page, lag(page) OVER (PARTITION BY user_id
-        |                               ORDER BY event_id) AS prev
-        |  FROM ev),
-        |und AS (SELECT DISTINCT least(prev, page) AS u,
-        |                        greatest(prev, page) AS v
-        |        FROM seq WHERE prev IS NOT NULL AND prev <> page),
+      s"""WITH ${ClickGraph.OracleEv},
+        |${ClickGraph.OracleUnd},
         |deg AS (SELECT node, COUNT(*) AS d FROM (
         |          SELECT u AS node FROM und
         |          UNION ALL SELECT v AS node FROM und) t
@@ -2252,19 +2182,9 @@ object TierCWindow {
     // verifies the cap's semantics by design, and a future fixture with a
     // hub of degree >1000 can no longer diverge the two sides.
     "graph_common_neighbors" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id,
-        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS page
-        |  FROM events WHERE event_type = 'click'),
-        |seq AS (
-        |  SELECT page, lag(page) OVER (PARTITION BY user_id
-        |                               ORDER BY event_id) AS prev
-        |  FROM ev),
-        |und AS (SELECT DISTINCT least(prev, page) AS u,
-        |                        greatest(prev, page) AS v
-        |        FROM seq WHERE prev IS NOT NULL AND prev <> page),
-        |adj AS (SELECT u AS w, v AS x FROM und
-        |        UNION ALL SELECT v AS w, u AS x FROM und),
+      s"""WITH ${ClickGraph.OracleEv},
+        |${ClickGraph.OracleUnd},
+        |${ClickGraph.OracleAdj},
         |deg AS (SELECT w, COUNT(*) AS d FROM adj GROUP BY w),
         |lowdeg AS (SELECT w FROM deg WHERE d <= 1000),
         |cn AS (SELECT e1.x AS a, e2.x AS b, COUNT(*) AS cn
@@ -2283,19 +2203,9 @@ object TierCWindow {
     // fixpoint (unit weights make first-reach distance unique, so no
     // tie-break divergence is possible between the loop and the unroll).
     "graph_bfs_reach" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id,
-        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS page
-        |  FROM events WHERE event_type = 'click'),
-        |seq AS (
-        |  SELECT page, lag(page) OVER (PARTITION BY user_id
-        |                               ORDER BY event_id) AS prev
-        |  FROM ev),
-        |und AS (SELECT DISTINCT least(prev, page) AS u,
-        |                        greatest(prev, page) AS v
-        |        FROM seq WHERE prev IS NOT NULL AND prev <> page),
-        |adj AS (SELECT u AS w, v AS x FROM und
-        |        UNION ALL SELECT v AS w, u AS x FROM und),
+      s"""WITH ${ClickGraph.OracleEv},
+        |${ClickGraph.OracleUnd},
+        |${ClickGraph.OracleAdj},
         |h0 AS (SELECT page AS id FROM (SELECT DISTINCT page FROM ev)
         |       WHERE page % 97 = 0),
         |h1 AS (SELECT DISTINCT x AS id FROM adj JOIN h0 ON adj.w = h0.id
@@ -2331,19 +2241,9 @@ object TierCWindow {
            |  SELECT id, lab FROM l${i - 1}
            |  WHERE id NOT IN (SELECT w FROM adj))""".stripMargin
       }.mkString(",\n")
-      s"""WITH ev AS (
-         |  SELECT user_id, event_id,
-         |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS page
-         |  FROM events WHERE event_type = 'click'),
-         |seq AS (
-         |  SELECT page, lag(page) OVER (PARTITION BY user_id
-         |                               ORDER BY event_id) AS prev
-         |  FROM ev),
-         |und AS (SELECT DISTINCT least(prev, page) AS u,
-         |                        greatest(prev, page) AS v
-         |        FROM seq WHERE prev IS NOT NULL AND prev <> page),
-         |adj AS (SELECT u AS w, v AS x FROM und
-         |        UNION ALL SELECT v AS w, u AS x FROM und),
+      s"""WITH ${ClickGraph.OracleEv},
+         |${ClickGraph.OracleUnd},
+         |${ClickGraph.OracleAdj},
          |nodes AS (SELECT DISTINCT page FROM ev),
          |l0 AS (SELECT page AS id, page AS lab FROM nodes),
          |$roundCte
@@ -2354,17 +2254,8 @@ object TierCWindow {
     // count/min/max is an exact long so any drift in the edge derivation
     // itself (the risky part) hash-fails loudly
     "graph_degree_stats" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id,
-        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS page
-        |  FROM events WHERE event_type = 'click'),
-        |seq AS (
-        |  SELECT page, lag(page) OVER (PARTITION BY user_id
-        |                               ORDER BY event_id) AS prev
-        |  FROM ev),
-        |und AS (SELECT DISTINCT least(prev, page) AS u,
-        |                        greatest(prev, page) AS v
-        |        FROM seq WHERE prev IS NOT NULL AND prev <> page),
+      s"""WITH ${ClickGraph.OracleEv},
+        |${ClickGraph.OracleUnd},
         |deg AS (SELECT node, COUNT(*) AS d FROM (
         |          SELECT u AS node FROM und
         |          UNION ALL SELECT v AS node FROM und) t

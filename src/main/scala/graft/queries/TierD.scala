@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.core.Tables._
@@ -166,15 +167,34 @@ object TierD {
     // sessionization, which is the DuckDB oracle (the stream_stream_join
     // single-batch caveat, documented on the operator).
     "stream_sessionize_flatmap" -> ((s, d) => withFewStatePartitions(s) {
+      // THREE real micro-batches (r10 verdict #2): the events fixture is
+      // staged as 3 event-time-ordered files and maxFilesPerTrigger=1
+      // makes AvailableNow process them one per batch, so the operator's
+      // cross-batch state carry runs ON THE GATED PATH, not only in
+      // SessionAssemblySpec's MemoryStream. The per-batch tail flush
+      // (SessionAssembly.sessions scaladoc) re-emits a still-open session
+      // each batch that grows it, so the multi-batch consumer reduction —
+      // keep the longest row per (user_id, session_start_s) — recovers
+      // exactly the batch sessionization the oracle computes.
       val name = s"sfm_out_${java.lang.Long.toHexString(System.nanoTime)}"
-      val q = graft.streaming.SessionAssembly.sessions(eventsStream(s, d))
+      val q = graft.streaming.SessionAssembly
+        .sessions(graft.core.Tables.eventsStreamChunked(s, d, chunks = 3))
         .writeStream.format("memory").queryName(name)
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", scratchDir("graft_sfm_ckpt"))
         .start()
       q.awaitTermination()
-      s.table(name).orderBy("user_id", "session_start_s")
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 2,
+        s"multi-batch contract violated: $batches data batch(es) ran — " +
+          "the cross-batch carry was not exercised")
+      val wTail = Window.partitionBy("user_id", "session_start_s")
+        .orderBy(desc("session_end_s"), desc("n_events"))
+      s.table(name)
+        .withColumn("graft_rn", row_number().over(wTail))
+        .filter(col("graft_rn") === 1).drop("graft_rn")
+        .orderBy("user_id", "session_start_s")
     }),
     // D6 — bookmark semantics end-to-end (reference README.md:145): a file
     // source with checkpoint processes each file exactly once; the second
@@ -257,9 +277,11 @@ object TierD {
     "stream_foreachbatch_pipeline" ->
       """SELECT event_type, COUNT(*) AS cnt FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
-    // D7b: the flatMapGroupsWithState session assembly over the one-batch
-    // AvailableNow input equals the batch sessionizer — the sessionize_batch
-    // recurrence in epoch seconds (floor(epoch(..)) == Spark's ts→long cast)
+    // D7b: the flatMapGroupsWithState session assembly — run over THREE
+    // real micro-batches (eventsStreamChunked + maxFilesPerTrigger=1, with
+    // the per-(user, start) longest-row reduction over the tail flushes) —
+    // equals the batch sessionizer: the sessionize_batch recurrence in
+    // epoch seconds (floor(epoch(..)) == Spark's ts→long cast)
     "stream_sessionize_flatmap" ->
       """WITH e AS (
         |  SELECT user_id,

@@ -58,7 +58,14 @@ object SessionAssembly {
   }
 
   /** Attach session assembly to an events stream with (user_id, ts, value).
-    * Append output: a session row is emitted once, when it closes. */
+    * Append output with a PER-BATCH TAIL FLUSH: every micro-batch emits each
+    * touched user's closed sessions AND its still-open tail; a tail that
+    * extends across batches is re-emitted (grown) in each later batch that
+    * touches the user. Single-batch consumers (the gate's AvailableNow run)
+    * therefore see exactly one row per session; multi-batch consumers must
+    * reduce by (user_id, start) keeping the longest row — maxBy(end), as
+    * SessionAssemblySpec does — or gate the flush behind an event-time
+    * timeout. See the object-level batch-boundary contract. */
   def sessions(events: DataFrame): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._

@@ -176,8 +176,13 @@ class ContractSpec extends SparkSpec {
     val oracled = SparkEntry.oracleSql.size
     assert(survey.contains(s"$total queries in"),
       s"SURVEY grand total is stale (code has $total)")
-    assert(read("README.md").contains(s"$total named queries"),
+    val readme = read("README.md")
+    assert(readme.contains(s"$total named queries"),
       s"README query count is stale (code has $total)")
+    // r10 ADVICE: the oracle count in the SAME README sentence sat stale at
+    // a two-round-old value because only the total was pinned
+    assert(readme.contains(s"$oracled oracle-checkable ones"),
+      s"README oracle count is stale (code has $oracled)")
     assert(read("ARCHITECTURE.md").contains(s"$oracled/$total queries"),
       s"ARCHITECTURE gate count is stale (code has $oracled/$total)")
   }

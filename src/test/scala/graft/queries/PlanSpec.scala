@@ -46,7 +46,9 @@ class PlanSpec extends SparkSpec {
     // it lists every partition and would pass/fail meaninglessly here; the
     // scan's own numFiles metric counts what execution actually listed
     // after pruning.
-    val dir = java.nio.file.Files.createTempDirectory("graft_prune")
+    // Tables.scratchDir registers a JVM-exit delete (ADVICE r10: a bare
+    // createTempDirectory leaked one parquet copy per test run)
+    val dir = java.nio.file.Paths.get(Tables.scratchDir("graft_prune"))
     Tables.orders(spark, sf).write
       .partitionBy("o_orderstatus").mode("overwrite").parquet(dir.toString)
     val pruned = spark.read.parquet(dir.toString)
