@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Scale-stress harness: measures rows-vs-seconds scaling curves for the
   * operators whose SURVEY §2 "100 TB design" notes claim a complexity class
   * (linear / candidate-bounded vs quadratic-in-block), by inflating the
-  * driver fixtures 1-16× into scratch (NEVER touching /root/testdata —
+  * driver fixtures 1-64× into scratch (NEVER touching /root/testdata —
   * TESTDATA.md:4-5) and timing each query at every multiplier.
   *
   * Inflation is NOT naive duplication — a copy that byte-duplicates every
@@ -48,28 +48,28 @@ object Scaling {
     * references stay inside a local-run budget. */
   case class Q(name: String, cap: Int)
 
-  private val Mults = Seq(1, 2, 4, 8, 16)
+  private val Mults = Seq(1, 4, 16, 64)
 
-  /** documents-family study (base sf0.01 — 500 docs ⇒ 8000 at 16×):
-    * the four exact-vs-bucketed dedup pairings on the doc corpus. */
+  /** documents-family study (base sf0.01 — 500 docs ⇒ 32000 at 64×):
+    * the exact-vs-bucketed dedup pairings on the doc corpus. */
   private val DocsQueries = Seq(
-    Q("dedup_near_jaccard", 16), Q("dedup_ngram_jaccard", 16),
-    Q("dedup_clusters", 16),
-    Q("dedup_exact_text", 16), Q("dedup_minhash_lsh", 16),
-    Q("dedup_minhash_banded", 16), Q("dedup_containment", 16))
+    Q("dedup_near_jaccard", 64), Q("dedup_ngram_jaccard", 64),
+    Q("dedup_clusters", 64),
+    Q("dedup_exact_text", 64), Q("dedup_minhash_lsh", 64),
+    Q("dedup_minhash_banded", 64), Q("dedup_containment", 64))
 
   /** embeddings+events-family study (base sf0.1 — 2000 vecs / 100k events
-    * ⇒ 32000 / 1.6M at 16×). The exact per-label pair operators are capped
-    * at 8× (their measured point IS the quadratic blow-up). */
+    * ⇒ 128000 / 6.4M at 64×). The exact per-label pair operator is capped
+    * at 16× (its measured point IS the quadratic blow-up: ~100M pairs). */
   private val EmbQueries = Seq(
-    Q("dedup_embedding_cosine", 8), Q("knn_pairs_label", 8),
-    Q("dedup_embedding_ann", 16), Q("knn_pairs_label_ann", 16),
-    Q("knn_radius_quantized", 16), Q("knn_quantized_topk", 16))
+    Q("dedup_embedding_cosine", 16), Q("knn_pairs_label", 64),
+    Q("dedup_embedding_ann", 64), Q("knn_pairs_label_ann", 64),
+    Q("knn_radius_quantized", 64), Q("knn_quantized_topk", 64))
 
   private val GraphQueries = Seq(
-    Q("graph_bfs_reach", 16), Q("graph_communities_lpa", 16),
-    Q("graph_triangles", 16), Q("graph_degree_stats", 16),
-    Q("pagerank_clicks", 16))
+    Q("graph_bfs_reach", 64), Q("graph_communities_lpa", 64),
+    Q("graph_triangles", 64), Q("graph_degree_stats", 64),
+    Q("pagerank_clicks", 64))
 
   case class Pt(query: String, mult: Int, inputRows: Long, outRows: Long,
       sec: Double)
@@ -104,8 +104,13 @@ object Scaling {
 
     // ---- run ----------------------------------------------------------
     val pts = scala.collection.mutable.ArrayBuffer[Pt]()
-    def runSet(qs: Seq[Q], dirs: Map[Int, String], rowsOf: String => Long)
-        : Unit =
+    // optional comma-separated query filter for targeted re-measurement
+    // (e.g. after a fix, re-run just the affected curve)
+    val only = sys.env.get("SPARK_GRAFT_SCALING_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def runSet(qs0: Seq[Q], dirs: Map[Int, String], rowsOf: String => Long)
+        : Unit = {
+      val qs = qs0.filter(q => only.forall(_.contains(q.name)))
       for (q <- qs; m <- Mults if m <= q.cap) {
         val dir = dirs(m)
         val t0 = System.nanoTime()
@@ -119,6 +124,7 @@ object Scaling {
         System.err.println(
           s"[scaling] ${q.name} x$m rows=${pt.inputRows} out=$n sec=$sec")
       }
+    }
     def tableRows(table: String)(dir: String): Long =
       spark.read.parquet(s"$dir/$table.parquet").count()
     runSet(DocsQueries, docsDirs, tableRows("documents"))
@@ -135,16 +141,26 @@ object Scaling {
     println(s"""{"metric":"scaling","points":${pts.size},"out":"$outPath"}""")
   }
 
-  /** Fitted log2(sec) slope between multiplier 4 and the curve's last
-    * point — the asymptotic half of the curve, where per-query fixed
-    * overhead (session/scan setup, ~0.3-1s here) distorts least. */
-  def slope(curve: Seq[(Int, Double)]): Double = {
-    val s = curve.sortBy(_._1).filter(_._2 > 0)
-    val hi = s.last
-    val lo = s.find(_._1 == 4).getOrElse(s.head)
+  /** Fitted log(sec)/log(mult) slope between two points of the curve. */
+  private def fit(lo: (Int, Double), hi: (Int, Double)): Double =
     if (hi._1 == lo._1) 0.0
     else math.round(
       (math.log(hi._2 / lo._2) / math.log(hi._1.toDouble / lo._1)) * 100) / 100.0
+
+  /** Overall slope: second point → last (the first point absorbs residual
+    * warmup); the per-query fixed overhead (~0.3-1 s of planning/scan
+    * setup) still flattens this, so the TAIL slope below is the
+    * asymptotic read. */
+  def slope(curve: Seq[(Int, Double)]): Double = {
+    val s = curve.sortBy(_._1).filter(_._2 > 0)
+    fit(s.tail.headOption.getOrElse(s.head), s.last)
+  }
+
+  /** Tail slope: second-to-last point → last — the fixed-overhead-least
+    * segment, the number to compare against the claimed complexity. */
+  def tailSlope(curve: Seq[(Int, Double)]): Double = {
+    val s = curve.sortBy(_._1).filter(_._2 > 0)
+    fit(s.init.lastOption.getOrElse(s.head), s.last)
   }
 
   private def render(pts: Seq[Pt], l0: Double, l1: Double): String = {
@@ -154,23 +170,37 @@ object Scaling {
         s"""{"mult":${p.mult},"input_rows":${p.inputRows},"output_rows":${p.outRows},"sec":${p.sec}}""")
         .mkString("[", ",", "]")
       val sl = slope(ps.map(p => p.mult -> p.sec))
-      s""""$q":{"slope_log2":$sl,"points":$curve}"""
+      val tl = tailSlope(ps.map(p => p.mult -> p.sec))
+      s""""$q":{"slope_log2":$sl,"tail_slope":$tl,"points":$curve}"""
     }.mkString("{", ",", "}")
     s"""{"metric":"scaling","loadavg_start":$l0,"loadavg":$l1,"queries":$qJson}"""
   }
 
   // ---- corpus staging -------------------------------------------------
 
-  /** Letters-only Caesar rotation by `s` — token sets and char-n-gram sets
-    * of distinct rotations are disjoint (for letter content), while length,
-    * case pattern and whitespace structure are byte-identical. */
-  private def caesar(c: Column, s: Int): Column =
-    if (s % 26 == 0) c
-    else {
-      val lower = "abcdefghijklmnopqrstuvwxyz"
-      val rot = lower.drop(s % 26) + lower.take(s % 26)
-      translate(c, lower + lower.toUpperCase, rot + rot.toUpperCase)
+  /** Per-copy letter bijection: rotations (i < 26), reversed-alphabet ∘
+    * rotation (26 ≤ i < 52), and a fixed derangement ∘ rotation (52 ≤ i <
+    * 78) — 78 distinct bijections (the fixture text is all-lowercase, so
+    * plain Caesar would repeat at 26 and re-introduce cross-copy
+    * duplicates). Any two distinct bijections disagree on all but ≤2
+    * letters, so token sets AND char-n-gram sets across copies are
+    * effectively disjoint, while length and whitespace structure stay
+    * byte-identical (n_chars remains truthful). */
+  private[graft] def alphaPerm(i: Int): String = {
+    require(i < 78, s"only 78 distinct letter bijections available, got $i")
+    val rot = (0 until 26).map(x => (x + i % 26) % 26)
+    val mixed = "qwertyuiopasdfghjklzxcvbnm"
+    val fam = i / 26 match {
+      case 0 => rot
+      case 1 => rot.map(25 - _)
+      case _ => rot.map(x => mixed.charAt(x) - 'a')
     }
+    fam.map(x => ('a' + x).toChar).mkString
+  }
+
+  private def caesar(c: Column, i: Int): Column =
+    if (i == 0) c
+    else translate(c, "abcdefghijklmnopqrstuvwxyz", alphaPerm(i))
 
   /** Stage one inflated corpus dir: symlink every base table, replace the
     * inflated ones with an m-copy content-disjoint union (see object doc).

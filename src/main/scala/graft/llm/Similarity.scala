@@ -114,16 +114,36 @@ object Similarity {
 
   /** LSH-candidate near-dup verdicts: same output contract as
     * [[embeddingCosineDedup]] but pairs are generated by same-(label, band
-    * bucket) collisions instead of the exact grid — linear-ish candidate
-    * generation, then exact dot-product re-rank of candidates only. The
-    * verdict set is a subset of the exact one (recall measured in LlmSpec);
-    * at the production threshold regime (cosine ≥ 0.9, p ≥ 0.9 per plane)
-    * the same 32×8 banding recalls essentially everything. */
-  def embeddingCosineDedupAnn(emb: DataFrame, threshold: Double): DataFrame = {
-    val planes = hyperplanes(Bands * BandBits, 64)
+    * bucket) collisions instead of the exact grid — candidate generation
+    * bounded by bucket occupancy, then exact dot-product re-rank of
+    * candidates only. The verdict set is a subset of the exact one (recall
+    * measured in LlmSpec); at the production threshold regime (cosine ≥
+    * 0.9, p ≥ 0.9 per plane) the banding recalls essentially everything.
+    *
+    * ADAPTIVE band width (round 11 — the scaling study's one contradicted
+    * claim, SCALING.md): at FIXED r sign bits per band, two random
+    * same-label vectors still collide in a band with probability ~2^-r, so
+    * background candidates are B·n²/2^r — quadratic in corpus size however
+    * small the constant (measured tail slope ≈1.3 at 32k vectors, 64×
+    * inflation). The standard repair is to grow r with log₂(n): bucket
+    * occupancy stays O(1), background candidates stay ~linear, and true
+    * near-dups in the high-p regime still collide (p^r decays polynomially
+    * in n: n^(log₂ p), a mild recall trade documented with the curve).
+    * r = max(8, ⌈log₂ n⌉ − 4) leaves every driver fixture (n ≤ 4096) at
+    * the measured 32×8 tuning — fixture behavior is bit-unchanged. The
+    * count() that sizes r is one metadata-cheap job over the corpus. */
+  def embeddingCosineDedupAnn(emb: DataFrame, threshold: Double,
+      bandBits: Option[Int] = None): DataFrame = {
+    val r = bandBits.getOrElse {
+      val n = math.max(emb.count(), 2L)
+      math.max(BandBits,
+        64 - java.lang.Long.numberOfLeadingZeros(n - 1) - 4)
+    }
+    val planes = hyperplanes(Bands * r, 64)
     val unit = withUnitVec(emb, "embedding", "uv")
     val tagged = unit.select(col("vec_id"), col("label"),
-      explode(lshBandBuckets(col("uv"), planes)).as("bucket"))
+      explode(graft.functions.SignBandBuckets
+        .sign_band_buckets(col("uv"), planes, r)).as("bucket"))
     // vectors are NOT replicated per band — only (vec_id, label, bucket)
     // rows fan out Bands×; the vector fetches below are equi-joins on id
     val cand = tagged.as("x").join(tagged.as("y"), Seq("label", "bucket"))

@@ -329,6 +329,120 @@ class PropertySpec extends SparkSpec {
     }, tries = 200)
   }
 
+  test("simhash64 matches a straightforward majority-vote reference") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // independent reference: per bit, sum ±1 votes over the hashes, set
+    // the bit iff strictly positive — written over boxed Seq[Long] with no
+    // shared code with the kernel's primitive-array walk
+    def ref(hs: Seq[Long]): Long = {
+      var out = 0L
+      (0 until 64).foreach { b =>
+        val v = hs.map(h => if (((h >>> b) & 1L) == 1L) 1 else -1).sum
+        if (v > 0) out |= 1L << b
+      }
+      out
+    }
+    val rnd = new scala.util.Random(53)
+    // adversarial sizes: single element (result == element), even counts
+    // (tied bits → 0), all-same, and random fills
+    val arrays: Seq[Seq[Long]] =
+      Seq(Seq(7L), Seq(-1L, -1L), Seq(0L, -1L), Seq.fill(5)(Long.MinValue)) ++
+        (0 until 40).map(_ => Seq.fill(1 + rnd.nextInt(30))(rnd.nextLong()))
+    val got = arrays.zipWithIndex.map(_.swap).toDF("i", "hs")
+      .select(col("i"), graft.functions.SimHash64.simhash64(col("hs")).as("sh"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    arrays.zipWithIndex.foreach { case (hs, i) =>
+      assert(got(i) == ref(hs), s"array $i: got ${got(i)} want ${ref(hs)}")
+    }
+    // empty array → null (the kernel's documented degenerate contract)
+    val empty = Seq((0, Seq.empty[Long])).toDF("i", "hs")
+      .select(graft.functions.SimHash64.simhash64(col("hs"))).head()
+    assert(empty.isNullAt(0), "simhash64 of empty array must be null")
+  }
+
+  test("token_stats matches a plain-Scala reference on random unicode tokens") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // tokens mix ASCII, multi-byte BMP (é, 中) and a surrogate-pair emoji —
+    // char_sum must count CODE POINTS (UTF8String.numChars semantics ==
+    // String.codePointCount), not UTF-16 units or bytes
+    val alphabet = Seq("a", "bc", "", "é", "ß", "中文", "🚀", "the", "and",
+      "word", " ", "\t", "ω", "🚀🚀x")
+    val lexicons = Seq(Seq("the", "and", "中文"), Seq("🚀", "missing"))
+    val rnd = new scala.util.Random(59)
+    val docs: Seq[Seq[String]] = Seq(Seq.empty[String], Seq("")) ++
+      (0 until 40).map(_ => Seq.fill(rnd.nextInt(25))(
+        alphabet(rnd.nextInt(alphabet.size))))
+    def ref(toks: Seq[String]): (Int, Long, Long, Seq[Int]) = {
+      val lens = toks.map(t => t.codePointCount(0, t.length).toLong)
+      (toks.size, lens.sum, lens.map(l => (l + 3) / 4).sum,
+        lexicons.map(lex => toks.count(lex.contains)))
+    }
+    val got = docs.zipWithIndex.map(_.swap).toDF("i", "toks")
+      .select(col("i"),
+        graft.functions.TokenStats.token_stats(col("toks"), lexicons).as("st"))
+      .select(col("i"), col("st.n_tok"), col("st.char_sum"),
+        col("st.bpe_sum"), col("st.hits"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getSeq[Int](4).toList)))
+      .toMap
+    docs.zipWithIndex.foreach { case (toks, i) =>
+      val (n, cs, bs, hits) = ref(toks)
+      assert(got(i) == ((n, cs, bs, hits)),
+        s"doc $i: got ${got(i)} want ${(n, cs, bs, hits)}")
+    }
+  }
+
+  test("ngram_hashes matches a byte-window reference on random unicode text") {
+    import graft.functions.CharNgramHashes.ngram_hashes
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the kernel's documented semantics are BYTE-level windows (equal to
+    // substring's char windows only on ASCII — the fixed-sample test above
+    // pins that case). This fuzz pins the byte contract itself on
+    // multi-byte text: binary substring slices bytes, and Spark's
+    // xxhash64 hashes string and binary identically, so this composable
+    // form is an independent byte-window reference. n ∈ {2,3,4}.
+    val pieces = Seq("a", "b", " ", "é", "中", "🚀", "xyz", "ßß")
+    val rnd = new scala.util.Random(61)
+    val texts = Seq("", "é", "🚀") ++ (0 until 30).map(_ =>
+      Seq.fill(rnd.nextInt(40))(pieces(rnd.nextInt(pieces.size))).mkString)
+    (2 to 4).foreach { n =>
+      val df = texts.zipWithIndex.map(_.swap).toDF("i", "text")
+      val composable = expr("sort_array(array_distinct(transform(" +
+        s"sequence(1, greatest(octet_length(text) - ${n - 1}, 1)), " +
+        s"i -> xxhash64(substring(cast(text AS binary), i, $n)))))")
+      val bad = df.select(col("i"), composable.as("a"),
+          ngram_hashes(col("text"), n).as("b"))
+        .filter(not(col("a") === col("b"))).collect()
+      assert(bad.isEmpty,
+        s"n=$n mismatch rows: ${bad.map(_.getInt(0)).toSeq}")
+    }
+  }
+
+  test("dot_product matches a plain fold on random vectors (incl. empty)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+    val rows = Seq((0, Seq.empty[Double], Seq.empty[Double])) ++
+      (1 to 40).map { i =>
+        val n = rnd.nextInt(65)
+        (i, Seq.fill(n)(rnd.nextInt(255) - 127.0),
+          Seq.fill(n)(rnd.nextInt(255) - 127.0))
+      }
+    val got = rows.toDF("i", "a", "b")
+      .select(col("i"),
+        graft.functions.VectorOps.dot_product(col("a"), col("b")).as("dp"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (i, a, b) =>
+      // integer-valued doubles: the fold is exact in any order, so == holds
+      val expect = a.zip(b).map { case (x, y) => x * y }.sum
+      assert(got(i) == expect, s"row $i: got ${got(i)} want $expect")
+    }
+  }
+
   test("rolling hash is deterministic and spreads adversarial inputs") {
     check(Prop.forAll(nastyString) { s =>
       val h1 = RollingHash.hashBytes(s.getBytes("UTF-8"))

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The scaling study's conclusions rest on staging invariants — copies must
+  * be content-disjoint (else the true near-dup pair count is itself
+  * quadratic in the multiplier and every curve is meaningless) while
+  * preserving the base corpus's blocking structure. Pin them on a planted
+  * 3× inflation of the smallest fixture. */
+class ScalingSpec extends SparkSpec {
+
+  test("staged documents: copies are token- and gram-disjoint, blocks shared") {
+    import spark.implicits._
+    val dir = Scaling.stageFamily(spark, sf, 3,
+      inflateDocs = true, inflateEmbEvents = false)
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+    val staged = spark.read.parquet(s"$dir/documents.parquet")
+    val n = base.count()
+    assert(staged.count() == 3 * n, "row count must scale by the multiplier")
+    // every copy keeps the base n_chars (the length-band blocking input)
+    // and plants the shared first token
+    assert(staged.filter(!col("text").startsWith("blk ")).count() == 0,
+      "planted shared leading token missing")
+    val span = base.agg(max("doc_id")).head.getLong(0) + 1
+    val tokensOf = (c: Int) => staged
+      .filter(col("doc_id") >= c * span && col("doc_id") < (c + 1) * span)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "blk" && col("t") =!= "")
+      .select("t").distinct().as[String].collect().toSet
+    val (t0, t1, t2) = (tokensOf(0), tokensOf(1), tokensOf(2))
+    assert((t0 & t1).isEmpty && (t0 & t2).isEmpty && (t1 & t2).isEmpty,
+      s"copies share tokens: ${(t0 & t1) ++ (t0 & t2) ++ (t1 & t2)}")
+  }
+
+  test("staged events: disjoint isomorphic copy graphs, users/pages offset") {
+    val dir = Scaling.stageFamily(spark, sf, 2,
+      inflateDocs = false, inflateEmbEvents = true)
+    val base = graft.core.Tables.events(spark, sf)
+    val staged = graft.core.Tables.events(spark, dir)
+    assert(staged.count() == 2 * base.count())
+    // pages of copy 1 sit exactly 100 above copy 0's (disjoint vertex sets)
+    val pages = staged
+      .select(get_json_object(col("props"), "$.k").cast("long").as("p"))
+      .agg(min("p"), max("p")).head()
+    assert(pages.getLong(0) >= 0 && pages.getLong(1) >= 100,
+      s"expected offset page range, got $pages")
+    // the copy graphs are isomorphic: identical undirected edge counts
+    val und = graft.queries.ClickGraph.und(spark, dir)
+    val c0 = und.filter(col("u") < 100 && col("v") < 100).count()
+    val c1 = und.filter(col("u") >= 100 && col("v") >= 100).count()
+    val cross = und.filter((col("u") < 100) =!= (col("v") < 100)).count()
+    assert(cross == 0, s"$cross edges cross copies — staging leaked")
+    assert(c0 == c1, s"copy graphs differ: $c0 vs $c1 edges")
+  }
+
+  test("staged embeddings: rotation preserves norms, ids offset") {
+    val dir = Scaling.stageFamily(spark, sf, 2,
+      inflateDocs = false, inflateEmbEvents = true)
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    val staged = spark.read.parquet(s"$dir/embeddings.parquet")
+    assert(staged.count() == 2 * base.count())
+    val span = base.agg(max("vec_id")).head.getLong(0) + 1
+    // norms are pairwise identical between a vector and its rotated copy
+    // (circular shift is an isometry), so per-copy norm sums agree exactly
+    val normSq = aggregate(transform(col("embedding"),
+      x => x.cast("double") * x.cast("double")), lit(0.0), (a, x) => a + x)
+    val sums = staged.withColumn("c", (col("vec_id") / span).cast("int"))
+      .groupBy("c").agg(sum(normSq).as("s")).orderBy("c")
+      .collect().map(_.getDouble(1))
+    assert(sums.length == 2 && math.abs(sums(0) - sums(1)) < 1e-6,
+      s"copy norm sums diverge: ${sums.toSeq}")
+  }
+
+  test("letter bijections are pairwise distinct across the 78-family") {
+    val perms = (0 until 78).map(Scaling.alphaPerm)
+    assert(perms.distinct.size == perms.size, "bijection family collided")
+    // each is a true bijection of the alphabet
+    perms.foreach(p => assert(p.sorted == "abcdefghijklmnopqrstuvwxyz", p))
+  }
+}
