@@ -109,8 +109,18 @@ object TierD {
     // mid-input; (b) the 30-min watermark is double the 15-min join window
     // as headroom, not a substitute for (a).
     "stream_stream_join" -> ((s, d) => withFewStatePartitions(s) {
+      // THREE real micro-batches (round 11, the r10 #2 "optionally" item):
+      // the chunked source exercises the join's cross-batch state buffers
+      // on the gated path. Watermark safety is by construction — chunks
+      // are event-time ordered, so every batch-k+1 row is newer than all
+      // of batch k: a purchase can still match a ≤15-min-earlier click
+      // because that click's c_ts sits ≥ watermark (maxTs(k) − 30 min),
+      // and the symmetric boundary case (click equal to a prior batch's
+      // purchase ts) finds the purchase still buffered for the same
+      // reason. Inner-join rows emit exactly once when the match forms,
+      // so no multi-batch dedup is needed.
       val name = s"ssj_out_${java.lang.Long.toHexString(System.nanoTime)}"
-      val ev = eventsStream(s, d)
+      val ev = graft.core.Tables.eventsStreamChunked(s, d, chunks = 3)
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
         .withWatermark("c_ts", "30 minutes")
@@ -128,6 +138,10 @@ object TierD {
         .option("checkpointLocation", scratchDir("graft_ssj_ckpt"))
         .start()
       q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 2,
+        s"multi-batch contract violated: $batches data batch(es) ran — " +
+          "the cross-batch join buffers were not exercised")
       // compact per-user attribution report over the joined pairs
       s.table(name)
         .groupBy(col("c_user").as("user_id"))
@@ -162,10 +176,9 @@ object TierD {
     // (graft.streaming.SessionAssembly): the variable-rows-per-key stateful
     // API — one emitted row per closed session — that mapGroupsWithState
     // (one row per key) and session_window (aggregate-only) can't express.
-    // 30-min gap in epoch-second longs, exact-decimal sums; under the
-    // AvailableNow one-batch harness the emitted sessions equal the batch
-    // sessionization, which is the DuckDB oracle (the stream_stream_join
-    // single-batch caveat, documented on the operator).
+    // 30-min gap in epoch-second longs, exact-decimal sums; the
+    // multi-batch reduction below recovers the batch sessionization,
+    // which is the DuckDB oracle.
     "stream_sessionize_flatmap" -> ((s, d) => withFewStatePartitions(s) {
       // THREE real micro-batches (r10 verdict #2): the events fixture is
       // staged as 3 event-time-ordered files and maxFilesPerTrigger=1
