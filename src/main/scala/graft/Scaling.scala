@@ -56,7 +56,8 @@ object Scaling {
     Q("dedup_near_jaccard", 64), Q("dedup_ngram_jaccard", 64),
     Q("dedup_clusters", 64),
     Q("dedup_exact_text", 64), Q("dedup_minhash_lsh", 64),
-    Q("dedup_minhash_banded", 64), Q("dedup_containment", 64))
+    Q("dedup_minhash_banded", 64), Q("dedup_containment", 64),
+    Q("multimodal_dedup_bytes", 64), Q("multimodal_dedup_phash", 64))
 
   /** embeddings+events-family study (base sf0.1 — 2000 vecs / 100k events
     * ⇒ 128000 / 6.4M at 64×). The exact per-label pair operator is capped

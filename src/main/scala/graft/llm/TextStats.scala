@@ -852,6 +852,68 @@ object TextStats {
         .select(col("keeper"), col("h"), col("n_copies"),
           ((col("n_copies") - 1) * col("n_bytes")).as("bytes_saved"))
         .orderBy("keeper")
+    }),
+    // Perceptual-hash near-dup dedup over the staged payloads (round 11) —
+    // the SECOND pass of multimodal dedup, after multimodal_dedup_bytes
+    // removes byte-exact copies: re-encoded / slightly-corrupted files
+    // share most local content but no bytes, so they're caught by a
+    // locality-sensitive fingerprint compared under Hamming distance.
+    // The fingerprint is a 48-bit SimHash over payload byte 4-grams with
+    // md5 gram hashes (the dedup_minhash_banded discipline: md5 makes
+    // every intermediate a cross-engine-reproducible function of the
+    // bytes; the xxhash64 simhash64 kernel stays the fast path for the
+    // engine-local dedup_simhash key). Pairing is EXACT by pigeonhole
+    // banding — 3 disjoint 16-bit bands: two hashes within Hamming
+    // distance 2 differ in ≤2 bands, so they MATCH exactly in ≥1 band;
+    // candidates are band-equality join hits only, verified by
+    // bit_count(xor) ≤ 2. Unlike sign-LSH this loses NOTHING — the band
+    // join is a complete cover of the ≤2-ball. 100 TB shape: only
+    // (doc_id, band, band_value) rows shuffle for candidates (id pairs
+    // come back for one hash re-join), and the scale lever is CODE WIDTH,
+    // not recall: wider fingerprints (e.g. 256-bit, 64-bit bands) keep
+    // bucket occupancy flat as the corpus grows — the multi-index-hashing
+    // layout. Verdict output (keeper = smallest close earlier doc) keeps
+    // rows linear in docs however large a near-dup cluster is.
+    "multimodal_dedup_phash" -> ((s, d) => {
+      val W = 48; val bandBits = 16; val nBands = 3; val maxDist = 2
+      val pay = documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 64).as("p"))
+      // one row per byte 4-gram; gh = first 12 md5 hex digits as a long
+      val grams = pay.select(col("doc_id"),
+          explode(transform(
+            sequence(lit(1), greatest(length(col("p")) - 3, lit(1))),
+            i => substring(col("p"), i, lit(4)))).as("g"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("g")), 1, 12), 16, 10).cast("long").as("gh"))
+      // per-bit ±1 majority votes: ONE map-side-combinable groupBy(doc)
+      val votes = grams.groupBy("doc_id").agg(
+        sum(when(shiftright(col("gh"), 0).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1)).as("v0"),
+        (1 until W).map(b =>
+          sum(when(shiftright(col("gh"), b).bitwiseAND(lit(1L)) === 1L, 1)
+            .otherwise(-1)).as(s"v$b")): _*)
+      val phash = votes.select(col("doc_id"),
+        (0 until W).map(b =>
+          when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("ph"))
+      // pigeonhole bands; candidates are skinny (band, value, id) rows
+      val banded = phash.select(col("doc_id"),
+        explode(array((0 until nBands).map(k =>
+          struct(lit(k).as("band"),
+            shiftright(col("ph"), k * bandBits)
+              .bitwiseAND(lit((1L << bandBits) - 1)).as("bv"))): _*)).as("e"))
+        .select(col("doc_id"), col("e.band"), col("e.bv"))
+      val cand = banded.as("x").join(banded.as("y"), Seq("band", "bv"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      val pa = phash.select(col("doc_id").as("d1"), col("ph").as("ph1"))
+      val pb = phash.select(col("doc_id").as("d2"), col("ph").as("ph2"))
+      cand.join(pa, "d1").join(pb, "d2")
+        .filter(bit_count(col("ph1").bitwiseXOR(col("ph2"))) <= maxDist)
+        .groupBy(col("d2").as("doc_id"))
+        .agg(min(col("d1")).as("keeper"), count(lit(1)).as("n_close"))
+        .orderBy("doc_id")
     })
   )
 
@@ -899,6 +961,46 @@ object TextStats {
         |SELECT MIN(doc_id) AS keeper, h, COUNT(*) AS n_copies,
         |       (COUNT(*) - 1) * MAX(n_bytes) AS bytes_saved
         |FROM m GROUP BY h ORDER BY keeper""".stripMargin,
+    // The phash recurrence is replayed md5-for-md5 (the dedup_minhash_banded
+    // caveat: no independent minwise/majority construction exists), but the
+    // PAIRING is genuinely independent: brute-force all-pairs Hamming —
+    // no bands, no pigeonhole — so the gate proves the banded cover finds
+    // exactly the <=2-ball the quadratic scan finds.
+    "multimodal_dedup_phash" -> {
+      // ((...(d1*16+d2)*16...)+d12): the 12-hex-digit fold of md5(g),
+      // matching Spark's conv(substring(md5(g),1,12),16,10)
+      def hexDigit(i: Int) =
+        s"(CASE WHEN ord(hx[$i:$i]) >= 97 THEN ord(hx[$i:$i]) - 87 " +
+          s"ELSE ord(hx[$i:$i]) - 48 END)"
+      // seed the fold in BIGINT — 12 hex digits overflow INT32 arithmetic
+      val fold = (2 to 12).foldLeft(s"CAST(${hexDigit(1)} AS BIGINT)")(
+        (acc, i) => s"($acc * 16 + ${hexDigit(i)})")
+      s"""WITH pay AS (SELECT doc_id, text[1:64] AS p FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, greatest(length(p) - 3, 1) + 1),
+         |                               i -> p[i:i+3])) AS g
+         |  FROM pay),
+         |gh AS (
+         |  SELECT doc_id, CAST($fold AS BIGINT) AS gh
+         |  FROM (SELECT doc_id, md5(g) AS hx FROM g)),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |         SUM(CASE WHEN (gh >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM gh CROSS JOIN (SELECT unnest(range(0, 48)) AS b) bb
+         |  GROUP BY doc_id, b),
+         |ph AS (
+         |  SELECT doc_id,
+         |         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+         |                       ELSE 0 END) AS BIGINT) AS ph
+         |  FROM bits GROUP BY doc_id),
+         |close_pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.ph, b.ph)) <= 2)
+         |SELECT d2 AS doc_id, MIN(d1) AS keeper, COUNT(*) AS n_close
+         |FROM close_pairs GROUP BY d2 ORDER BY doc_id""".stripMargin
+    },
     "text_tokens_bpe" ->
       """SELECT doc_id,
         |       CAST(len(str_split(text, ' ')) AS INT) AS ws_tokens,
