@@ -421,6 +421,40 @@ object Similarity {
         .select("rn", "vec_id")
         .orderBy("rn")
     }),
+    // Multi-probe IVF (round 11) — the recall/latency knob every IVF
+    // deployment tunes: the probe searches its nprobe=2 NEAREST cells
+    // instead of only its own. Single-probe misses any neighbour that
+    // straddles a Voronoi boundary (assigned to the probe's second-best
+    // cell); nprobe trades a linear factor in scanned cells (nprobe/K of
+    // the corpus) for exactly that recall. Same deterministic scaffolding
+    // as knn_ivf_coarse: 4dp-quantized assignment scores with c_id
+    // tiebreaks, so the nprobe cell SET (arn <= 2) is a pure fixture
+    // function in both engines; candidate scan stays cell-partitioned, the
+    // probe's cell list and query vector ride as one-row broadcasts.
+    "knn_ivf_multiprobe" -> ((s, d) => {
+      val unit = withUnitVec(embeddings(s, d), "embedding", "uv")
+      val cent = unit.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("uv").as("c_v"))
+      val wAssign = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("c_id"))
+      val ranked = unit.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("uv"),
+          round(dotD(col("uv"), col("c_v")), 4).as("csim"), col("c_id"))
+        .withColumn("arn", row_number().over(wAssign))
+      val clustered = ranked.filter(col("arn") === 1)
+        .select(col("vec_id"), col("uv"), col("c_id").as("cell"))
+      val probeCells = ranked.filter(col("vec_id") === 0 && col("arn") <= 2)
+        .select(col("c_id").as("cell"))
+      val qv = unit.filter(col("vec_id") === 0).select(col("uv").as("qv"))
+      val sims = clustered.join(broadcast(probeCells), Seq("cell"))
+        .crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), round(dotD(col("uv"), col("qv")), 4).as("sim"))
+      val w = Window.orderBy(desc("sim"), asc("vec_id"))
+      sims.orderBy(desc("sim"), asc("vec_id")).limit(10)
+        .withColumn("rn", row_number().over(w))
+        .select("rn", "vec_id")
+        .orderBy("rn")
+    }),
     // Quantized retrieval — the production serving path embed_quantize
     // (below) prepares for: top-k by INTEGER dot product over int8
     // vectors. One GLOBAL symmetric scale (corpus max-abs, a 1-row
@@ -794,6 +828,35 @@ object Similarity {
         |  JOIN clustered c ON e.vec_id = c.vec_id
         |  WHERE c.cell = (SELECT cell FROM clustered WHERE vec_id = 0)
         |    AND e.vec_id <> 0)
+        |SELECT rn, vec_id FROM (
+        |  SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rn
+        |  FROM sims) t
+        |WHERE rn <= 10 ORDER BY rn""".stripMargin,
+    // same assignment replay as knn_ivf_coarse; the probe's cell set is
+    // the arn <= 2 ranking instead of arn = 1
+    "knn_ivf_multiprobe" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS c_id, embedding AS c_v FROM embeddings WHERE vec_id < 8),
+        |assigned AS (
+        |  SELECT e.vec_id, c.c_id,
+        |         round(list_cosine_similarity(e.embedding, c.c_v), 4) AS csim
+        |  FROM embeddings e CROSS JOIN cent c),
+        |ranked AS (
+        |  SELECT vec_id, c_id,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS arn
+        |  FROM assigned),
+        |clustered AS (
+        |  SELECT vec_id, c_id AS cell FROM ranked WHERE arn = 1),
+        |pcells AS (
+        |  SELECT c_id AS cell FROM ranked WHERE vec_id = 0 AND arn <= 2),
+        |sims AS (
+        |  SELECT e.vec_id,
+        |         round(list_cosine_similarity(e.embedding,
+        |           (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS sim
+        |  FROM embeddings e
+        |  JOIN clustered c ON e.vec_id = c.vec_id
+        |  JOIN pcells p ON c.cell = p.cell
+        |  WHERE e.vec_id <> 0)
         |SELECT rn, vec_id FROM (
         |  SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rn
         |  FROM sims) t
