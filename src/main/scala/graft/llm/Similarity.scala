@@ -442,11 +442,11 @@ object Similarity {
         .withColumn("arn", row_number().over(wAssign))
       val clustered = ranked.filter(col("arn") === 1)
         .select(col("vec_id"), col("uv"), col("c_id").as("cell"))
-      val probeCells = ranked.filter(col("vec_id") === 0 && col("arn") <= 2)
-        .select(col("c_id").as("cell"))
-      val qv = unit.filter(col("vec_id") === 0).select(col("uv").as("qv"))
-      val sims = clustered.join(broadcast(probeCells), Seq("cell"))
-        .crossJoin(broadcast(qv))
+      // the query vector rides the 2-row (cell, qv) broadcast through the
+      // cell EQUI-join (the knn_ivf_coarse shape) — no nested-loop join
+      val probe = ranked.filter(col("vec_id") === 0 && col("arn") <= 2)
+        .select(col("c_id").as("cell"), col("uv").as("qv"))
+      val sims = clustered.join(broadcast(probe), Seq("cell"))
         .filter(col("vec_id") =!= 0)
         .select(col("vec_id"), round(dotD(col("uv"), col("qv")), 4).as("sim"))
       val w = Window.orderBy(desc("sim"), asc("vec_id"))

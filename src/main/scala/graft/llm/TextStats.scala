@@ -896,23 +896,10 @@ object TextStats {
         (0 until W).map(b =>
           when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
           .reduce(_ + _).as("ph"))
-      // pigeonhole bands; candidates are skinny (band, value, id) rows
-      val banded = phash.select(col("doc_id"),
-        explode(array((0 until nBands).map(k =>
-          struct(lit(k).as("band"),
-            shiftright(col("ph"), k * bandBits)
-              .bitwiseAND(lit((1L << bandBits) - 1)).as("bv"))): _*)).as("e"))
-        .select(col("doc_id"), col("e.band"), col("e.bv"))
-      val cand = banded.as("x").join(banded.as("y"), Seq("band", "bv"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        .distinct()
-      val pa = phash.select(col("doc_id").as("d1"), col("ph").as("ph1"))
-      val pb = phash.select(col("doc_id").as("d2"), col("ph").as("ph2"))
-      cand.join(pa, "d1").join(pb, "d2")
-        .filter(bit_count(col("ph1").bitwiseXOR(col("ph2"))) <= maxDist)
-        .groupBy(col("d2").as("doc_id"))
-        .agg(min(col("d1")).as("keeper"), count(lit(1)).as("n_close"))
+      // exact pigeonhole pairing — operators.HammingBanding (planted
+      // completeness/exclusion fuzz in HammingBandingSpec)
+      graft.operators.HammingBanding
+        .closeVerdicts(phash, "doc_id", "ph", bandBits, nBands, maxDist)
         .orderBy("doc_id")
     })
   )

@@ -477,6 +477,8 @@ class PlanSpec extends SparkSpec {
     // Lloyd iteration — the linear broadcast-pass shape, not a pair
     // explosion
     val intended = Set("join_cross_theta", "knn_cosine_topk", "knn_ivf_coarse",
+      // r11: multiprobe shares coarse-IVF's broadcast N×K assignment pass
+      "knn_ivf_multiprobe",
       "tfidf_topk", "kmeans_lloyd", "zscore_outliers", "negative_pairs",
       "ivf_index_build", "anomaly_mad", "corpus_mix_rebalance",
       "knn_quantized_topk",
