@@ -57,7 +57,8 @@ object Scaling {
     Q("dedup_clusters", 64),
     Q("dedup_exact_text", 64), Q("dedup_minhash_lsh", 64),
     Q("dedup_minhash_banded", 64), Q("dedup_containment", 64),
-    Q("multimodal_dedup_bytes", 64), Q("multimodal_dedup_phash", 64))
+    Q("multimodal_dedup_bytes", 64), Q("multimodal_dedup_phash", 64),
+    Q("dedup_substring_window", 64))
 
   /** embeddings+events-family study (base sf0.1 — 2000 vecs / 100k events
     * ⇒ 128000 / 6.4M at 64×). The exact per-label pair operator is capped
@@ -65,7 +66,8 @@ object Scaling {
   private val EmbQueries = Seq(
     Q("dedup_embedding_cosine", 16), Q("knn_pairs_label", 64),
     Q("dedup_embedding_ann", 64), Q("knn_pairs_label_ann", 64),
-    Q("knn_radius_quantized", 64), Q("knn_quantized_topk", 64))
+    Q("knn_radius_quantized", 64), Q("knn_quantized_topk", 64),
+    Q("knn_ivf_multiprobe", 64))
 
   private val GraphQueries = Seq(
     Q("graph_bfs_reach", 64), Q("graph_communities_lpa", 64),

@@ -563,6 +563,25 @@ class PlanSpec extends SparkSpec {
       s"prefix rank filter does not precede the postings join:\n$lp")
   }
 
+  test("r11: phash dedup — no fingerprint rides the band candidate join") {
+    // HammingBanding's scale contract: candidate generation joins on
+    // (band, bv) with ids only — the fingerprint re-joins by id AFTER the
+    // (d1, d2) distinct, so the wide shuffle carries two longs per row,
+    // never the fingerprint alongside every banded replica (the
+    // dedup_containment id-pairs discipline).
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val lp = SparkEntryPlan("multimodal_dedup_phash")
+      .queryExecution.optimizedPlan
+    val bandJoins = lp.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "bv")) => j
+    }
+    assert(bandJoins.nonEmpty, s"no band-bucket candidate join in:\n$lp")
+    bandJoins.foreach { j =>
+      assert(!j.output.exists(_.name == "hb_ph"),
+        s"fingerprint rides the candidate join:\n$j")
+    }
+  }
+
   test("whole-stage codegen covers the flagship aggregate") {
     // AQE only materializes codegen spans in the final plan — execute first.
     val df = SparkEntryPlan("agg_groupby_having")
