@@ -128,19 +128,18 @@ object Tables {
       val part = java.nio.file.Paths.get(scratchDir("graft_events_part"))
       chunked.filter(col("graft_chunk") === i).drop("graft_chunk")
         .coalesce(1).write.mode("overwrite").parquet(part.toString)
-      val file = java.nio.file.Files.list(part).iterator()
+      val listing = java.nio.file.Files.list(part)
+      val partFile =
+        try {
+          import scala.jdk.CollectionConverters._
+          listing.iterator().asScala
+            .find(_.toString.endsWith(".parquet"))
+        } finally listing.close() // close the directory-stream fd
+      require(partFile.isDefined, s"no parquet part written for chunk $i")
       val target = dir.resolve(f"chunk_$i%02d.parquet")
-      var moved = false
-      while (file.hasNext && !moved) {
-        val f = file.next()
-        if (f.toString.endsWith(".parquet")) {
-          java.nio.file.Files.move(f, target)
-          java.nio.file.Files.setLastModifiedTime(target,
-            java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
-          moved = true
-        }
-      }
-      require(moved, s"no parquet part written for chunk $i")
+      java.nio.file.Files.move(partFile.get, target)
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
     }
     val schema = s.read.parquet(dir.toString).schema
     s.readStream.schema(schema).option("maxFilesPerTrigger", "1")

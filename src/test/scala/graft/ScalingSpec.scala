@@ -77,4 +77,28 @@ class ScalingSpec extends SparkSpec {
     // each is a true bijection of the alphabet
     perms.foreach(p => assert(p.sorted == "abcdefghijklmnopqrstuvwxyz", p))
   }
+
+  test("no multi-letter fixture token survives any bijection pair intact") {
+    // the content-disjointness premise of every curve (alphaPerm scaladoc):
+    // distinct bijections may agree on up to 4 letters (reflection/
+    // derangement families), so check the property that actually matters
+    // against the REAL vocabulary — a token collides across copies i,j
+    // iff every one of its letters lies in the i-vs-j agreement set. Only
+    // the single-letter token "a" is permitted to (documented-harmless).
+    import spark.implicits._
+    val vocab = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) >= 2)
+      .distinct().as[String].collect()
+    assert(vocab.nonEmpty, "fixture vocabulary unexpectedly empty")
+    val perms = (0 until 78).map(Scaling.alphaPerm)
+    val offenders = for {
+      i <- 0 until 78; j <- (i + 1) until 78
+      agree = (0 until 26).filter(c => perms(i)(c) == perms(j)(c))
+        .map(c => ('a' + c).toChar).toSet
+      t <- vocab if t.forall(agree)
+    } yield (i, j, t)
+    assert(offenders.isEmpty,
+      s"tokens collide across copies: ${offenders.take(10)}")
+  }
 }
