@@ -58,18 +58,29 @@ object Scaling {
     Q("dedup_exact_text", 64), Q("dedup_minhash_lsh", 64),
     Q("dedup_minhash_banded", 64), Q("dedup_containment", 64),
     Q("multimodal_dedup_bytes", 64), Q("multimodal_dedup_phash", 64),
-    Q("dedup_substring_window", 64))
+    Q("dedup_substring_window", 64),
+    // round-11 additions: the two-stage LSH→verify dedup (star candidates —
+    // must track the linear banded sibling, not the pair family), the
+    // novelty profile (digest-only first-occurrence), and the source-pair
+    // overlap matrix (distinct-first, posting-bounded self-join)
+    Q("dedup_minhash_verified", 64), Q("dedup_ngram_novelty", 64),
+    Q("corpus_overlap_ngram", 64))
 
   /** embeddings+events-family study (base sf0.1 — 2000 vecs / 100k events
     * ⇒ 128000 / 6.4M at 64×). The exact per-label pair operator is capped
     * at 16× (its measured point IS the quadratic blow-up: ~100M pairs). */
   private val EmbQueries = Seq(
     Q("dedup_embedding_cosine", 16), Q("knn_pairs_label", 64),
+    // round 11: the SemDeDup cell-blocked exact reference — expected to
+    // track its label-blocked sibling's quadratic-in-block curve (16 cap)
+    Q("dedup_semantic_cells", 16),
     Q("dedup_embedding_ann", 64), Q("knn_pairs_label_ann", 64),
     Q("knn_radius_quantized", 64), Q("knn_quantized_topk", 64),
     Q("knn_ivf_multiprobe", 64))
 
   private val GraphQueries = Seq(
+    // round 11: bounded-round peel — per-round O(|E|) like LPA
+    Q("graph_kcore_peel", 64),
     Q("graph_bfs_reach", 64), Q("graph_communities_lpa", 64),
     Q("graph_triangles", 64), Q("graph_degree_stats", 64),
     Q("pagerank_clicks", 64))

@@ -259,6 +259,30 @@ object Similarity {
           .cast("long").as("score"))
   }
 
+  /** Body of `knn_mutual_pairs` on any (vec_id, uv, label) frame — factored
+    * so LlmSpec can plant a hub geometry and assert the mutual filter kills
+    * the non-reciprocated hub edges. Top-1 per vector within its label by
+    * (4dp-quantized sim DESC, b_id ASC), then the reciprocity self-join on
+    * the reversed key. Unordered; the query entry adds the total order. */
+  private[llm] def mutualNearestPairs(unit: DataFrame): DataFrame = {
+    val aSide = unit.select(col("vec_id").as("a_id"), col("uv").as("a_v"),
+      col("label"))
+    val bSide = unit.select(col("vec_id").as("b_id"), col("uv").as("b_v"),
+      col("label"))
+    val pairs = aSide.join(bSide, Seq("label"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("label"), col("a_id"), col("b_id"),
+        round(dotD(col("a_v"), col("b_v")), 4).as("sim"))
+    val w = Window.partitionBy("a_id").orderBy(desc("sim"), asc("b_id"))
+    val nn = pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("a_id", "b_id", "label")
+    val rev = nn.select(col("b_id").as("a_id"), col("a_id").as("b_id"))
+    nn.join(rev, Seq("a_id", "b_id"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "label")
+  }
+
   private def lloydTrain(s: SparkSession, d: String,
       k: Int = 8, iters: Int = 2): (DataFrame, DataFrame) = {
     val unit = embeddings(s, d)
@@ -378,6 +402,51 @@ object Similarity {
       embeddingCosineDedupAnn(embeddings(s, d), threshold = 0.3498,
         bandBits = Some(annBandBits.computeIfAbsent(d, _ =>
           Integer.valueOf(adaptiveBandBits(embeddings(s, d))))))),
+    // SEMANTIC-cell dedup (round 11) — the SemDeDup shape (Abbas et al.
+    // 2023): cluster the embedding space into K cells, then dedup
+    // within each cell by cosine — the unsupervised sibling of
+    // dedup_embedding_cosine (label blocking needs labels; k-means cells
+    // are what production uses when there are none). Cells here are the
+    // deterministic IVF assignment (knn_ivf_coarse's 8 seed centroids,
+    // 4dp-quantized csim with c_id tiebreak — a pure fixture function in
+    // both engines); within-cell pairs go through the SAME adaptive-salt
+    // grid as the label-blocked exact op (hot cell fans out by its
+    // measured size, singleton cells never shuffle a vector). Threshold
+    // 0.4458 sits mid-gap in the within-cell pair-cosine distribution
+    // at every SF (measured: no raw pair cosine within ~1e-3 at
+    // sf0.001/0.01/0.1 — ~1000× the cross-construction float noise), so
+    // the verdict set is hash-stable despite float similarity math.
+    // 100 TB: assignment is one broadcast N×K pass; the cell is the
+    // partition key; verdicts stay linear in vectors. The quadratic-in-
+    // cell pair term is the documented exact-reference cost — production
+    // composes the ANN candidate generators inside each cell, exactly as
+    // the label-blocked family does.
+    "dedup_semantic_cells" -> ((s, d) => {
+      val unit = withUnitVec(embeddings(s, d), "embedding", "uv")
+      val cent = unit.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("uv").as("c_v"))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(desc("csim"), asc("c_id"))
+      val clustered = unit.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("uv"),
+          round(dotD(col("uv"), col("c_v")), 4).as("csim"), col("c_id"))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("uv"), col("c_id").as("cell"))
+      val blocked = Dedup.withAdaptiveSalt(clustered, Seq("cell"))
+      val a = blocked.select(col("vec_id").as("a_id"), col("uv").as("a_v"),
+          col("cell"), col("bg"))
+        .withColumn("g", explode(sequence(lit(0), col("bg") - 1)))
+        .drop("bg")
+      val b = blocked.select(col("vec_id").as("b_id"), col("uv").as("b_v"),
+        col("cell"),
+        pmod(xxhash64(col("vec_id")), col("bg")).cast("int").as("g"))
+      a.join(b, Seq("cell", "g")).filter(col("b_id") < col("a_id"))
+        .filter(dotD(col("a_v"), col("b_v")) > 0.4458)
+        .groupBy(col("a_id").as("vec_id"))
+        .agg(min(col("b_id")).as("keeper"))
+        .orderBy("vec_id")
+    }),
     // Approximate variant of knn_pairs_label: nearest same-label neighbour
     // per probe, candidates from same-(label, band bucket) collisions only.
     // The per-label pair space never materializes — the candidate join is
@@ -406,6 +475,27 @@ object Similarity {
         .select("a_id", "b_id", "label")
         .orderBy("a_id")
     }),
+    // MUTUAL (reciprocal) nearest-neighbour pairs (round 11): a ↔ b where
+    // each is the other's top-1 within their label — the conservative
+    // pairing clustering/dedup stacks use when a one-directional top-1 is
+    // too loose (a hub vector is top-1 FOR thousands of rows but
+    // reciprocates at most one; the mutual filter kills hub edges, which
+    // is exactly why agglomerative/RNN-descent pipelines start from it).
+    // Same 200-probe bound and 4dp-quantized-sim discipline as
+    // knn_pairs_label, both sides restricted so reciprocity is decidable
+    // inside the query. A reciprocal pair always exists under the
+    // (sim DESC, b_id ASC) total order: on any top-1 cycle all sims are
+    // equal, so every member's tie-break points at the cycle's smallest
+    // id, collapsing it to a 2-cycle. 100 TB shape: the mutual filter is
+    // a self-join of the (a_id → b_id) top-1 table on the REVERSED key —
+    // linear in vectors, one hash shuffle; the pair space stays bounded
+    // by the label blocking (production swaps it for IVF/LSH candidates,
+    // the knn_pairs_label_ann path, without touching the mutual step).
+    "knn_mutual_pairs" -> ((s, d) =>
+      mutualNearestPairs(
+        withUnitVec(embeddings(s, d), "embedding", "uv")
+          .filter(col("vec_id") < 200))
+        .orderBy("a_id")),
     // IVF-style coarse-quantized ANN (the other builder-mandated scale path
     // besides LSH): K seed centroids (a production build would k-means; seeds
     // keep it deterministic), every vector assigned to its nearest centroid —
@@ -657,11 +747,50 @@ object Similarity {
         |         row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rn
         |  FROM pairs) t
         |WHERE rn = 1 ORDER BY a_id""".stripMargin,
+    // the top-1 table is the knn_pairs_label construction with both sides
+    // probe-bounded; the mutual filter is a self-join on the reversed key
+    "knn_mutual_pairs" ->
+      """WITH pairs AS (
+        |  SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+        |         round(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 200 AND b.vec_id < 200),
+        |nn AS (
+        |  SELECT a_id, b_id, label FROM (
+        |    SELECT a_id, b_id, label,
+        |           row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rn
+        |    FROM pairs) t
+        |  WHERE rn = 1)
+        |SELECT x.a_id, x.b_id, x.label
+        |FROM nn x JOIN nn y ON x.a_id = y.b_id AND x.b_id = y.a_id
+        |WHERE x.a_id < x.b_id
+        |ORDER BY x.a_id""".stripMargin,
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id, MIN(b.vec_id) AS keeper
         |FROM embeddings a JOIN embeddings b
         |  ON a.label = b.label AND b.vec_id < a.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.3498
+        |GROUP BY a.vec_id ORDER BY a.vec_id""".stripMargin,
+    // the assignment replays knn_ivf_coarse's deterministic ranking; the
+    // within-cell dedup is the dedup_embedding_cosine construction with
+    // the cell in place of the label
+    "dedup_semantic_cells" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS c_id, embedding AS c_v
+        |  FROM embeddings WHERE vec_id < 8),
+        |assign AS (
+        |  SELECT vec_id, embedding, c_id,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY round(list_cosine_similarity(embedding, c_v), 4)
+        |                    DESC, c_id) AS arn
+        |  FROM embeddings CROSS JOIN cent),
+        |cl AS (
+        |  SELECT vec_id, embedding, c_id AS cell
+        |  FROM assign WHERE arn = 1)
+        |SELECT a.vec_id, MIN(b.vec_id) AS keeper
+        |FROM cl a JOIN cl b ON a.cell = b.cell AND b.vec_id < a.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.4458
         |GROUP BY a.vec_id ORDER BY a.vec_id""".stripMargin,
     // every score is an exact integer, so list_dot_product over the
     // integer-valued quantized lists agrees bit-for-bit

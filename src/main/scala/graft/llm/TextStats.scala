@@ -901,6 +901,39 @@ object TextStats {
       graft.operators.HammingBanding
         .closeVerdicts(phash, "doc_id", "ph", bandBits, nBands, maxDist)
         .orderBy("doc_id")
+    }),
+    // CROSS-CORPUS overlap matrix (round 11): distinct-word-3-gram Jaccard
+    // between every pair of sources — the dataset-level contamination /
+    // redundancy measurement run before mixing corpora (is source X
+    // largely a re-crawl of source Y?). Distinct from text_decontaminate
+    // (docs vs a small broadcast benchmark set) and the dedup family
+    // (doc-granular verdicts): this is source-granular, all-pairs over a
+    // HANDFUL of sources. 100 TB shape: the expensive step collapses the
+    // corpus to DISTINCT (source, gram-hash) rows — grams travel as 64-bit
+    // hashes from the fused native pass, text never shuffles; everything
+    // after is |distinct grams| × |sources|-bounded: the pair counts come
+    // from a self-equi-join on the hash (each posting meets only its own
+    // bucket, ≤ |sources| rows) and the per-source totals are a
+    // vocabulary-sized broadcast. jaccard_q6 is exact integer fixed point.
+    "corpus_overlap_ngram" -> ((s, d) => {
+      val grams = documents(s, d).select(col("source"),
+          explode(graft.functions.TokenNgramHashes.token_ngram_hashes(
+            Dedup.tokenHashes(tokens(col("text"))), 3)).as("g"))
+        .distinct()
+      val counts = grams.groupBy("source").agg(count(lit(1)).as("n"))
+      val a = grams.select(col("source").as("src_a"), col("g"))
+      val b = grams.select(col("source").as("src_b"), col("g"))
+      val common = a.join(b, "g").filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_common"))
+      common
+        .join(broadcast(counts.select(col("source").as("src_a"),
+          col("n").as("n_a"))), "src_a")
+        .join(broadcast(counts.select(col("source").as("src_b"),
+          col("n").as("n_b"))), "src_b")
+        .withColumn("jaccard_q6",
+          expr("n_common * 1000000 DIV (n_a + n_b - n_common)"))
+        .select("src_a", "src_b", "n_common", "n_a", "n_b", "jaccard_q6")
+        .orderBy("src_a", "src_b")
     })
   )
 
@@ -1581,6 +1614,29 @@ object TextStats {
         |        list_transform(range(length(text), 0, -1), i -> ord(text[i:i])::HUGEINT)),
         |      (acc, x) -> (acc * 31 + x) % 18446744073709551616::HUGEINT) AS m
         |  FROM documents) t
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // independent construction over PLAIN string word-3-grams (no hashing);
+    // the sub-3-token clamp mirrors the kernel's max(len-n+1, 1) fallback
+    // (same slice-clamp idiom as the text_decontaminate oracle); counts
+    // agree absent a 64-bit collision; // matches DIV on non-negatives
+    "corpus_overlap_ngram" ->
+      """WITH toks AS (
+        |  SELECT source, str_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT DISTINCT source,
+        |         unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+        |                               i -> array_to_string(t[i:i+2], ' '))) AS gram
+        |  FROM toks),
+        |c AS (SELECT source, COUNT(*) AS n FROM g GROUP BY source),
+        |common AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_common, ca.n AS n_a, cb.n AS n_b,
+        |       n_common * 1000000 // (ca.n + cb.n - n_common) AS jaccard_q6
+        |FROM common
+        |JOIN c ca ON ca.source = src_a
+        |JOIN c cb ON cb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin
   )
 }

@@ -1849,6 +1849,57 @@ object TierCWindow {
         .agg(count(lit(1)).as("n_nodes"),
           min(col("node")).as("min_node"), max(col("node")).as("max_node"))
         .orderBy("d")
+    }),
+    // k-CORE peel profile (round 11): 3 fixed synchronous peel rounds —
+    // each round drops every node whose degree in the SURVIVING subgraph
+    // is below k, reporting per page the round it was peeled in (1-3;
+    // 0 = still in the round-3 residual) plus its residual degree. The
+    // density/cohesion profile community pipelines threshold on (LPA
+    // labels say WHICH community; the core number says how deeply
+    // embedded a node is). k is DENSITY-RELATIVE — floor of the exact
+    // average degree, 2|E| DIV |V|, an integer-exact 1-row scalar both
+    // engines compute identically — because no fixed k is meaningful
+    // across this fixture family's density range (min degree runs 2 →
+    // 91 from sf0.001 to sf0.1); at sf0.001 all four output branches
+    // are exercised (core of 22 survives), at denser SFs the
+    // above-average cut cascades the whole graph out in 2 rounds — a
+    // true property of those graphs. Fixed rounds, not convergence, by
+    // the LPA precedent (bounded unrollable recurrence ⇒ the DuckDB
+    // oracle is an independent unrolled CTE chain, not a loop replay).
+    // 100 TB shape: each round is one map-side-combinable degree agg +
+    // two semi-joins on the edge list — O(|E|) per round, nothing wider
+    // than (node, deg) shuffles; k rides a 1-row broadcast;
+    // localCheckpoint cuts the per-round lineage like the other loop
+    // operators.
+    "graph_kcore_peel" -> ((s, d) => {
+      val und = ClickGraph.und(s, d).localCheckpoint()
+      val pg = ClickGraph.pages(s, d).localCheckpoint()
+      val kdf = und.agg(count(lit(1)).as("ne"))
+        .crossJoin(pg.agg(count(lit(1)).as("nv")))
+        .select(expr("2 * ne DIV nv").as("k"))
+      def deg(e: DataFrame) =
+        e.select(col("u").as("page")).unionAll(e.select(col("v").as("page")))
+          .groupBy("page").agg(count(lit(1)).as("dg"))
+      def alive(e: DataFrame) =
+        deg(e).crossJoin(broadcast(kdf)).filter(col("dg") >= col("k"))
+          .select("page").localCheckpoint()
+      def prune(e: DataFrame, a: DataFrame) =
+        e.join(a.select(col("page").as("u")), Seq("u"), "left_semi")
+          .join(a.select(col("page").as("v")), Seq("v"), "left_semi")
+          .select("u", "v").localCheckpoint()
+      val a1 = alive(und); val e1 = prune(und, a1)
+      val a2 = alive(e1); val e2 = prune(e1, a2)
+      val a3 = alive(e2); val e3 = prune(e2, a3)
+      val r1 = pg.join(a1, Seq("page"), "left_anti")
+        .select(col("page"), lit(1).as("removed_round"), lit(0L).as("core_deg"))
+      val r2 = a1.join(a2, Seq("page"), "left_anti")
+        .select(col("page"), lit(2).as("removed_round"), lit(0L).as("core_deg"))
+      val r3 = a2.join(a3, Seq("page"), "left_anti")
+        .select(col("page"), lit(3).as("removed_round"), lit(0L).as("core_deg"))
+      val core = a3.join(deg(e3), Seq("page"), "left")
+        .select(col("page"), lit(0).as("removed_round"),
+          coalesce(col("dg"), lit(0L)).as("core_deg"))
+      r1.unionByName(r2).unionByName(r3).unionByName(core).orderBy("page")
     })
   )
 
@@ -2262,7 +2313,48 @@ object TierCWindow {
         |        GROUP BY node)
         |SELECT d, COUNT(*) AS n_nodes,
         |       MIN(node) AS min_node, MAX(node) AS max_node
-        |FROM deg GROUP BY d ORDER BY d""".stripMargin
+        |FROM deg GROUP BY d ORDER BY d""".stripMargin,
+    // independent unrolled 3-round peel over the shared edge derivation;
+    // k = 2|E| // |V| exact-integer, same scalar the Spark side broadcasts
+    "graph_kcore_peel" ->
+      s"""WITH ${ClickGraph.OracleEv},
+        |${ClickGraph.OracleUnd},
+        |pg AS (SELECT DISTINCT page FROM ev),
+        |kk AS (SELECT (2 * (SELECT COUNT(*) FROM und))
+        |              // (SELECT COUNT(*) FROM pg) AS k),
+        |d1 AS (SELECT node, COUNT(*) AS dg FROM (
+        |         SELECT u AS node FROM und UNION ALL SELECT v FROM und) t
+        |       GROUP BY node),
+        |a1 AS (SELECT node FROM d1, kk WHERE dg >= k),
+        |e1 AS (SELECT u, v FROM und WHERE u IN (SELECT node FROM a1)
+        |                              AND v IN (SELECT node FROM a1)),
+        |d2 AS (SELECT node, COUNT(*) AS dg FROM (
+        |         SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1) t
+        |       GROUP BY node),
+        |a2 AS (SELECT node FROM d2, kk WHERE dg >= k),
+        |e2 AS (SELECT u, v FROM e1 WHERE u IN (SELECT node FROM a2)
+        |                             AND v IN (SELECT node FROM a2)),
+        |d3 AS (SELECT node, COUNT(*) AS dg FROM (
+        |         SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2) t
+        |       GROUP BY node),
+        |a3 AS (SELECT node FROM d3, kk WHERE dg >= k),
+        |e3 AS (SELECT u, v FROM e2 WHERE u IN (SELECT node FROM a3)
+        |                             AND v IN (SELECT node FROM a3)),
+        |dc AS (SELECT node, COUNT(*) AS dg FROM (
+        |         SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3) t
+        |       GROUP BY node),
+        |res AS (
+        |  SELECT page, 1 AS removed_round, 0 AS core_deg
+        |  FROM pg WHERE page NOT IN (SELECT node FROM a1)
+        |  UNION ALL
+        |  SELECT node, 2, 0 FROM a1 WHERE node NOT IN (SELECT node FROM a2)
+        |  UNION ALL
+        |  SELECT node, 3, 0 FROM a2 WHERE node NOT IN (SELECT node FROM a3)
+        |  UNION ALL
+        |  SELECT a3.node, 0, coalesce(dc.dg, 0)
+        |  FROM a3 LEFT JOIN dc ON a3.node = dc.node)
+        |SELECT page, removed_round, CAST(core_deg AS BIGINT) AS core_deg
+        |FROM res ORDER BY page""".stripMargin
   )
 }
 

@@ -366,4 +366,52 @@ class LlmSpec extends SparkSpec {
     assert(row.getAs[scala.collection.Seq[Double]]("features").size == 8)
     assert(feats.select("doc_id").distinct().count() == 50)
   }
+
+  test("E3d: verified dedup rejects a planted LSH band-collision false positive") {
+    import spark.implicits._
+    // doc 2 keeps EXACTLY doc 1's band-0 argmin tokens (the token whose
+    // md5('i|'||tok) is smallest, for seeds 0..3), so band 0 collides BY
+    // CONSTRUCTION — the min over a subset equals the full min iff the
+    // argmin survives — while doc 2 holds only 6 of doc 1's 10 tokens:
+    // J = 0.6, below the 0.8 verify bar. This is the S-curve-tail false
+    // positive the two-stage operator exists to reject.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val toks = (0 until 10).map(i => s"w$i")
+    val keep = (0 until 4).map(i => toks.minBy(t => md5hex(s"$i|$t"))).toSet
+    val fillers = toks.filterNot(keep).take(6 - keep.size)
+    val d2 = toks.filter(t => keep(t) || fillers.contains(t))
+    assert(d2.size == 6)
+    val docs = Seq((1L, toks.mkString(" ")), (2L, d2.mkString(" ")))
+      .toDF("doc_id", "text")
+    // threshold 0/1 keeps every candidate: proves the pair IS an LSH
+    // candidate with the expected exact witness (non-vacuity)...
+    val cand = Dedup.minhashVerifiedPairs(docs, 0, 1).collect()
+    val fp = cand.find(r => r.getLong(0) == 2L && r.getLong(1) == 1L)
+    assert(fp.isDefined, s"planted pair must be an LSH candidate: ${cand.toSeq}")
+    assert(fp.get.getAs[Number]("inter").longValue == 6L)
+    assert(fp.get.getAs[Number]("uni").longValue == 10L)
+    // ...and the production threshold rejects it
+    assert(Dedup.minhashVerifiedPairs(docs).collect().isEmpty,
+      "J=0.6 candidate must fail exact verification at the 0.8 bar")
+  }
+
+  test("mutual-NN pairing keeps the reciprocated edge and kills hub edges") {
+    import spark.implicits._
+    // hub H on the x-axis, A at +10°, B at −20°: A→H (cos10° beats
+    // cos30° to B), B→H (cos20° beats cos30° to A), H→A (cos10° beats
+    // cos20°). H is top-1 FOR both, reciprocates only A — mutual must be
+    // exactly {(H,A)}; the one-directional top-1 table would keep the
+    // (B, H) hub edge the filter exists to kill.
+    val th1 = math.Pi / 18; val th2 = math.Pi / 9
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0), 0),
+      (2L, Seq(math.cos(th1), math.sin(th1)), 0),
+      (3L, Seq(math.cos(th2), -math.sin(th2)), 0))
+      .toDF("vec_id", "uv", "label")
+    val out = Similarity.mutualNearestPairs(vecs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L)), s"got $out")
+  }
 }

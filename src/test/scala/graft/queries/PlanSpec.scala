@@ -479,6 +479,9 @@ class PlanSpec extends SparkSpec {
     val intended = Set("join_cross_theta", "knn_cosine_topk", "knn_ivf_coarse",
       // r11: multiprobe shares coarse-IVF's broadcast N×K assignment pass
       "knn_ivf_multiprobe",
+      // r11: semantic-cell dedup runs the same broadcast 8-row centroid
+      // assignment pass; kcore crosses the 1-row density scalar k
+      "dedup_semantic_cells", "graph_kcore_peel",
       "tfidf_topk", "kmeans_lloyd", "zscore_outliers", "negative_pairs",
       "ivf_index_build", "anomaly_mad", "corpus_mix_rebalance",
       "knn_quantized_topk",
