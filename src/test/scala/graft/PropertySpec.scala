@@ -454,4 +454,104 @@ class PropertySpec extends SparkSpec {
     val hashes = strings.map(s => RollingHash.hashBytes(s.getBytes)).toSet
     assert(hashes.size == strings.size, "rolling hash collided on trivial corpus")
   }
+
+  test("minhash_array matches the composable per-seed xxhash64 form") {
+    // the kernel's documented contract: component i equals
+    // array_min(transform(hs, h -> xxhash64(h, i))) — a genuinely different
+    // evaluation path (catalyst lambda + builtin hash chain) over random
+    // arrays including null elements; one batched job (per-sample jobs are
+    // prohibitively slow — the CSV round-trip precedent)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val k = 8
+    val rnd = new scala.util.Random(42)
+    val samples: Seq[Seq[Option[Long]]] = (0 until 60).map { _ =>
+      Seq.fill(1 + rnd.nextInt(12))(
+        if (rnd.nextInt(10) == 0) None else Some(rnd.nextLong()))
+    }
+    val df = samples.zipWithIndex.map { case (hs, i) => (i, hs) }
+      .toDF("i", "hs")
+    val kernel = df.select(col("i"),
+        graft.functions.MinHashArray.minhash_array(col("hs"), k).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toList).toMap
+    val composable = df.select(col("i") +: (0 until k).map(s =>
+        array_min(transform(col("hs"), h => xxhash64(h, lit(s)))).as(s"c$s")): _*)
+      .collect().map(r => r.getInt(0) -> (1 to k).map(r.getLong).toList).toMap
+    samples.indices.foreach { i =>
+      assert(kernel(i) == composable(i), s"sample $i")
+    }
+    // empty array: null signature, mirroring array_min over an empty
+    // transform
+    val empty = Seq((0, Seq.empty[Option[Long]])).toDF("i", "hs")
+      .select(graft.functions.MinHashArray.minhash_array(col("hs"), k))
+      .head()
+    assert(empty.isNullAt(0), "empty hash array must yield a null signature")
+  }
+
+  test("sign_band_buckets matches a plain-Scala projection reference") {
+    // random planes + random vectors (short vectors and null elements
+    // included: the kernel clamps to min(dim, len) and projects nulls as
+    // 0.0); reference replays band-tag << bits + sign bits with the same
+    // ascending-index summation order, so double equality is exact
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val bands = 2; val bits = 3; val dim = 4
+    val rnd = new scala.util.Random(42)
+    val planes: Seq[Array[Double]] =
+      Seq.fill(bands * bits)(Array.fill(dim)(rnd.nextGaussian()))
+    def ref(v: Seq[Option[Double]]): Seq[Long] = {
+      val n = math.min(dim, v.length)
+      val vv = (0 until n).map(i => v(i).getOrElse(0.0))
+      (0 until bands).map { b =>
+        var bucket = b.toLong << bits
+        var t = 0
+        while (t < bits) {
+          val p = planes(b * bits + t)
+          var s = 0.0
+          var i = 0
+          while (i < n) { s += p(i) * vv(i); i += 1 }
+          if (s > 0) bucket += (1L << t)
+          t += 1
+        }
+        bucket
+      }
+    }
+    val samples: Seq[Seq[Option[Double]]] = (0 until 60).map { _ =>
+      Seq.fill(1 + rnd.nextInt(dim + 2))(
+        if (rnd.nextInt(10) == 0) None else Some(rnd.nextGaussian()))
+    }
+    val got = samples.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("i", "v")
+      .select(col("i"), graft.functions.SignBandBuckets
+        .sign_band_buckets(col("v"), planes, bits).as("b"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toList).toMap
+    samples.indices.foreach { i =>
+      assert(got(i) == ref(samples(i)).toList, s"sample $i")
+    }
+  }
+
+  test("bloom prefilter: zero false negatives, bounded false-positive rate") {
+    // the correctness contract the join_bloom_prefilter plan rests on: a
+    // bloom miss must PROVE absence (the exact join never sees the row), a
+    // false positive only costs a shuffled row. 500 random inserted keys
+    // all pass; 2000 disjoint probes stay under 10% fp (Spark sizes the
+    // bitmap for ~3% at the given estimate)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    val inserted = Seq.fill(500)(rnd.nextLong()).distinct
+    val bloomBytes = inserted.toDF("v")
+      .agg(graft.functions.BloomPrefilter.bloom_agg(col("v"), 500L))
+      .head().getAs[Array[Byte]](0)
+    val probeSet = inserted.toSet
+    val outside = Iterator.continually(rnd.nextLong())
+      .filterNot(probeSet).take(2000).toSeq
+    val hits = (inserted ++ outside).toDF("v")
+      .select(col("v"), graft.functions.BloomPrefilter
+        .bloom_might_contain(lit(bloomBytes), col("v")).as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    inserted.foreach(v => assert(hits(v), s"false negative on inserted $v"))
+    val fp = outside.count(hits)
+    assert(fp < 200, s"false-positive rate too high: $fp/2000")
+  }
 }
