@@ -585,6 +585,58 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("r11: verified dedup — tokens never ride the banding, candidates are id pairs") {
+    // the scale contract of the two-stage pipeline (Dedup.scala,
+    // minhashVerifiedPairs): (1) the bucket-min window runs over skinny
+    // (doc_id, band, bh) rows — the token arrays are projected away before
+    // the banding explode/shuffle; (2) the candidate set is a
+    // (doc_id, keeper)-only distinct — two longs per row across the wide
+    // shuffle; the arrays join back by id only AFTER it, for candidate
+    // rows (the dedup_containment id-pairs discipline).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    import org.apache.spark.sql.types.ArrayType
+    val lp = SparkEntryPlan("dedup_minhash_verified")
+      .queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, s"no bucket-min window in:\n$lp")
+    wins.foreach { w =>
+      val arrays = w.output.filter(_.dataType.isInstanceOf[ArrayType])
+      assert(arrays.isEmpty,
+        s"token array ${arrays.map(_.name)} rides the banding window:\n$w")
+    }
+    val pairDistinct = lp.collect {
+      case a: Aggregate if a.groupingExpressions.size == 2 &&
+        a.output.map(_.name).toSet == Set("doc_id", "keeper") => a
+    }
+    assert(pairDistinct.nonEmpty, s"no (doc_id, keeper)-only distinct in:\n$lp")
+    pairDistinct.foreach { a =>
+      assert(a.output.forall(!_.dataType.isInstanceOf[ArrayType]),
+        s"candidate distinct carries an array:\n$a")
+    }
+  }
+
+  test("r11: corpus overlap — distinct (source, gram) precedes the pair self-join, text never rides it") {
+    // the scale contract of the overlap matrix (TextStats.scala): the
+    // corpus collapses to DISTINCT (source, gram-hash) rows before any
+    // pairing — the g-keyed self-join sees a distinct Aggregate below
+    // BOTH sides and carries no document text.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val lp = SparkEntryPlan("corpus_overlap_ngram")
+      .queryExecution.optimizedPlan
+    val gJoins = lp.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "g")) => j
+    }
+    assert(gJoins.nonEmpty, s"no gram-keyed pair self-join in:\n$lp")
+    gJoins.foreach { j =>
+      assert(!j.output.exists(_.name == "text"),
+        s"document text rides the pair join:\n$j")
+      Seq(j.left, j.right).foreach { side =>
+        assert(side.collect { case a: Aggregate => a }.nonEmpty,
+          s"pair-join side is not distinct-first:\n$side")
+      }
+    }
+  }
+
   test("whole-stage codegen covers the flagship aggregate") {
     // AQE only materializes codegen spans in the final plan — execute first.
     val df = SparkEntryPlan("agg_groupby_having")
