@@ -557,6 +557,47 @@ object TextStats {
             .as("rrf_q9"))
         .orderBy(desc("rrf_q9"), asc("doc_id")).limit(15)
     }),
+    // Weighted score fusion (round 11) — the OTHER standard hybrid next to
+    // retrieval_rrf's rank fusion: each modality's top-20 scores are
+    // min-max normalized WITHIN the retrieved list, then blended at
+    // α = 0.7 text / 0.3 vector (score fusion preserves score GAPS that
+    // rank fusion flattens — two near-tied docs fuse near-tied here, 1/61
+    // vs 1/62 apart under RRF). Zero floats cross the engines: the
+    // 4dp-rounded BM25 score becomes an exact integer via
+    // floor(s·10⁴ + 0.5) (the embed_quantize half-up idiom — identical
+    // doubles in, identical longs out, no decimal-cast dialect exposure),
+    // the vector score is already an exact integer, min-max and the
+    // α-blend are integer fixed point (q6; DIV ≡ // on non-negatives),
+    // constant lists degenerate to 1e6 rather than divide by zero.
+    // Missing-in-one-list contributes 0, as in RRF. 100 TB shape: both
+    // inputs are TakeOrdered top-20s, the stats are broadcast 1-row aggs
+    // over 20 rows, fusion is a full-outer join of two 20-row lists —
+    // constant work regardless of corpus size.
+    "retrieval_hybrid_weighted" -> ((s, d) => {
+      val text = bm25Top20(s, d)
+        .select(col("doc_id"),
+          floor(col("score") * 10000 + 0.5).cast("long").as("t"))
+      val tStats = text.agg(min("t").as("tmin"), max("t").as("tmax"))
+      val tn = text.crossJoin(broadcast(tStats))
+        .select(col("doc_id"),
+          when(col("tmax") > col("tmin"),
+            expr("(t - tmin) * 1000000 DIV (tmax - tmin)"))
+            .otherwise(1000000L).as("nt_q6"))
+      val vec = Similarity.quantizedScores(s, d)
+        .orderBy(desc("score"), asc("vec_id")).limit(20)
+        .select(col("vec_id").as("doc_id"), col("score").as("v"))
+      val vStats = vec.agg(min("v").as("vmin"), max("v").as("vmax"))
+      val vn = vec.crossJoin(broadcast(vStats))
+        .select(col("doc_id"),
+          when(col("vmax") > col("vmin"),
+            expr("(v - vmin) * 1000000 DIV (vmax - vmin)"))
+            .otherwise(1000000L).as("nv_q6"))
+      tn.join(vn, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("nt_q6"), col("nv_q6"),
+          expr("(coalesce(nt_q6, 0L) * 7 + coalesce(nv_q6, 0L) * 3) DIV 10")
+            .as("hybrid_q6"))
+        .orderBy(desc("hybrid_q6"), asc("doc_id")).limit(15)
+    }),
     // Bigram language-model estimation (round 6) — the n-gram-LM counting
     // pass quality filters build their perplexity proxies from. Add-one
     // smoothed conditional probabilities are emitted as EXACT RATIONALS
@@ -1551,6 +1592,72 @@ object TextStats {
         |            AS BIGINT) AS rrf_q9
         |FROM atop a FULL OUTER JOIN btop b ON a.doc_id = b.doc_id
         |ORDER BY rrf_q9 DESC, doc_id LIMIT 15""".stripMargin,
+    // the two component scorers replay their proven oracles; quantization
+    // is the floor(s*1e4 + 0.5) half-up idiom (identical doubles in both
+    // engines), normalization and blend are pure integer arithmetic
+    "retrieval_hybrid_weighted" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        |corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS n_tok FROM dl),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+        |       WHERE token IN ('join','filter','stream') GROUP BY doc_id, token),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        |contrib AS (
+        |  SELECT tf.doc_id, tf.token,
+        |         ln((CAST(n_docs AS DOUBLE) - df + CAST(0.5 AS DOUBLE))
+        |            / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |            + CAST(1.0 AS DOUBLE))
+        |         * (tf * CAST(2.2 AS DOUBLE))
+        |         / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |            + CAST(0.75 AS DOUBLE)
+        |              * (CAST(dl.dl AS DOUBLE) * n_docs) / n_tok)) AS c
+        |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN corpus),
+        |bm AS (
+        |  SELECT doc_id,
+        |         round(coalesce(max(CASE WHEN token = 'join' THEN c END), CAST(0 AS DOUBLE))
+        |             + coalesce(max(CASE WHEN token = 'filter' THEN c END), CAST(0 AS DOUBLE))
+        |             + coalesce(max(CASE WHEN token = 'stream' THEN c END), CAST(0 AS DOUBLE)),
+        |           4) AS score
+        |  FROM contrib GROUP BY doc_id),
+        |atop AS (
+        |  SELECT doc_id,
+        |         CAST(floor(score * 10000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS t
+        |  FROM (SELECT doc_id, score FROM bm
+        |        ORDER BY score DESC, doc_id LIMIT 20)),
+        |ts AS (SELECT MIN(t) AS tmin, MAX(t) AS tmax FROM atop),
+        |tn AS (SELECT doc_id,
+        |              CASE WHEN tmax > tmin
+        |                   THEN (t - tmin) * 1000000 // (tmax - tmin)
+        |                   ELSE 1000000 END AS nt_q6
+        |       FROM atop, ts),
+        |m AS (
+        |  SELECT nullif(MAX(list_max(list_transform(embedding,
+        |           x -> abs(CAST(x AS DOUBLE))))), 0.0) AS m
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding,
+        |           x -> floor(CAST(x AS DOUBLE) * (127.0 / m) + 0.5)) AS qv
+        |  FROM embeddings, m),
+        |p AS (SELECT qv AS pv FROM q WHERE vec_id = 0),
+        |vs AS (SELECT q.vec_id, CAST(list_dot_product(q.qv, p.pv) AS BIGINT) AS score
+        |       FROM q, p WHERE q.vec_id <> 0),
+        |btop AS (
+        |  SELECT vec_id AS doc_id, score AS v
+        |  FROM (SELECT vec_id, score FROM vs
+        |        ORDER BY score DESC, vec_id LIMIT 20)),
+        |vsx AS (SELECT MIN(v) AS vmin, MAX(v) AS vmax FROM btop),
+        |vn AS (SELECT doc_id,
+        |              CASE WHEN vmax > vmin
+        |                   THEN (v - vmin) * 1000000 // (vmax - vmin)
+        |                   ELSE 1000000 END AS nv_q6
+        |       FROM btop, vsx)
+        |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, a.nt_q6, b.nv_q6,
+        |       CAST((COALESCE(a.nt_q6, 0) * 7 + COALESCE(b.nv_q6, 0) * 3) // 10
+        |            AS BIGINT) AS hybrid_q6
+        |FROM tn a FULL OUTER JOIN vn b ON a.doc_id = b.doc_id
+        |ORDER BY hybrid_q6 DESC, doc_id LIMIT 15""".stripMargin,
     // positions via range() over the split array — an independent bigram
     // construction (the Spark plan windows with lead())
     "text_bigram_lm" ->

@@ -480,8 +480,10 @@ class PlanSpec extends SparkSpec {
       // r11: multiprobe shares coarse-IVF's broadcast N×K assignment pass
       "knn_ivf_multiprobe",
       // r11: semantic-cell dedup runs the same broadcast 8-row centroid
-      // assignment pass; kcore crosses the 1-row density scalar k
-      "dedup_semantic_cells", "graph_kcore_peel",
+      // assignment pass; kcore crosses the 1-row density scalar k;
+      // hybrid fusion crosses the 1-row min-max stats of each 20-row list
+      // plus its components' intended broadcasts (the retrieval_rrf shape)
+      "dedup_semantic_cells", "graph_kcore_peel", "retrieval_hybrid_weighted",
       "tfidf_topk", "kmeans_lloyd", "zscore_outliers", "negative_pairs",
       "ivf_index_build", "anomaly_mad", "corpus_mix_rebalance",
       "knn_quantized_topk",
