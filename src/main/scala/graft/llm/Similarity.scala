@@ -242,15 +242,24 @@ object Similarity {
     * relative order is preserved and scores are exact longs) — the body of
     * `knn_quantized_topk`, factored so `retrieval_rrf` fuses the identical
     * ranking. */
-  private[llm] def quantizedScores(s: SparkSession, d: String): DataFrame = {
+  /** Every embedding int8-quantized under ONE global symmetric scale
+    * (127/max|x|), labels preserved — the shared front half of
+    * `knn_quantized_topk` / `knn_radius_quantized` / `retrieval_maxsim`.
+    * Quantized components are exact small integers carried as doubles, so
+    * every downstream dot product is an exact long. */
+  private[llm] def quantizedVectors(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     val gmax = emb.agg(nullif(max(array_max(transform(col("embedding"),
       x => abs(x.cast("double"))))), lit(0.0)).as("m"))
-    val q = emb.crossJoin(broadcast(gmax))
+    emb.crossJoin(broadcast(gmax))
       .withColumn("qv", transform(col("embedding"),
         x => floor(x.cast("double") * (lit(127.0) / col("m")) + lit(0.5))
           .cast("double")))
-      .select("vec_id", "qv")
+      .select("vec_id", "label", "qv")
+  }
+
+  private[llm] def quantizedScores(s: SparkSession, d: String): DataFrame = {
+    val q = quantizedVectors(s, d).select("vec_id", "qv")
     val probe = q.filter(col("vec_id") === 0)
       .select(col("qv").as("pv"))
     q.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
@@ -585,6 +594,34 @@ object Similarity {
     "knn_radius_quantized" -> ((s, d) =>
       quantizedScores(s, d).filter(col("score") >= 10000)
         .orderBy(desc("score"), asc("vec_id"))),
+    // Late-interaction (ColBERT-style) MaxSim retrieval (round 11): the
+    // multi-vector scoring rule modern retrievers use when one pooled
+    // vector per document loses too much — score(doc) = Σ over query
+    // tokens of the MAX dot product against any of the document's
+    // vectors. Here the label groups play the multi-vector documents
+    // (each label owns ~50 member vectors) and vec_ids 0-3 are the 4
+    // query tokens (excluded from the corpus side). Every dot is an
+    // exact long under the shared global-scale int8 quantization
+    // (quantizedVectors — the knn_quantized_topk scale), so MaxSim
+    // ranks are hash-exact with zero float discipline. 100 TB shape:
+    // the 4-row query token table rides a broadcast; per-(doc, token)
+    // max and per-doc sum are both map-side-combinable hash aggs — the
+    // corpus streams through one pass, no shuffle wider than
+    // (label, q_id, long), no global sort until the |labels|-sized
+    // score table.
+    "retrieval_maxsim" -> ((s, d) => {
+      val q = quantizedVectors(s, d)
+      val queryToks = q.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("q_id"), col("qv").as("qv_q"))
+      q.filter(col("vec_id") >= 4)
+        .crossJoin(broadcast(queryToks))
+        .select(col("label"), col("q_id"),
+          graft.functions.VectorOps.dot_product(col("qv"), col("qv_q"))
+            .cast("long").as("dot"))
+        .groupBy("label", "q_id").agg(max(col("dot")).as("best"))
+        .groupBy("label").agg(sum(col("best")).as("maxsim"))
+        .orderBy(desc("maxsim"), asc("label"))
+    }),
     // Int8 symmetric quantization of the embedding column (training-data
     // pipeline op): per-vector scale = 127/max|x|, q_i = floor(x·scale+0.5)
     // — the storage/serving compression step (4× smaller than float32).
@@ -827,6 +864,29 @@ object Similarity {
         |  FROM q, p WHERE q.vec_id <> 0)
         |SELECT vec_id, score FROM scored WHERE score >= 10000
         |ORDER BY score DESC, vec_id ASC""".stripMargin,
+    // same global-scale quantization CTE (labels carried through), then
+    // the MaxSim double aggregation — max per (label, query token), sum
+    // per label; every dot an exact BIGINT
+    "retrieval_maxsim" ->
+      """WITH m AS (
+        |  SELECT nullif(MAX(list_max(list_transform(embedding,
+        |           x -> abs(CAST(x AS DOUBLE))))), 0.0) AS m
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding,
+        |           x -> floor(CAST(x AS DOUBLE) * (127.0 / m) + 0.5)) AS qv
+        |  FROM embeddings, m),
+        |qt AS (SELECT vec_id AS q_id, qv AS qv_q FROM q WHERE vec_id < 4),
+        |dots AS (
+        |  SELECT q.label, qt.q_id,
+        |         CAST(list_dot_product(q.qv, qt.qv_q) AS BIGINT) AS dot
+        |  FROM q, qt WHERE q.vec_id >= 4),
+        |best AS (SELECT label, q_id, MAX(dot) AS best
+        |         FROM dots GROUP BY label, q_id)
+        |SELECT label, CAST(SUM(best) AS BIGINT) AS maxsim
+        |FROM best GROUP BY label
+        |ORDER BY maxsim DESC, label ASC""".stripMargin,
     // exact IEEE agreement: float→double casts, one multiply, floor-half-up
     // — no round() anywhere, so engine rounding conventions can't diverge
     "embed_quantize" ->

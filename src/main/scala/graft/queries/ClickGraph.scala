@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 
 /** The ONE click-graph edge derivation shared by every graph query
   * (pagerank_clicks, graph_triangles, graph_common_neighbors,
-  * graph_bfs_reach, graph_communities_lpa, graph_degree_stats) and, via the
-  * Oracle* constants, by their DuckDB oracles.
+  * graph_bfs_reach, graph_communities_lpa, graph_degree_stats,
+  * graph_kcore_peel, graph_clustering_coeff, graph_components,
+  * markov_next_page) and, via the Oracle* constants, by their DuckDB
+  * oracles.
   *
   * Semantics (round 6, unchanged): an edge is a consecutive same-user page
   * transition — lag over event_id, NOT ts (the events fixture has shipped
@@ -45,11 +47,17 @@ object ClickGraph {
   def pages(s: SparkSession, d: String): DataFrame =
     clicks(s, d).select("page").distinct()
 
-  /** Distinct DIRECTED transition edges (src, dst) — pagerank's input. */
-  def directed(s: SparkSession, d: String): DataFrame =
+  /** RAW consecutive transitions (src, dst) — one row per observed
+    * same-user click transition, NOT deduplicated. The weighted base the
+    * Markov next-page model counts over; `directed` is its distinct. */
+  def transitions(s: SparkSession, d: String): DataFrame =
     clicks(s, d).withColumn("src", lag(col("page"), 1).over(byUser))
       .filter(col("src").isNotNull && col("src") =!= col("page"))
-      .select(col("src"), col("page").as("dst")).distinct()
+      .select(col("src"), col("page").as("dst"))
+
+  /** Distinct DIRECTED transition edges (src, dst) — pagerank's input. */
+  def directed(s: SparkSession, d: String): DataFrame =
+    transitions(s, d).distinct()
 
   /** Distinct UNDIRECTED id-normalized edges (u, v), u < v — the input of
     * the five undirected-graph queries. */
@@ -87,6 +95,16 @@ object ClickGraph {
   val OracleAdj: String =
     """adj AS (SELECT u AS w, v AS x FROM und
       |        UNION ALL SELECT v AS w, u AS x FROM und)""".stripMargin
+
+  /** `seq` + `tr` CTEs over `ev` — the RAW (non-distinct) transition
+    * derivation, mirroring transitions(). */
+  val OracleTransitions: String =
+    """seq AS (
+      |  SELECT page, lag(page) OVER (PARTITION BY user_id
+      |                               ORDER BY event_id) AS src
+      |  FROM ev),
+      |tr AS (SELECT src, page AS dst FROM seq
+      |       WHERE src IS NOT NULL AND src <> page)""".stripMargin
 
   /** `seq` + `e` CTEs over `ev` — the DIRECTED edge derivation
     * (pagerank). */

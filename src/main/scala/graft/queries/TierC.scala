@@ -1618,6 +1618,82 @@ object TierCWindow {
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_week", "week_offset")
     }),
+    // Gaps-and-islands activity streaks (round 11): per user, maximal runs
+    // of CONSECUTIVE active calendar days — the classic islands derivation
+    // (day minus its per-user row_number is constant exactly within a
+    // consecutive run) that retention/engagement pipelines compute and
+    // that no single window function expresses. Reports per user the
+    // active-day count, number of streaks, longest streak, and the start
+    // date of the longest streak (earliest on ties — pinned via
+    // min(start | len = max_len), not an engine-dependent argmax). All
+    // counts exact longs, dates exact (UTC session both engines; the
+    // cohort_retention date discipline). 100 TB shape: one distinct to
+    // (user, day) — map-side combinable, collapses raw events to at most
+    // |users|·|days| rows — then one user_id window and two
+    // vocabulary-sized aggregations; raw events never reach the second
+    // shuffle.
+    "streaks_activity" -> ((s, d) => {
+      val days = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val byUser = Window.partitionBy("user_id").orderBy("day")
+      val streaks = days
+        .withColumn("grp", date_sub(col("day"), row_number().over(byUser)))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("len"), min(col("day")).as("start"))
+      streaks
+        .withColumn("max_len", max(col("len")).over(Window.partitionBy("user_id")))
+        .groupBy("user_id")
+        .agg(sum(col("len")).as("n_active_days"),
+          count(lit(1)).as("n_streaks"),
+          max(col("len")).as("longest"),
+          min(when(col("len") === col("max_len"), col("start")))
+            .as("longest_start"))
+        .orderBy("user_id")
+    }),
+    // RFM customer segmentation (round 11): the marketing-warehouse
+    // staple — recency (days since epoch of last order), frequency
+    // (order count), monetary (lifetime cents) per customer, each scored
+    // 1-4 against the corpus quartile BOUNDARIES rather than by a global
+    // ntile: the three quartile cut-points come from ONE 1-row
+    // sortedPick aggregate (the agg_percentile_disc order-statistic
+    // discipline — exact value at rank ceil(p·n), identical formula both
+    // engines) and ride a broadcast crossJoin, so scoring is a map-side
+    // comparison. That is the 100 TB-honest construction: a global
+    // ntile(4) window would funnel every customer through one task,
+    // while boundary-broadcast scoring scales with the customer
+    // aggregate (the boundary agg buffers |customers| values — the GK
+    // sketch is the swap-in at extreme cardinality, as documented for
+    // every sortedPick site). All metrics exact integers; segment =
+    // r·100 + f·10 + m.
+    "rfm_segment" -> ((s, d) => {
+      val base = orders(s, d).groupBy("o_custkey").agg(
+        datediff(max(col("o_orderdate")), lit("1992-01-01").cast("date"))
+          .as("rec_days"),
+        count(lit(1)).as("n_orders"),
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .as("cents"))
+      val cuts = base.agg(
+        sortedPick(col("rec_days"), 0.25).as("r25"),
+        sortedPick(col("rec_days"), 0.50).as("r50"),
+        sortedPick(col("rec_days"), 0.75).as("r75"),
+        sortedPick(col("n_orders"), 0.25).as("f25"),
+        sortedPick(col("n_orders"), 0.50).as("f50"),
+        sortedPick(col("n_orders"), 0.75).as("f75"),
+        sortedPick(col("cents"), 0.25).as("m25"),
+        sortedPick(col("cents"), 0.50).as("m50"),
+        sortedPick(col("cents"), 0.75).as("m75"))
+      def score(v: Column, a: Column, b: Column, c: Column): Column =
+        lit(1) + (v > a).cast("int") + (v > b).cast("int") +
+          (v > c).cast("int")
+      base.crossJoin(broadcast(cuts))
+        .select(col("o_custkey"), col("rec_days"), col("n_orders"),
+          col("cents"),
+          score(col("rec_days"), col("r25"), col("r50"), col("r75")).as("r"),
+          score(col("n_orders"), col("f25"), col("f50"), col("f75")).as("f"),
+          score(col("cents"), col("m25"), col("m50"), col("m75")).as("m"))
+        .withColumn("segment", col("r") * 100 + col("f") * 10 + col("m"))
+        .orderBy("o_custkey")
+    }),
     // Exponentially-weighted moving average (round 6) — the trend-smoothing
     // recurrence dashboards and drift monitors run over metric series.
     // EWMA is inherently sequential (s_t depends on s_{t-1}), which Spark
@@ -1762,33 +1838,96 @@ object TierCWindow {
     // The DuckDB oracle deliberately counts by the UNORIENTED a<b<c
     // three-way join — an independent construction of the same census.
     "graph_triangles" -> ((s, d) => {
+      // triangle side delegated to operators.Triangles (round 11): the
+      // degree-oriented wedge enumeration — e1.t < e2.t normalized, closed
+      // by a pure EQUI-join — now lives in ONE place, shared with
+      // graph_clustering_coeff's per-node corner counts
       val und = ClickGraph.und(s, d)
       val deg = und.select(col("u").as("node"))
         .unionAll(und.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("d"))
-      val ranked = und
-        .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
-        .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
-      val oriented = ranked.select(
-        when(col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v")), col("u"))
-          .otherwise(col("v")).as("s"),
-        when(col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v")), col("v"))
-          .otherwise(col("u")).as("t"))
-      // wedges from the low-rank corner: pair the out-neighbors of each s;
-      // e1.t < e2.t normalizes the wedge by id, so closing it is a pure
-      // EQUI-join against the id-normalized undirected edge set (an
-      // either-orientation OR-condition would plan a nested loop)
-      val wedges = oriented.as("e1").join(oriented.as("e2"), "s")
-        .filter(col("e1.t") < col("e2.t"))
-        .select(col("e1.t").as("u"), col("e2.t").as("v"))
-      val tri = wedges.join(und, Seq("u", "v"), "left_semi")
+      val tri = graft.operators.Triangles.enumerate(und)
       val totals = und.agg(count(lit(1)).as("n_edges")).crossJoin(
         deg.agg(count(lit(1)).as("n_nodes"),
           sum(expr("d * (d - 1) DIV 2")).as("n_wedges")))
       totals.crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
         .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
+    }),
+    // Per-node local clustering coefficient (round 11): how tightly each
+    // page's click-neighborhood closes on itself — the node-level
+    // refinement of graph_triangles' global census (census says HOW MANY
+    // closures exist; this says WHERE). Corner counts come from the SAME
+    // factored enumeration the census counts (operators.Triangles), so the
+    // two keys cannot desync; the coefficient 2t/(d(d-1)) ships as the
+    // exact integers (t, d) plus the q6 fixed-point quantization
+    // 2t·10⁶ DIV d(d-1) — zero floats cross-engine (the
+    // graph_common_neighbors jac_q6 recipe). Nodes with d < 2 (and
+    // isolated pages) report cc_q6 = 0 rather than NULL-dividing. The
+    // DuckDB oracle enumerates triangles INDEPENDENTLY by the a<b<c
+    // three-way self-join — not the degree orientation — so the gate
+    // cross-checks the enumeration algorithm itself. 100 TB shape: the
+    // enumeration's bounds (see Triangles scaladoc) plus one explode to
+    // 3 corner rows per triangle and two map-side-combinable aggs.
+    "graph_clustering_coeff" -> ((s, d) => {
+      val und = ClickGraph.und(s, d)
+      val deg = und.select(col("u").as("node"))
+        .unionAll(und.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val corners = graft.operators.Triangles.enumerate(und)
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("t"))
+      ClickGraph.pages(s, d)
+        .join(deg.withColumnRenamed("node", "page"), Seq("page"), "left")
+        .join(corners.withColumnRenamed("node", "page"), Seq("page"), "left")
+        .select(col("page"),
+          coalesce(col("d"), lit(0L)).as("degree"),
+          coalesce(col("t"), lit(0L)).as("triangles"))
+        .withColumn("cc_q6",
+          when(col("degree") >= 2,
+            expr("2 * triangles * 1000000 DIV (degree * (degree - 1))"))
+            .otherwise(lit(0L)))
+        .orderBy("page")
+    }),
+    // Connected components of the click graph (round 11): the shared
+    // ConnectedComponents loop (frontier-restricted pointer jumping —
+    // the dedup_clusters engine) run on the click graph, labeling every
+    // page with the smallest page id reachable from it; isolated pages
+    // keep their own id. Until now the CC operator was gated only through
+    // dedup_clusters, whose oracle replays min-propagation; HERE the
+    // DuckDB oracle is a recursive-CTE TRANSITIVE CLOSURE — reach(src,
+    // node) to fixpoint, then min per src — a fully independent
+    // construction of the fixpoint (closure is O(Σ|component|²) rows,
+    // fine for an oracle, never for the engine). 100 TB shape: the
+    // operator's (see its scaladoc) — per-round work tracks the frontier,
+    // log-diameter rounds, nothing wider than (id, comp) shuffles.
+    "graph_components" -> ((s, d) =>
+      graft.operators.ConnectedComponents
+        .run(ClickGraph.und(s, d), "u", "v", ClickGraph.pages(s, d), "page")
+        .select(col("page"), col("comp").as("component"))
+        .orderBy("page")),
+    // First-order Markov next-page model (round 11): the empirical
+    // transition table sequence-mining and prefetch pipelines train on —
+    // per source page, the top-3 next pages by observed transition count
+    // over the RAW (non-distinct) consecutive-click transitions
+    // (ClickGraph.transitions — the same lag derivation as the edge set,
+    // WITHOUT the dedup, because probabilities need multiplicity). The
+    // transition probability ships as the exact rational (n, out_total)
+    // plus n·10⁶ DIV out_total fixed point — zero floats. 100 TB shape:
+    // one user_id window (shared with every other click derivation), one
+    // map-side-combinable (src, dst) count whose cardinality is the page
+    // vocabulary squared at worst, then a per-src top-3 window over that
+    // vocabulary-sized aggregate — raw events never reach the second
+    // shuffle.
+    "markov_next_page" -> ((s, d) => {
+      val cnt = ClickGraph.transitions(s, d)
+        .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      val bySrc = Window.partitionBy("src").orderBy(desc("n"), asc("dst"))
+      cnt.withColumn("rnk", row_number().over(bySrc))
+        .withColumn("out_total", sum(col("n")).over(Window.partitionBy("src")))
+        .filter(col("rnk") <= 3)
+        .select(col("src"), col("rnk"), col("dst"), col("n"),
+          col("out_total"), expr("n * 1000000 DIV out_total").as("p_q6"))
+        .orderBy("src", "rnk")
     }),
     // Common-neighbor link prediction (round 6; degree cap implemented
     // round 7) — the candidate-generation pass of graph-based
@@ -2102,6 +2241,69 @@ object TierCWindow {
         |SELECT cohort_week, week_offset, COUNT(*) AS n_users
         |FROM cells GROUP BY cohort_week, week_offset
         |ORDER BY cohort_week, week_offset""".stripMargin,
+    // the same islands derivation (day - row_number constant within a run)
+    // — the construction is standard enough that both engines spell it the
+    // same way; every count is exact and the longest-start tiebreak is the
+    // pinned min-over-max-length, not an argmax. SUM over BIGINT widens to
+    // HUGEINT in DuckDB — cast back.
+    "streaks_activity" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |s AS (
+        |  SELECT user_id, day,
+        |         day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |                                       ORDER BY day) AS INTEGER)
+        |           AS grp
+        |  FROM days),
+        |st AS (
+        |  SELECT user_id, grp, COUNT(*) AS len, MIN(day) AS start
+        |  FROM s GROUP BY user_id, grp),
+        |mx AS (SELECT user_id, MAX(len) AS max_len FROM st GROUP BY user_id)
+        |SELECT st.user_id,
+        |       CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |       COUNT(*) AS n_streaks,
+        |       CAST(MAX(len) AS BIGINT) AS longest,
+        |       MIN(CASE WHEN len = max_len THEN start END) AS longest_start
+        |FROM st JOIN mx ON st.user_id = mx.user_id
+        |GROUP BY st.user_id ORDER BY st.user_id""".stripMargin,
+    // quartile boundaries via the SAME sortedPick order statistic
+    // (list_sort + ceil(p·n) index), scoring by boundary comparison —
+    // integer metrics end to end
+    "rfm_segment" ->
+      """WITH base AS (
+        |  SELECT o_custkey,
+        |         CAST(datediff('day', DATE '1992-01-01', MAX(o_orderdate))
+        |              AS INT) AS rec_days,
+        |         COUNT(*) AS n_orders,
+        |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |                       AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |cuts AS (
+        |  SELECT
+        |    list_sort(list(rec_days))[CAST(greatest(ceil(0.25 * COUNT(*)), 1) AS INT)] AS r25,
+        |    list_sort(list(rec_days))[CAST(greatest(ceil(0.50 * COUNT(*)), 1) AS INT)] AS r50,
+        |    list_sort(list(rec_days))[CAST(greatest(ceil(0.75 * COUNT(*)), 1) AS INT)] AS r75,
+        |    list_sort(list(n_orders))[CAST(greatest(ceil(0.25 * COUNT(*)), 1) AS INT)] AS f25,
+        |    list_sort(list(n_orders))[CAST(greatest(ceil(0.50 * COUNT(*)), 1) AS INT)] AS f50,
+        |    list_sort(list(n_orders))[CAST(greatest(ceil(0.75 * COUNT(*)), 1) AS INT)] AS f75,
+        |    list_sort(list(cents))[CAST(greatest(ceil(0.25 * COUNT(*)), 1) AS INT)] AS m25,
+        |    list_sort(list(cents))[CAST(greatest(ceil(0.50 * COUNT(*)), 1) AS INT)] AS m50,
+        |    list_sort(list(cents))[CAST(greatest(ceil(0.75 * COUNT(*)), 1) AS INT)] AS m75
+        |  FROM base)
+        |SELECT o_custkey, rec_days, n_orders, cents,
+        |       1 + CAST(rec_days > r25 AS INT) + CAST(rec_days > r50 AS INT)
+        |         + CAST(rec_days > r75 AS INT) AS r,
+        |       1 + CAST(n_orders > f25 AS INT) + CAST(n_orders > f50 AS INT)
+        |         + CAST(n_orders > f75 AS INT) AS f,
+        |       1 + CAST(cents > m25 AS INT) + CAST(cents > m50 AS INT)
+        |         + CAST(cents > m75 AS INT) AS m,
+        |       (1 + CAST(rec_days > r25 AS INT) + CAST(rec_days > r50 AS INT)
+        |          + CAST(rec_days > r75 AS INT)) * 100
+        |       + (1 + CAST(n_orders > f25 AS INT) + CAST(n_orders > f50 AS INT)
+        |          + CAST(n_orders > f75 AS INT)) * 10
+        |       + (1 + CAST(cents > m25 AS INT) + CAST(cents > m50 AS INT)
+        |          + CAST(cents > m75 AS INT)) AS segment
+        |FROM base, cuts ORDER BY o_custkey""".stripMargin,
     // list_reduce replays the same all-non-negative integer recurrence per
     // prefix; its seed IS the first element (no init arg), matching the
     // Spark fold's element_at(xs, 1) seed; // vs DIV can't diverge because
@@ -2354,7 +2556,68 @@ object TierCWindow {
         |  SELECT a3.node, 0, coalesce(dc.dg, 0)
         |  FROM a3 LEFT JOIN dc ON a3.node = dc.node)
         |SELECT page, removed_round, CAST(core_deg AS BIGINT) AS core_deg
-        |FROM res ORDER BY page""".stripMargin
+        |FROM res ORDER BY page""".stripMargin,
+    // INDEPENDENT triangle enumeration: the canonical a<b<c three-way
+    // self-join, NOT the Spark side's degree orientation — the gate
+    // cross-checks the enumeration algorithm, not just the arithmetic.
+    // Corner counts unpivot each triangle to its 3 members.
+    "graph_clustering_coeff" ->
+      s"""WITH ${ClickGraph.OracleEv},
+        |${ClickGraph.OracleUnd},
+        |deg AS (SELECT node, COUNT(*) AS d FROM (
+        |          SELECT u AS node FROM und
+        |          UNION ALL SELECT v AS node FROM und) t
+        |        GROUP BY node),
+        |tri AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c
+        |        FROM und ab JOIN und bc ON ab.v = bc.u
+        |        JOIN und ac ON ac.u = ab.u AND ac.v = bc.v),
+        |corners AS (SELECT node, COUNT(*) AS t FROM (
+        |              SELECT a AS node FROM tri
+        |              UNION ALL SELECT b FROM tri
+        |              UNION ALL SELECT c FROM tri) x
+        |            GROUP BY node),
+        |pg AS (SELECT DISTINCT page FROM ev)
+        |SELECT pg.page,
+        |       CAST(coalesce(deg.d, 0) AS BIGINT) AS degree,
+        |       CAST(coalesce(corners.t, 0) AS BIGINT) AS triangles,
+        |       CASE WHEN coalesce(deg.d, 0) >= 2
+        |            THEN (2 * coalesce(corners.t, 0) * 1000000)
+        |                 // (deg.d * (deg.d - 1))
+        |            ELSE 0 END AS cc_q6
+        |FROM pg LEFT JOIN deg ON deg.node = pg.page
+        |        LEFT JOIN corners ON corners.node = pg.page
+        |ORDER BY pg.page""".stripMargin,
+    // recursive-CTE transitive closure to fixpoint, then min per source —
+    // an independent construction of the min-label fixpoint the
+    // ConnectedComponents loop converges to (closure rows are
+    // Σ|component|², an oracle-only luxury)
+    "graph_components" ->
+      s"""WITH RECURSIVE ${ClickGraph.OracleEv},
+        |${ClickGraph.OracleUnd},
+        |${ClickGraph.OracleAdj},
+        |pg AS (SELECT DISTINCT page FROM ev),
+        |reach(src, node) AS (
+        |  SELECT page, page FROM pg
+        |  UNION
+        |  SELECT r.src, a.x FROM reach r JOIN adj a ON a.w = r.node)
+        |SELECT src AS page, MIN(node) AS component
+        |FROM reach GROUP BY src ORDER BY page""".stripMargin,
+    // same raw-transition derivation (shared CTE constant), straight
+    // count + window replay — every value an exact long, p_q6 integer
+    // fixed point (// vs DIV agree on non-negative operands)
+    "markov_next_page" ->
+      s"""WITH ${ClickGraph.OracleEv},
+        |${ClickGraph.OracleTransitions},
+        |cnt AS (SELECT src, dst, COUNT(*) AS n FROM tr GROUP BY src, dst),
+        |rk AS (SELECT src, dst, n,
+        |         ROW_NUMBER() OVER (PARTITION BY src
+        |                            ORDER BY n DESC, dst ASC) AS rnk,
+        |         SUM(n) OVER (PARTITION BY src) AS out_total
+        |       FROM cnt)
+        |SELECT src, CAST(rnk AS INT) AS rnk, dst, n,
+        |       CAST(out_total AS BIGINT) AS out_total,
+        |       (n * 1000000) // CAST(out_total AS BIGINT) AS p_q6
+        |FROM rk WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin
   )
 }
 

@@ -513,7 +513,13 @@ class PlanSpec extends SparkSpec {
       "anomaly_iqr_fence_approx", "retrieval_rrf",
       // r8: profile_drift broadcasts the 1-row period-total pair
       // re-aggregated from the |event_type|-sized count table
-      "profile_drift")
+      "profile_drift",
+      // r11: retrieval_maxsim crosses the 1-row quantization scale and
+      // the 4-row query-token table (both broadcast — late-interaction
+      // scoring streams the corpus once); rfm_segment crosses the 1-row
+      // quartile-cuts aggregate (boundary-broadcast scoring is the whole
+      // point — see the query's scaladoc)
+      "retrieval_maxsim", "rfm_segment")
     // ETL/streaming queries run real side effects — planning-only audit
     // covers the analytic surface (list shared with ContractSpec).
     val sideEffecting = QuerySets.sideEffecting
