@@ -76,14 +76,25 @@ object Scaling {
     Q("dedup_semantic_cells", 16),
     Q("dedup_embedding_ann", 64), Q("knn_pairs_label_ann", 64),
     Q("knn_radius_quantized", 64), Q("knn_quantized_topk", 64),
-    Q("knn_ivf_multiprobe", 64))
+    Q("knn_ivf_multiprobe", 64),
+    // round 11b: late-interaction MaxSim — one broadcast pass over the
+    // corpus (4 query tokens), expected to track the linear topk curve
+    Q("retrieval_maxsim", 64))
 
   private val GraphQueries = Seq(
     // round 11: bounded-round peel — per-round O(|E|) like LPA
     Q("graph_kcore_peel", 64),
     Q("graph_bfs_reach", 64), Q("graph_communities_lpa", 64),
     Q("graph_triangles", 64), Q("graph_degree_stats", 64),
-    Q("pagerank_clicks", 64))
+    Q("pagerank_clicks", 64),
+    // round 11b: the CC loop on m disjoint isomorphic copies (per-round
+    // frontier work linear in |E|, round count pinned by the copy graph's
+    // diameter), the per-node triangle-corner profile (the census's
+    // enumeration plus one explode — must track graph_triangles), the
+    // transition-table model and the gaps-and-islands streaks (both one
+    // user_id window + vocabulary-sized aggs — linear)
+    Q("graph_components", 64), Q("graph_clustering_coeff", 64),
+    Q("markov_next_page", 64), Q("streaks_activity", 64))
 
   case class Pt(query: String, mult: Int, inputRows: Long, outRows: Long,
       sec: Double)
