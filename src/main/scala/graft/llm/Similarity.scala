@@ -622,6 +622,52 @@ object Similarity {
         .groupBy("label").agg(sum(col("best")).as("maxsim"))
         .orderBy(desc("maxsim"), asc("label"))
     }),
+    // k-center coreset selection (round 11b): greedy farthest-first
+    // traversal (the Gonzalez 2-approximation) — the diversity-maximizing
+    // subset selection training-data curation uses where MMR needs a
+    // query and k-means needs a cell count. Seed = vec_id 0, then k−1 = 3
+    // rounds of "add the point farthest from the chosen set"; output is
+    // every point's assigned nearest center and its exact squared L2
+    // distance. All arithmetic exact longs under the shared int8
+    // quantization: d² = |a|² + |b|² − 2a·b from three integer dot
+    // products, argmax pinned by (d² DESC, vec_id ASC), assignment by
+    // (d² ASC, c_id ASC) — zero floats, so the DuckDB oracle (the same
+    // recurrence as unrolled CTEs — bounded, the LPA precedent) is
+    // hash-exact. 100 TB shape: each round is one broadcast of the ≤k-row
+    // center table, one map-side d²-min pass, and one TakeOrdered(1) —
+    // never a collect; the center table localCheckpoints per round (the
+    // kmeans_lloyd lineage discipline). O(k·N) total like k-means
+    // assignment; k is a small constant.
+    "coreset_kcenter" -> ((s, d) => {
+      val q = quantizedVectors(s, d)
+        .withColumn("n2", graft.functions.VectorOps
+          .dot_product(col("qv"), col("qv")).cast("long"))
+        .select("vec_id", "qv", "n2")
+        .localCheckpoint()
+      def d2(cn2: Column, cv: Column): Column =
+        col("n2") + cn2 - lit(2L) * graft.functions.VectorOps
+          .dot_product(col("qv"), cv).cast("long")
+      var centers = q.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("c_id"), col("qv").as("cv"),
+          col("n2").as("cn2"))
+      for (_ <- 2 to 4) {
+        val dmin = q.crossJoin(broadcast(centers))
+          .select(col("vec_id"), d2(col("cn2"), col("cv")).as("dd"))
+          .groupBy("vec_id").agg(min(col("dd")).as("dmin"))
+        val next = dmin.orderBy(desc("dmin"), asc("vec_id")).limit(1)
+          .join(q, "vec_id")
+          .select(col("vec_id").as("c_id"), col("qv").as("cv"),
+            col("n2").as("cn2"))
+        centers = centers.unionAll(next).localCheckpoint()
+      }
+      q.crossJoin(broadcast(centers))
+        .select(col("vec_id"),
+          struct(d2(col("cn2"), col("cv")).as("d2"), col("c_id")).as("dc"))
+        .groupBy("vec_id").agg(min(col("dc")).as("best"))
+        .select(col("vec_id"), col("best.c_id").as("center"),
+          col("best.d2").as("d2"))
+        .orderBy("vec_id")
+    }),
     // Int8 symmetric quantization of the embedding column (training-data
     // pipeline op): per-vector scale = 127/max|x|, q_i = floor(x·scale+0.5)
     // — the storage/serving compression step (4× smaller than float32).
@@ -887,6 +933,50 @@ object Similarity {
         |SELECT label, CAST(SUM(best) AS BIGINT) AS maxsim
         |FROM best GROUP BY label
         |ORDER BY maxsim DESC, label ASC""".stripMargin,
+    // the same greedy farthest-first recurrence, 3 unrolled steps (the
+    // bounded-recurrence oracle precedent): every distance an exact
+    // BIGINT, argmax and assignment tie rules spelled identically
+    "coreset_kcenter" -> {
+      val steps = (1 to 3).map { i =>
+        s"""d$i AS (
+           |  SELECT q2.vec_id,
+           |         MIN(q2.n2 + c.cn2
+           |             - 2 * CAST(list_dot_product(q2.qv, c.cv) AS BIGINT))
+           |           AS dmin
+           |  FROM q2, c$i c GROUP BY q2.vec_id),
+           |p${i + 1} AS (SELECT vec_id FROM d$i
+           |        ORDER BY dmin DESC, vec_id ASC LIMIT 1),
+           |c${i + 1} AS (SELECT * FROM c$i UNION ALL
+           |        SELECT q2.vec_id, q2.qv, q2.n2 FROM q2
+           |        JOIN p${i + 1} USING (vec_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH m AS (
+         |  SELECT nullif(MAX(list_max(list_transform(embedding,
+         |           x -> abs(CAST(x AS DOUBLE))))), 0.0) AS m
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding,
+         |           x -> floor(CAST(x AS DOUBLE) * (127.0 / m) + 0.5)) AS qv
+         |  FROM embeddings, m),
+         |q2 AS (SELECT vec_id, qv,
+         |              CAST(list_dot_product(qv, qv) AS BIGINT) AS n2
+         |       FROM q),
+         |c1 AS (SELECT vec_id AS c_id, qv AS cv, n2 AS cn2
+         |       FROM q2 WHERE vec_id = 0),
+         |$steps,
+         |dist AS (
+         |  SELECT q2.vec_id, c.c_id,
+         |         q2.n2 + c.cn2
+         |         - 2 * CAST(list_dot_product(q2.qv, c.cv) AS BIGINT) AS d2
+         |  FROM q2, c4 c),
+         |r AS (SELECT vec_id, c_id, d2,
+         |        ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                           ORDER BY d2 ASC, c_id ASC) AS rn
+         |      FROM dist)
+         |SELECT vec_id, c_id AS center, d2 FROM r WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin
+    },
     // exact IEEE agreement: float→double casts, one multiply, floor-half-up
     // — no round() anywhere, so engine rounding conventions can't diverge
     "embed_quantize" ->
