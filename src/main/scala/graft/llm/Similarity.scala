@@ -327,6 +327,45 @@ object Similarity {
     (cents, assign(cents))
   }
 
+  /** Body of `coreset_kcenter` on any (vec_id, qv) frame with
+    * integer-valued qv arrays — factored so CoresetSpec can plant an
+    * outlier cluster and assert the Gonzalez farthest-first property (the
+    * planted outlier becomes a center; every point's nearest-center d² is
+    * exact). Seed = vec_id 0, then k−1 rounds of "add the point farthest
+    * from the chosen set"; all arithmetic exact longs
+    * (d² = |a|²+|b|²−2a·b), argmax pinned (d² DESC, vec_id ASC),
+    * assignment (d² ASC, c_id ASC). Unordered; the query entry adds the
+    * total order. Construction notes at the query entry. */
+  def kcenterAssign(vecs: DataFrame, k: Int = 4): DataFrame = {
+    val q = vecs
+      .withColumn("n2", graft.functions.VectorOps
+        .dot_product(col("qv"), col("qv")).cast("long"))
+      .select("vec_id", "qv", "n2")
+      .localCheckpoint()
+    def d2(cn2: Column, cv: Column): Column =
+      col("n2") + cn2 - lit(2L) * graft.functions.VectorOps
+        .dot_product(col("qv"), cv).cast("long")
+    var centers = q.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("c_id"), col("qv").as("cv"),
+        col("n2").as("cn2"))
+    for (_ <- 2 to k) {
+      val dmin = q.crossJoin(broadcast(centers))
+        .select(col("vec_id"), d2(col("cn2"), col("cv")).as("dd"))
+        .groupBy("vec_id").agg(min(col("dd")).as("dmin"))
+      val next = dmin.orderBy(desc("dmin"), asc("vec_id")).limit(1)
+        .join(q, "vec_id")
+        .select(col("vec_id").as("c_id"), col("qv").as("cv"),
+          col("n2").as("cn2"))
+      centers = centers.unionAll(next).localCheckpoint()
+    }
+    q.crossJoin(broadcast(centers))
+      .select(col("vec_id"),
+        struct(d2(col("cn2"), col("cv")).as("d2"), col("c_id")).as("dc"))
+      .groupBy("vec_id").agg(min(col("dc")).as("best"))
+      .select(col("vec_id"), col("best.c_id").as("center"),
+        col("best.d2").as("d2"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E4 — exact top-10 cosine neighbours of vec_id=0. Similarity itself is
     // engine-local float math, so only the *ranking* (with PK tiebreak) is
@@ -638,36 +677,8 @@ object Similarity {
     // never a collect; the center table localCheckpoints per round (the
     // kmeans_lloyd lineage discipline). O(k·N) total like k-means
     // assignment; k is a small constant.
-    "coreset_kcenter" -> ((s, d) => {
-      val q = quantizedVectors(s, d)
-        .withColumn("n2", graft.functions.VectorOps
-          .dot_product(col("qv"), col("qv")).cast("long"))
-        .select("vec_id", "qv", "n2")
-        .localCheckpoint()
-      def d2(cn2: Column, cv: Column): Column =
-        col("n2") + cn2 - lit(2L) * graft.functions.VectorOps
-          .dot_product(col("qv"), cv).cast("long")
-      var centers = q.filter(col("vec_id") === 0)
-        .select(col("vec_id").as("c_id"), col("qv").as("cv"),
-          col("n2").as("cn2"))
-      for (_ <- 2 to 4) {
-        val dmin = q.crossJoin(broadcast(centers))
-          .select(col("vec_id"), d2(col("cn2"), col("cv")).as("dd"))
-          .groupBy("vec_id").agg(min(col("dd")).as("dmin"))
-        val next = dmin.orderBy(desc("dmin"), asc("vec_id")).limit(1)
-          .join(q, "vec_id")
-          .select(col("vec_id").as("c_id"), col("qv").as("cv"),
-            col("n2").as("cn2"))
-        centers = centers.unionAll(next).localCheckpoint()
-      }
-      q.crossJoin(broadcast(centers))
-        .select(col("vec_id"),
-          struct(d2(col("cn2"), col("cv")).as("d2"), col("c_id")).as("dc"))
-        .groupBy("vec_id").agg(min(col("dc")).as("best"))
-        .select(col("vec_id"), col("best.c_id").as("center"),
-          col("best.d2").as("d2"))
-        .orderBy("vec_id")
-    }),
+    "coreset_kcenter" -> ((s, d) =>
+      kcenterAssign(quantizedVectors(s, d)).orderBy("vec_id")),
     // Int8 symmetric quantization of the embedding column (training-data
     // pipeline op): per-vector scale = 127/max|x|, q_i = floor(x·scale+0.5)
     // — the storage/serving compression step (4× smaller than float32).

@@ -519,7 +519,12 @@ class PlanSpec extends SparkSpec {
       // scoring streams the corpus once); rfm_segment crosses the 1-row
       // quartile-cuts aggregate (boundary-broadcast scoring is the whole
       // point — see the query's scaladoc)
-      "retrieval_maxsim", "rfm_segment")
+      "retrieval_maxsim", "rfm_segment",
+      // r12: coreset_kcenter is the kmeans_lloyd-style bounded broadcast
+      // pattern — each round crosses the ≤4-row broadcast center table
+      // (and the final assignment pass crosses it once more); the
+      // quantization scale rides the shared 1-row broadcast
+      "coreset_kcenter")
     // ETL/streaming queries run real side effects — planning-only audit
     // covers the analytic surface (list shared with ContractSpec).
     val sideEffecting = QuerySets.sideEffecting

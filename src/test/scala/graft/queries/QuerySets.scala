@@ -34,5 +34,9 @@ object QuerySets {
     "graph_common_neighbors",
     // r10: Bfs/LabelPropagation checkpoint the symmetric edge list (and
     // run their whole frontier/label loop) inside the builder
-    "graph_bfs_reach", "graph_communities_lpa")
+    "graph_bfs_reach", "graph_communities_lpa",
+    // r12: coreset_kcenter localCheckpoints the quantized vector table and
+    // each round's center table; graph_components runs the full CC loop
+    // (ConnectedComponents.run eagerly checkpoints) inside the builder
+    "coreset_kcenter", "graph_components")
 }
