@@ -64,7 +64,12 @@ object Scaling {
     // novelty profile (digest-only first-occurrence), and the source-pair
     // overlap matrix (distinct-first, posting-bounded self-join)
     Q("dedup_minhash_verified", 64), Q("dedup_ngram_novelty", 64),
-    Q("corpus_overlap_ngram", 64))
+    Q("corpus_overlap_ngram", 64),
+    // round 12: winnowing profile (digest-only shuffle — linear claim),
+    // and the keeper-policy pairing: exact keep_best inherits the
+    // quadratic pair-gen, the LSH sibling must track minhash_verified
+    Q("dedup_winnow_fingerprint", 64),
+    Q("dedup_cluster_keep_best", 64), Q("dedup_cluster_keep_best_lsh", 64))
 
   /** embeddings+events-family study (base sf0.1 — 2000 vecs / 100k events
     * ⇒ 128000 / 6.4M at 64×). The exact per-label pair operator is capped
@@ -79,7 +84,10 @@ object Scaling {
     Q("knn_ivf_multiprobe", 64),
     // round 11b: late-interaction MaxSim — one broadcast pass over the
     // corpus (4 query tokens), expected to track the linear topk curve
-    Q("retrieval_maxsim", 64))
+    Q("retrieval_maxsim", 64),
+    // round 12: Gonzalez k-center — k broadcast rounds over the corpus,
+    // O(k·N) claim ⇒ expected to track the scan-bound linear family
+    Q("coreset_kcenter", 64))
 
   private val GraphQueries = Seq(
     // round 11: bounded-round peel — per-round O(|E|) like LPA

@@ -209,6 +209,34 @@ object TierD {
         .filter(col("graft_rn") === 1).drop("graft_rn")
         .orderBy("user_id", "session_start_s")
     }),
+    // D5c (round 12) — the WATERMARK-FINALIZED sessionizer: the same
+    // flatMapGroupsWithState assembly gated behind an event-time timeout
+    // (SessionAssembly.sessionsFinal), so every session is emitted
+    // EXACTLY ONCE and append consumers need no reduction (contrast the
+    // per-(user, start) longest-row window above). Emission boundary is a
+    // pure function of the fixture under delay=0: a session is emitted
+    // iff a later same-user event closed it, or the final watermark (the
+    // global max event-time ms) passed its end+gap horizon — each user's
+    // last session near stream end correctly stays in state, and the
+    // oracle states that boundary in SQL. Runs the same 3 real
+    // micro-batches as D5b; the timeout fires in the no-data
+    // watermark-commit batch Spark appends when state requires it.
+    "stream_sessionize_final" -> ((s, d) => withFewStatePartitions(s) {
+      val name = s"sff_out_${java.lang.Long.toHexString(System.nanoTime)}"
+      val q = graft.streaming.SessionAssembly
+        .sessionsFinal(graft.core.Tables.eventsStreamChunked(s, d, chunks = 3))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", scratchDir("graft_sff_ckpt"))
+        .start()
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 2,
+        s"multi-batch contract violated: $batches data batch(es) ran — " +
+          "the cross-batch carry was not exercised")
+      s.table(name).orderBy("user_id", "session_start_s")
+    }),
     // D6 — bookmark semantics end-to-end (reference README.md:145): a file
     // source with checkpoint processes each file exactly once; the second
     // AvailableNow run emits only newly-landed files. EtlSpec asserts the
@@ -315,6 +343,42 @@ object TierD {
         |       COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_s""".stripMargin,
+    // D5c: the watermark-finalized emission boundary in SQL — a session
+    // row appears iff a later same-user event closed it (rn > 1: it is
+    // not the user's last session) OR the final watermark (global max
+    // event-time ms, delay 0) strictly passed its end+gap timeout
+    // horizon (set from the SECOND-truncated tail end, hence ·1000)
+    "stream_sessionize_final" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t,
+        |         value
+        |  FROM events),
+        |mx AS (SELECT MAX(epoch_ms(CAST(ts AS TIMESTAMP))) AS mms
+        |       FROM events),
+        |flagged AS (
+        |  SELECT user_id, t, value,
+        |         CASE WHEN lag(t) OVER w IS NULL OR t >= lag(t) OVER w + 1800
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |sessions AS (
+        |  SELECT user_id, t, value,
+        |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged),
+        |agg AS (
+        |  SELECT user_id, MIN(t) AS session_start_s, MAX(t) AS session_end_s,
+        |         COUNT(*) AS n_events,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM sessions GROUP BY user_id, sid),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |           ORDER BY session_start_s DESC) AS rn
+        |  FROM agg)
+        |SELECT user_id, session_start_s, session_end_s, n_events, sum_value
+        |FROM r, mx
+        |WHERE rn > 1 OR (session_end_s + 1800) * 1000 < mms
         |ORDER BY user_id, session_start_s""".stripMargin,
     // D7: final mapGroupsWithState state per user == the batch aggregate;
     // exact-decimal accumulation makes total_value order-independent.

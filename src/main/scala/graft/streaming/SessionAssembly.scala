@@ -29,6 +29,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object SessionAssembly {
 
   case class SEv(user_id: Long, t: Long, value: java.math.BigDecimal)
+  /** The finalized variant's event carries the RAW watermark column too:
+    * Spark's unsupported-operation check requires an output attribute with
+    * watermark metadata to reach the FlatMapGroupsWithState child, and a
+    * CAST expression strips it — so `ts` rides along unchanged. */
+  case class SEvF(user_id: Long, ts: java.sql.Timestamp, t: Long,
+      value: java.math.BigDecimal)
   case class OpenTail(start: Long, end: Long, n: Long,
       sum: java.math.BigDecimal)
   case class SessionOut(user_id: Long, session_start_s: Long,
@@ -76,5 +82,63 @@ object SessionAssembly {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenTail, SessionOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(assemble)
+  }
+
+  /** The WATERMARK-FINALIZED variant (round 12): each session is emitted
+    * EXACTLY ONCE — closed sessions when the closing event arrives, the
+    * open tail only when the event-time watermark passes `end + gap` (an
+    * event-time timeout), at which point no in-order event can extend it.
+    * Append-mode consumers need no per-(user, start) reduction: there are
+    * no duplicate rows by construction (SessionAssemblySpec pins this over
+    * ≥3 micro-batches). The trade: a tail whose `end + gap` the watermark
+    * never passes (each user's final session near stream end) stays in
+    * state unemitted when the stream stops — the gate oracle states that
+    * boundary exactly (emit iff a later same-user event exists, or
+    * (end+gap)·1000 < the global max event-time ms). */
+  def assembleFinal(uid: Long, evs: Iterator[SEvF],
+      state: GroupState[OpenTail]): Iterator[SessionOut] = {
+    if (state.hasTimedOut) {
+      val cur = state.get
+      state.remove()
+      return Iterator.single(
+        SessionOut(uid, cur.start, cur.end, cur.n, cur.sum.doubleValue))
+    }
+    val sorted = evs.toArray.sortBy(_.t)
+    if (sorted.isEmpty) return Iterator.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+    var cur = state.getOption.orNull
+    sorted.foreach { e =>
+      if (cur == null) cur = OpenTail(e.t, e.t, 1L, e.value)
+      else if (e.t >= cur.end + gapSeconds) {
+        out += SessionOut(uid, cur.start, cur.end, cur.n, cur.sum.doubleValue)
+        cur = OpenTail(e.t, e.t, 1L, e.value)
+      } else cur = OpenTail(cur.start, e.t, cur.n + 1L, cur.sum.add(e.value))
+    }
+    state.update(cur)
+    // fire when the watermark passes the gap after the tail's last event;
+    // the max() guard keeps the timestamp legal (it must exceed the
+    // current watermark) for a user whose whole tail is already behind it
+    state.setTimeoutTimestamp(math.max((cur.end + gapSeconds) * 1000L,
+      state.getCurrentWatermarkMs() + 1L))
+    out.iterator
+  }
+
+  /** Attach watermark-finalized session assembly (see [[assembleFinal]]).
+    * `delay` is the watermark delay on the raw `ts` column; the gate uses
+    * 0 seconds so the finalization boundary is a pure function of the
+    * fixture's max event time. */
+  def sessionsFinal(events: DataFrame,
+      delay: String = "0 seconds"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", delay)
+      .selectExpr("user_id", "ts", "CAST(ts AS LONG) AS t",
+        "CAST(value AS DECIMAL(18,2)) AS value")
+      .as[SEvF]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenTail, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        assembleFinal)
   }
 }

@@ -47,4 +47,45 @@ class SessionAssemblySpec extends SparkSpec {
         "tail session start must stay at the batch-1 first event")
     } finally q.stop()
   }
+
+  test("finalized variant: exactly-once per session across 3+ micro-batches, tail held until the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+    val q = SessionAssembly.sessionsFinal(events)
+      .writeStream.format("memory").queryName("sa_final_spec")
+      .outputMode("append").start()
+    def rows() = spark.table("sa_final_spec")
+      .as[SessionAssembly.SessionOut].collect().toSeq
+    try {
+      // batch 1: open tail for user 1 — nothing may be emitted
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1.0),
+        (1L, ts("2024-01-01 10:05:00"), 2.0))
+      q.processAllAvailable()
+      assert(rows().isEmpty, s"open tail must not flush: ${rows()}")
+      // batch 2: the 10:45 event closes session 1 (emitted now, once);
+      // the new tail stays in state — watermark (10:45) hasn't passed
+      // its end + gap (11:15)
+      input.addData((1L, ts("2024-01-01 10:45:00"), 4.0))
+      q.processAllAvailable()
+      assert(rows().map(s => (s.n_events, s.sum_value)) == Seq((2L, 3.0)),
+        s"exactly the closed session: ${rows()}")
+      // batch 3: a different user's 12:00 event advances the watermark
+      // past 11:15 — the event-time timeout fires and flushes user 1's
+      // tail in the watermark-commit batch; user 2's own tail (12:30
+      // horizon) correctly stays in state when the test ends
+      input.addData((2L, ts("2024-01-01 12:00:00"), 9.0))
+      q.processAllAvailable()
+      val got = rows().sortBy(s => (s.user_id, s.session_start_s))
+      assert(got.map(s => (s.user_id, s.n_events, s.sum_value)) ==
+        Seq((1L, 2L, 3.0), (1L, 1L, 4.0)),
+        s"closed + timed-out tail, user 2 unflushed: $got")
+      // the append-safety contract: no (user, start) appears twice
+      val dup = got.groupBy(s => (s.user_id, s.session_start_s))
+        .filter(_._2.size > 1)
+      assert(dup.isEmpty, s"duplicate session rows: $dup")
+    } finally q.stop()
+  }
 }
