@@ -69,7 +69,10 @@ object Scaling {
     // and the keeper-policy pairing: exact keep_best inherits the
     // quadratic pair-gen, the LSH sibling must track minhash_verified
     Q("dedup_winnow_fingerprint", 64),
-    Q("dedup_cluster_keep_best", 64), Q("dedup_cluster_keep_best_lsh", 64))
+    Q("dedup_cluster_keep_best", 64), Q("dedup_cluster_keep_best_lsh", 64),
+    // round 12b: DSIR (one explode pass + 256-row broadcast lr join) and
+    // the CCNet tertiles (histogram ranking) — both claim linear
+    Q("dsir_importance", 64), Q("quality_buckets_lang", 64))
 
   /** embeddings+events-family study (base sf0.1 — 2000 vecs / 100k events
     * ⇒ 128000 / 6.4M at 64×). The exact per-label pair operator is capped
@@ -87,7 +90,9 @@ object Scaling {
     Q("retrieval_maxsim", 64),
     // round 12: Gonzalez k-center — k broadcast rounds over the corpus,
     // O(k·N) claim ⇒ expected to track the scan-bound linear family
-    Q("coreset_kcenter", 64))
+    Q("coreset_kcenter", 64),
+    // round 12b: JL projection — pure per-row map work, scan-bound claim
+    Q("embed_random_projection", 64))
 
   private val GraphQueries = Seq(
     // round 11: bounded-round peel — per-round O(|E|) like LPA
@@ -102,7 +107,9 @@ object Scaling {
     // transition-table model and the gaps-and-islands streaks (both one
     // user_id window + vocabulary-sized aggs — linear)
     Q("graph_components", 64), Q("graph_clustering_coeff", 64),
-    Q("markov_next_page", 64), Q("streaks_activity", 64))
+    Q("markov_next_page", 64), Q("streaks_activity", 64),
+    // round 12b: RA link prediction — same cap·|E| wedge bound as CN
+    Q("graph_resource_alloc", 64))
 
   case class Pt(query: String, mult: Int, inputRows: Long, outRows: Long,
       sec: Double)

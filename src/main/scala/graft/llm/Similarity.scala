@@ -268,6 +268,25 @@ object Similarity {
           .cast("long").as("score"))
   }
 
+  /** JL projection dims (embed_random_projection): fixture embedding dim
+    * 64 → 16 output coordinates. */
+  private val JlInDim = 64
+  private val JlOutDim = 16
+
+  /** Rademacher sign s(i, j) ∈ {−1, +1} for input dim i, output dim j:
+    * parity of the ASCII code of the first hex char of md5("i|j") — the
+    * SAME derivation the DuckDB oracle runs in SQL (ascii(substr(md5(
+    * i || '|' || j), 1, 1)) % 2), so the gate differentially checks the
+    * sign matrix itself. Hex chars split 8/8 on ASCII parity
+    * ({0,2,4,6,8,b,d,f} even), so the signs are balanced. Returned as
+    * Double: dot_product consumes double arrays and ±1.0 is exact. */
+  private[llm] def jlSign(i: Int, j: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$i|$j".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    if (hex.charAt(0).toInt % 2 == 0) 1.0 else -1.0
+  }
+
   /** Body of `knn_mutual_pairs` on any (vec_id, uv, label) frame — factored
     * so LlmSpec can plant a hub geometry and assert the mutual filter kills
     * the non-reciprocated hub edges. Top-1 per vector within its label by
@@ -679,6 +698,37 @@ object Similarity {
     // assignment; k is a small constant.
     "coreset_kcenter" -> ((s, d) =>
       kcenterAssign(quantizedVectors(s, d)).orderBy("vec_id")),
+    // Johnson-Lindenstrauss random projection 64 → 16 dims (round 12): the
+    // dimensionality-reduction step ahead of ANN indexing/clustering —
+    // JL (1984) preserves pairwise distances within (1±ε) under a random
+    // linear map, and Achlioptas (2003) showed iid ±1 entries suffice
+    // ("database-friendly" projections: no Gaussians, integer arithmetic).
+    // Signs are a pure function of (in_dim, out_dim) via md5 parity —
+    // derived identically in Scala (jlSign, driver-side literal matrix)
+    // and in the oracle's SQL (DuckDB md5 of the same "i|j" strings), so
+    // the gate checks the sign derivation itself, not a shared constant.
+    // Inputs are the shared global-scale int8 quantization
+    // (quantizedVectors), so each output coordinate Σᵢ s(i,j)·qᵢ is an
+    // exact integer (|y| ≤ 64·127 ≪ 2⁵³) computed through the native
+    // dot_product kernel — zero floats, hash-exact. Emitted as 16 scalar
+    // long columns (p0..p15), never an array (the embed_quantize
+    // pandas-hash constraint). 100 TB shape: pure per-row map work on one
+    // corpus scan — zero shuffle beyond the 1-row broadcast scale; output
+    // is 4× narrower for every downstream consumer. Fixture-dim 64 is
+    // asserted (a dim mismatch must fail loudly, not zero-pad).
+    "embed_random_projection" -> ((s, d) => {
+      val q = quantizedVectors(s, d)
+      val checked = q.withColumn("qv",
+        when(size(col("qv")) === JlInDim, col("qv")).otherwise(
+          raise_error(concat(lit(s"embed_random_projection: dim != $JlInDim: "),
+            size(col("qv")).cast("string")))))
+      val cols = (0 until JlOutDim).map { j =>
+        val signs = array((0 until JlInDim).map(i => lit(jlSign(i, j))): _*)
+        graft.functions.VectorOps.dot_product(col("qv"), signs)
+          .cast("long").as(s"p$j")
+      }
+      checked.select(col("vec_id") +: cols: _*).orderBy("vec_id")
+    }),
     // Int8 symmetric quantization of the embedding column (training-data
     // pipeline op): per-vector scale = 127/max|x|, q_i = floor(x·scale+0.5)
     // — the storage/serving compression step (4× smaller than float32).
@@ -902,6 +952,31 @@ object Similarity {
         |SELECT q.vec_id, CAST(list_dot_product(q.qv, p.pv) AS BIGINT) AS score
         |FROM q, p WHERE q.vec_id <> 0
         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // same quantization CTE; the sign matrix is derived IN SQL from md5
+    // parity of "i|j" (the Scala side derives its literal matrix from the
+    // same strings — see jlSign), each projection an exact-integer
+    // list_dot_product
+    "embed_random_projection" -> {
+      val pCols = (0 until JlOutDim).map { j =>
+        s"""CAST(list_dot_product(qv, list_transform(range(0, $JlInDim),
+           |           i -> CASE WHEN ascii(substr(md5(i || '|' || $j), 1, 1))
+           |                          % 2 = 0
+           |                THEN 1.0 ELSE -1.0 END)) AS BIGINT) AS p$j"""
+          .stripMargin
+      }.mkString(",\n        ")
+      s"""WITH m AS (
+        |  SELECT nullif(MAX(list_max(list_transform(embedding,
+        |           x -> abs(CAST(x AS DOUBLE))))), 0.0) AS m
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding,
+        |           x -> floor(CAST(x AS DOUBLE) * (127.0 / m) + 0.5)) AS qv
+        |  FROM embeddings, m)
+        |SELECT vec_id,
+        |        $pCols
+        |FROM q ORDER BY vec_id""".stripMargin
+    },
     // same quantization pipeline, threshold filter instead of LIMIT — the
     // scores are exact integers so the >= 10000 cut cannot straddle noise
     "knn_radius_quantized" ->

@@ -975,6 +975,91 @@ object TextStats {
           expr("n_common * 1000000 DIV (n_a + n_b - n_common)"))
         .select("src_a", "src_b", "n_common", "n_a", "n_b", "jaccard_q6")
         .orderBy("src_a", "src_b")
+    }),
+    // CCNet-style per-language quality tertiles (round 12): CCNet (Wenzek
+    // et al. 2020) buckets each language's crawl into head/middle/tail by
+    // per-language perplexity percentile, and trains on head+middle —
+    // thresholds must be PER LANGUAGE because absolute scores are not
+    // comparable across languages. Fluency proxy here: stopword-hit ratio
+    // as exact integer fixed point fl_q6 = hits·10⁶ DIV tokens (the
+    // corpus marker lexicon — higher = more fluent = head). Bucket
+    // boundary is defined by STRICT-GREATER counts, not ntile: with
+    // hi = |{docs in lang with fl_q6 > mine}| and n = |lang|, bucket =
+    // head if 3·hi < n, middle if 3·hi < 2n, else tail — ties share a
+    // bucket (a doc never outranks an equal-scoring doc), and the rule is
+    // all-integer. 100 TB shape: NO per-language global sort — the doc
+    // pass is one map-side TokenStats scan; ranking runs on the
+    // (lang, fl_q6) HISTOGRAM (domain ≤ |langs|·10⁶ rows, counting-sort
+    // style) with a window over that compact table, then joins back on
+    // (lang, fl_q6). The DuckDB oracle is an INDEPENDENT construction —
+    // rank()-1 over raw docs — so the gate cross-checks the histogram
+    // derivation itself.
+    "quality_buckets_lang" -> ((s, d) => {
+      val q = qualityStats
+      val scored = documents(s, d).select(col("doc_id"), col("lang"),
+          q.nStop.cast("long").as("n_stop"), q.nTok.cast("long").as("n_tok"))
+        // split("", " ") yields [""], so n_tok >= 1 — the DIV cannot be /0
+        .select(col("doc_id"), col("lang"),
+          expr("n_stop * 1000000L DIV n_tok").as("fl_q6"))
+      val hist = scored.groupBy("lang", "fl_q6").agg(count(lit(1)).as("c"))
+      val wDesc = Window.partitionBy("lang").orderBy(desc("fl_q6"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wLang = Window.partitionBy("lang")
+      val ranked = hist
+        .withColumn("hi", coalesce(sum(col("c")).over(wDesc), lit(0L)))
+        .withColumn("n", sum(col("c")).over(wLang))
+        .select(col("lang"), col("fl_q6"), col("hi"), col("n"))
+      scored.join(ranked, Seq("lang", "fl_q6"))
+        .select(col("doc_id"), col("lang"), col("fl_q6"),
+          when(col("hi") * 3 < col("n"), 1)
+            .when(col("hi") * 3 < col("n") * 2, 2)
+            .otherwise(3).as("bucket"))
+        .orderBy("doc_id")
+    }),
+    // DSIR importance weighting (round 12): Data Selection via Importance
+    // Resampling (Xie et al. 2023) — score every raw doc by how
+    // target-like its hashed-ngram feature distribution is, then sample
+    // proportionally. Features: unigram occurrences hashed into B = 256
+    // buckets (md5 hex digits 25-28 of the TOKEN — a content namespace,
+    // disjoint by construction from the id-keyed sampling ranges 1-4/5-8/
+    // 21-24, and 25-28 is the ledger's next free range). Target
+    // distribution = the lang='en' slice; raw = the whole corpus. Bucket
+    // log-ratio lr(b) = ln((n_t(b)+1)/(T+B)) − ln((n_r(b)+1)/(R+B))
+    // (add-one smoothing) is computed as ONE ln of the exact rational
+    // (n_t+1)(R+B) / ((n_r+1)(T+B)) — both operands exact in double
+    // (≪ 2⁵³) — then half-up scaled to an INTEGER at 1e-8
+    // (floor(x·1e8+0.5), the profile_entropy/tfidf transcendental
+    // discipline; measured min distance to a rounding boundary across all
+    // occupied buckets × SFs is ~2.9e-11, ~5 orders above libm ulp noise
+    // — PropertySpec re-measures it against the live fixture). The
+    // per-doc score
+    // Σ_tokens lr_q8(bucket(token)) is then an ORDER-INDEPENDENT exact
+    // long — no float sum ever crosses engines. 100 TB shape: one explode
+    // pass → B-row count table (map-side-combinable, two counts in one
+    // agg); the 256-row lr table and the 1-row totals ride broadcasts;
+    // the doc score is one map-side-combinable sum keyed by doc_id. The
+    // log-ratio table is tiny and static — in production it would be fit
+    // once and reused across corpus shards.
+    "dsir_importance" -> ((s, d) => {
+      val B = 256
+      val toks = documents(s, d).select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("tok"))
+        .withColumn("b", md5Fold(col("tok"), 25) % B)
+      val counts = toks.groupBy("b").agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_t"),
+        count(lit(1)).as("n_r"))
+      val totals = counts.agg(sum("n_t").as("tt"), sum("n_r").as("rr"))
+      val lr = counts.crossJoin(broadcast(totals))
+        .select(col("b"),
+          floor(log((col("n_t") + 1).cast("double") *
+              (col("rr") + B).cast("double") /
+              ((col("n_r") + 1).cast("double") *
+                (col("tt") + B).cast("double"))) * lit(1.0e8) + lit(0.5))
+            .cast("long").as("lr_q8"))
+      toks.join(broadcast(lr), "b")
+        .groupBy("doc_id").agg(max(col("lang")).as("lang"),
+          count(lit(1)).as("n_tok"), sum(col("lr_q8")).as("dsir_q8"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1002,6 +1087,56 @@ object TextStats {
         |       CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
         |         / length(text) AS non_alnum_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // INDEPENDENT construction: rank()-1 over the raw docs per language
+    // (the engine derives strict-greater counts from the (lang, fl_q6)
+    // histogram instead — the gate cross-checks the two)
+    "quality_buckets_lang" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(list_filter(str_split(text, ' '),
+        |                t -> list_contains(['the','and','of','to','in','el','la','de','que','y','der','die','und','das','ist','le','et','les','des'], t))) AS BIGINT)
+        |           * 1000000 // len(str_split(text, ' ')) AS fl_q6
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, fl_q6,
+        |         rank() OVER (PARTITION BY lang ORDER BY fl_q6 DESC) - 1 AS hi,
+        |         COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM s)
+        |SELECT doc_id, lang, CAST(fl_q6 AS BIGINT) AS fl_q6,
+        |       CAST(CASE WHEN hi * 3 < n THEN 1
+        |                 WHEN hi * 3 < 2 * n THEN 2 ELSE 3 END AS INT) AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // token-bucket fold replays md5Fold at digits 25-28 (the sample_split
+    // idiom, TOKEN namespace); the bucket log-ratio is one ln of an exact
+    // rational, half-up quantized to q8 BEFORE the per-doc integer sum
+    "dsir_importance" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(str_split(text, ' ')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang, md5(tok) AS hx FROM toks),
+        |bk AS (
+        |  SELECT doc_id, lang,
+        |    ((((CASE WHEN ord(hx[25:25]) >= 97 THEN ord(hx[25:25]) - 87 ELSE ord(hx[25:25]) - 48 END) * 16
+        |      + (CASE WHEN ord(hx[26:26]) >= 97 THEN ord(hx[26:26]) - 87 ELSE ord(hx[26:26]) - 48 END)) * 16
+        |      + (CASE WHEN ord(hx[27:27]) >= 97 THEN ord(hx[27:27]) - 87 ELSE ord(hx[27:27]) - 48 END)) * 16
+        |      + (CASE WHEN ord(hx[28:28]) >= 97 THEN ord(hx[28:28]) - 87 ELSE ord(hx[28:28]) - 48 END)) % 256 AS b
+        |  FROM h),
+        |counts AS (
+        |  SELECT b, SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_t,
+        |         COUNT(*) AS n_r
+        |  FROM bk GROUP BY b),
+        |tot AS (SELECT SUM(n_t) AS tt, SUM(n_r) AS rr FROM counts),
+        |lr AS (
+        |  SELECT b,
+        |         CAST(floor(ln(CAST((n_t + 1) * (rr + 256) AS DOUBLE)
+        |                       / CAST((n_r + 1) * (tt + 256) AS DOUBLE))
+        |                    * 1e8 + 0.5) AS BIGINT) AS lr_q8
+        |  FROM counts, tot)
+        |SELECT bk.doc_id, MAX(bk.lang) AS lang, COUNT(*) AS n_tok,
+        |       CAST(SUM(lr.lr_q8) AS BIGINT) AS dsir_q8
+        |FROM bk JOIN lr USING (b)
+        |GROUP BY bk.doc_id ORDER BY bk.doc_id""".stripMargin,
     // Stub features are (byte & 0xff)/256 — exact dyadic rationals, so the
     // 8-element sum is order-independent and oracle-safe; ord() == byte on
     // this ASCII corpus.

@@ -73,6 +73,46 @@ object CommonNeighbors {
       .select(col("e1.x").as("a"), col("e2.x").as("b"))
   }
 
+  /** Resource-Allocation link prediction (Zhou, Lü & Zhang, "Predicting
+    * missing links via local information", Eur. Phys. J. B 71, 2009 — the
+    * down-weighted-commons refinement of plain CN): each shared neighbor z
+    * contributes 1/deg(z), so a hub common neighbor counts for little and
+    * a degree-2 bridge counts for much. The per-center weight is quantized
+    * to the exact integer ⌊10⁶/deg(z)⌋ BEFORE the sum (each wedge's
+    * contribution is a pure integer function of the center's degree), so
+    * the per-pair score Σ⌊10⁶/d_z⌋ is an order-independent exact long in
+    * both engines — zero floats, the markov_next_page q6 discipline.
+    *
+    * Same Σd² wedge enumeration and `maxDegree` center cap as [[run]]
+    * (shared adjDeg); the cap is even more principled here — a center
+    * above the cap contributes < 10⁶/cap per wedge, i.e. the pairs it
+    * would add are exactly the ones RA already down-weights toward zero.
+    *
+    * @param und distinct undirected edges as (u, v) with u < v
+    * @return (a, b, cn, ra_q6) ordered by ra_q6 desc, a, b
+    */
+  def resourceAllocation(und: DataFrame, maxDegree: Long,
+      topK: Int): DataFrame = {
+    val u = und.localCheckpoint()
+    val (adj, deg) = adjDeg(u)
+    // wedge enumeration with the center's degree riding along: every
+    // center has deg >= 2 by construction (it closes a wedge), so the
+    // integer division is never by zero
+    val capped = adj
+      .join(deg.filter(col("d") <= lit(maxDegree)), Seq("w"))
+    val wedges = capped.as("e1")
+      .join(capped.as("e2").drop("d"), "w")
+      .filter(col("e1.x") < col("e2.x"))
+      .select(col("e1.x").as("a"), col("e2.x").as("b"),
+        expr("1000000L DIV d").as("ra_w"))
+    val scored = wedges.groupBy("a", "b")
+      .agg(count(lit(1)).as("cn"), sum(col("ra_w")).as("ra_q6"))
+    scored.join(u, scored("a") === u("u") && scored("b") === u("v"),
+        "left_anti")
+      .select("a", "b", "cn", "ra_q6")
+      .orderBy(desc("ra_q6"), asc("a"), asc("b")).limit(topK)
+  }
+
   /** Top-k unlinked pairs by neighborhood Jaccard.
     *
     * @param und distinct undirected edges as (u, v) with u < v

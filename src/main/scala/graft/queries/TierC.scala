@@ -1947,6 +1947,20 @@ object TierCWindow {
     "graph_common_neighbors" -> ((s, d) =>
       graft.operators.CommonNeighbors.run(ClickGraph.und(s, d),
         maxDegree = 1000L, topK = 20)),
+    // Resource-Allocation link prediction (round 12): the down-weighted
+    // refinement of graph_common_neighbors — each shared neighbor z
+    // contributes ⌊10⁶/deg(z)⌋ instead of 1, so hub commons (which carry
+    // no signal) stop dominating the ranking (Zhou/Lü/Zhang 2009; RA
+    // empirically beats CN and Adamic-Adar on most link-prediction
+    // benchmarks, and its 1/d weight is exact-integer-quantizable where
+    // AA's 1/ln d is not). Same capped wedge enumeration as CN (shared
+    // operators.CommonNeighbors.adjDeg); score is an order-independent
+    // exact long — zero floats. 100 TB: cap·|E| wedge work, two
+    // map-side-combinable aggs, TakeOrdered top-k; the cap drops exactly
+    // the wedges RA already down-weights toward zero.
+    "graph_resource_alloc" -> ((s, d) =>
+      graft.operators.CommonNeighbors.resourceAllocation(ClickGraph.und(s, d),
+        maxDegree = 1000L, topK = 20)),
     // Bounded-hop reachability over the click graph (round 10): "pages
     // within 3 clicks of the seed set" via operators.Bfs — the frontier
     // loop whose per-round cost tracks the frontier's edges, never the
@@ -2451,6 +2465,24 @@ object TierCWindow {
         |FROM cand JOIN deg da ON da.w = cand.a
         |          JOIN deg db ON db.w = cand.b
         |ORDER BY jac_q6 DESC, a, b LIMIT 20""".stripMargin,
+    // same wedge space as common_neighbors; per-wedge weight is the exact
+    // integer 10^6 // deg(center), summed per pair — order-independent
+    "graph_resource_alloc" ->
+      s"""WITH ${ClickGraph.OracleEv},
+        |${ClickGraph.OracleUnd},
+        |${ClickGraph.OracleAdj},
+        |deg AS (SELECT w, COUNT(*) AS d FROM adj GROUP BY w),
+        |wedges AS (
+        |  SELECT e1.x AS a, e2.x AS b, 1000000 // deg.d AS ra_w
+        |  FROM adj e1 JOIN adj e2 USING (w) JOIN deg USING (w)
+        |  WHERE e1.x < e2.x AND deg.d <= 1000),
+        |scored AS (
+        |  SELECT a, b, COUNT(*) AS cn, SUM(ra_w) AS ra_q6
+        |  FROM wedges GROUP BY 1, 2)
+        |SELECT a, b, cn, CAST(ra_q6 AS BIGINT) AS ra_q6
+        |FROM scored s WHERE NOT EXISTS (
+        |  SELECT 1 FROM und WHERE u = s.a AND v = s.b)
+        |ORDER BY ra_q6 DESC, a, b LIMIT 20""".stripMargin,
     // UNROLLED per-hop derivation: hop h = neighbors of hop h-1 minus
     // everything settled earlier — an independent construction of the BFS
     // fixpoint (unit weights make first-reach distance unique, so no

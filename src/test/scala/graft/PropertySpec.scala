@@ -361,6 +361,44 @@ class PropertySpec extends SparkSpec {
     assert(empty.isNullAt(0), "simhash64 of empty array must be null")
   }
 
+  test("dsir_importance: every bucket log-ratio sits far from its q8 rounding boundary") {
+    // the one transcendental in dsir_importance is ln of an exact rational,
+    // half-up quantized at 1e-8 (floor(x·1e8+0.5)); the quantization is
+    // engine-safe only if no value sits within libm ulp noise (~1e-15
+    // unscaled) of a boundary. Re-derives the bucket counts exactly as the
+    // query does (md5 hex digits 25-28 of the token, mod 256) on the live
+    // fixtures and asserts the measured margin (scaladoc records ~2.9e-11;
+    // re-measure if the fixture changes).
+    import org.apache.spark.sql.functions._
+    val B = 256
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val hx = md5(col("tok"))
+      def hexVal(i: Int) = {
+        val c = substring(hx, i, 1)
+        when(ascii(c) >= 97, ascii(c) - 87).otherwise(ascii(c) - 48)
+      }
+      val fold = (25 until 29).map(hexVal).reduce(_ * 16 + _)
+      val counts = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("b", fold % B)
+        .groupBy("b").agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_t"),
+          count(lit(1)).as("n_r"))
+        .collect()
+      assert(counts.nonEmpty)
+      val tt = counts.map(_.getLong(1)).sum
+      val rr = counts.map(_.getLong(2)).sum
+      val minDist = counts.map { r =>
+        val x = (r.getLong(1) + 1).toDouble * (rr + B).toDouble /
+          ((r.getLong(2) + 1).toDouble * (tt + B).toDouble)
+        val y = math.log(x) * 1e8 + 0.5
+        math.abs(y - math.rint(y)) / 1e8
+      }.min
+      assert(minDist > 1e-12,
+        s"$dir: min boundary distance $minDist within libm noise range")
+    }
+  }
+
   test("token_stats matches a plain-Scala reference on random unicode tokens") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -524,7 +524,11 @@ class PlanSpec extends SparkSpec {
       // pattern — each round crosses the ≤4-row broadcast center table
       // (and the final assignment pass crosses it once more); the
       // quantization scale rides the shared 1-row broadcast
-      "coreset_kcenter")
+      "coreset_kcenter",
+      // r12: embed_random_projection reads quantizedVectors (the shared
+      // 1-row broadcast quantization scale); dsir_importance crosses the
+      // 1-row (T, R) feature-total aggregate onto the 256-row bucket table
+      "embed_random_projection", "dsir_importance")
     // ETL/streaming queries run real side effects — planning-only audit
     // covers the analytic surface (list shared with ContractSpec).
     val sideEffecting = QuerySets.sideEffecting

@@ -38,5 +38,8 @@ object QuerySets {
     // r12: coreset_kcenter localCheckpoints the quantized vector table and
     // each round's center table; graph_components runs the full CC loop
     // (ConnectedComponents.run eagerly checkpoints) inside the builder
-    "coreset_kcenter", "graph_components")
+    "coreset_kcenter", "graph_components",
+    // r12: resourceAllocation shares CommonNeighbors.adjDeg (same eager
+    // adjacency/degree checkpoints as graph_common_neighbors)
+    "graph_resource_alloc")
 }
