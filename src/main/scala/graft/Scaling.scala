@@ -70,9 +70,11 @@ object Scaling {
     // quadratic pair-gen, the LSH sibling must track minhash_verified
     Q("dedup_winnow_fingerprint", 64),
     Q("dedup_cluster_keep_best", 64), Q("dedup_cluster_keep_best_lsh", 64),
-    // round 12b: DSIR (one explode pass + 256-row broadcast lr join) and
-    // the CCNet tertiles (histogram ranking) — both claim linear
-    Q("dsir_importance", 64), Q("quality_buckets_lang", 64))
+    // round 12b: DSIR (one explode pass + 256-row broadcast lr join), the
+    // CCNet tertiles (histogram ranking), and the per-doc bigram LM score
+    // (instance stream × broadcast type table) — all claim linear
+    Q("dsir_importance", 64), Q("quality_buckets_lang", 64),
+    Q("perplexity_bigram_doc", 64))
 
   /** embeddings+events-family study (base sf0.1 — 2000 vecs / 100k events
     * ⇒ 128000 / 6.4M at 64×). The exact per-label pair operator is capped

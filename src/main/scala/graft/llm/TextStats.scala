@@ -346,6 +346,75 @@ object TextStats {
           expr("(n_docs * rate_pct) div 100").as("n_expected"))
         .orderBy("lang")
     }),
+    // Temperature-scaled language sampling weights (round 12): the data-mix
+    // rule multilingual pretraining actually uses (mC4 / XLM-R: p_l ∝
+    // (n_l/N)^α flattens the head so low-resource languages survive) —
+    // corpus_mix_rebalance's uniform target is the α=0 extreme; this is
+    // the production middle. α is pinned at 1/2 because sqrt is IEEE
+    // CORRECTLY ROUNDED (deterministic bit-for-bit across engines — the
+    // only α family with a transcendental-free implementation; pow(x,0.3)
+    // would need the margin discipline). Weight w_l = ⌊√n_l·10⁶⌋ is then
+    // exact, and share/quota/factor are pure integer fixed point on the
+    // integer Σw — zero floats end-to-end. Budget = N DIV 2 docs. Output:
+    // per-language weights, share, quota, and the up/down-sampling factor
+    // a sampler would apply (rate machinery = weighted_sample's md5
+    // digits). 100 TB shape: one vocabulary-sized aggregate + a 1-row
+    // totals broadcast — the corpus is scanned once.
+    "sample_temperature" -> ((s, d) => {
+      val counts = documents(s, d).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("w_q6", floor(sqrt(col("n_docs").cast("double"))
+          * lit(1.0e6)).cast("long"))
+      val totals = counts.agg(sum(col("w_q6")).as("w_sum"),
+        sum(col("n_docs")).as("total_docs"))
+      counts.crossJoin(broadcast(totals))
+        .select(col("lang"), col("n_docs"), col("w_q6"),
+          expr("w_q6 * 1000000 DIV w_sum").as("share_q6"),
+          expr("(total_docs DIV 2) * w_q6 DIV w_sum").as("quota"),
+          expr("((total_docs DIV 2) * w_q6 DIV w_sum) * 1000000 DIV n_docs")
+            .as("factor_q6"))
+        .orderBy("lang")
+    }),
+    // Per-document bigram log-likelihood (round 12): the CCNet filter
+    // SIGNAL — score every doc under the corpus's own add-one-smoothed
+    // bigram LM (the text_bigram_lm table, trained on the full corpus) and
+    // low-likelihood docs become drop/tail candidates
+    // (quality_buckets_lang then cuts per-language). Each bigram TYPE's
+    // log-prob ln((c12+1)/(c1+V)) is one ln of an exact rational, half-up
+    // quantized to q6 (spacing 1e-6: measured min boundary distance
+    // ~1.1e-9 across all types × SFs, ~6 orders above libm ulp noise —
+    // PropertySpec pins it; q8 measured too tight at ~2.8e-12), so the
+    // per-doc score Σ lp_q6 over its bigram INSTANCES is an
+    // order-independent exact long. 100 TB shape: bigram instances from
+    // one per-doc lead() window; the type table is vocab²-bounded and
+    // broadcast onto the instance stream; the doc sum is one
+    // map-side-combinable agg keyed by doc_id. Docs shorter than 2 tokens
+    // surface as n_bigrams = 0 / ll_q6 = 0 rather than dropping out.
+    "perplexity_bigram_doc" -> ((s, d) => {
+      val toks = documents(s, d).select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      val big = toks.withColumn("w2", lead(col("w"), 1).over(byDoc))
+        .filter(col("w2").isNotNull)
+        .select(col("doc_id"), col("w").as("w1"), col("w2"))
+      val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val vocab = toks.agg(count_distinct(col("w")).as("v"))
+      val lp = c12.join(c1, "w1").crossJoin(broadcast(vocab))
+        .select(col("w1"), col("w2"),
+          floor(log((col("c12") + 1).cast("double") /
+              (col("c1") + col("v")).cast("double")) * lit(1.0e6) + lit(0.5))
+            .cast("long").as("lp_q6"))
+      documents(s, d).select(col("doc_id"))
+        .join(big.join(broadcast(lp), Seq("w1", "w2"))
+            .groupBy("doc_id").agg(count(lit(1)).as("n_bigrams"),
+              sum(col("lp_q6")).as("ll_q6")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("ll_q6"), lit(0L)).as("ll_q6"))
+        .orderBy("doc_id")
+    }),
     // Context-window chunking with overlap (the other pretraining layout,
     // besides pack_sequences' concat-and-chunk): each document's token
     // stream is cut into windows of 64 tokens advancing by a 48-token
@@ -1795,6 +1864,45 @@ object TextStats {
         |ORDER BY hybrid_q6 DESC, doc_id LIMIT 15""".stripMargin,
     // positions via range() over the split array — an independent bigram
     // construction (the Spark plan windows with lead())
+    // sqrt is IEEE correctly rounded in both engines, so w_q6 is exact;
+    // everything downstream is integer // arithmetic
+    "sample_temperature" ->
+      """WITH c AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |         CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1e6) AS BIGINT)
+        |           AS w_q6
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT SUM(w_q6) AS w_sum, SUM(n_docs) AS total_docs FROM c)
+        |SELECT lang, n_docs, w_q6,
+        |       CAST(w_q6 * 1000000 // w_sum AS BIGINT) AS share_q6,
+        |       CAST((total_docs // 2) * w_q6 // w_sum AS BIGINT) AS quota,
+        |       CAST(((total_docs // 2) * w_q6 // w_sum) * 1000000 // n_docs
+        |            AS BIGINT) AS factor_q6
+        |FROM c, t ORDER BY lang""".stripMargin,
+    // per-TYPE ln of an exact rational, q6 half-up (floor(x·1e6+0.5)),
+    // then an integer sum over the doc's bigram instances
+    "perplexity_bigram_doc" ->
+      """WITH d AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+        |big AS (
+        |  SELECT doc_id, ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT) + 1] AS w2
+        |  FROM d, UNNEST(range(1, len(ws))) AS t(i)),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT w) AS v
+        |      FROM (SELECT unnest(ws) AS w FROM d) t),
+        |lp AS (
+        |  SELECT w1, w2,
+        |         CAST(floor(ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))
+        |                    * 1e6 + 0.5) AS BIGINT) AS lp_q6
+        |  FROM c12 JOIN c1 USING (w1) CROSS JOIN v),
+        |score AS (
+        |  SELECT big.doc_id, COUNT(*) AS n_bigrams, SUM(lp.lp_q6) AS ll_q6
+        |  FROM big JOIN lp USING (w1, w2) GROUP BY big.doc_id)
+        |SELECT d.doc_id,
+        |       COALESCE(s.n_bigrams, 0) AS n_bigrams,
+        |       CAST(COALESCE(s.ll_q6, 0) AS BIGINT) AS ll_q6
+        |FROM d LEFT JOIN score s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "text_bigram_lm" ->
       """WITH d AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
         |big AS (

@@ -399,6 +399,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("perplexity_bigram_doc: every bigram-type log-prob sits far from its q6 rounding boundary") {
+    // same transcendental discipline as the dsir test above, at the q6
+    // spacing the query uses (q8 measured too tight at ~2.8e-12 for the
+    // ~916-type bigram table; q6 gives ~1.1e-9, ~6 orders above libm ulp
+    // noise — re-measure if the fixture changes).
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val toks = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), posexplode(split(col("text"), " "))
+          .as(Seq("pos", "w")))
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val big = toks.withColumn("w2", lead(col("w"), 1).over(byDoc))
+        .filter(col("w2").isNotNull)
+        .select(col("w").as("w1"), col("w2"))
+      val v = toks.agg(countDistinct(col("w"))).head.getLong(0)
+      val types = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .join(big.groupBy("w1").agg(count(lit(1)).as("c1")), "w1")
+        .select("c12", "c1").collect()
+      assert(types.length > 100, s"$dir: suspiciously few bigram types")
+      val minDist = types.map { r =>
+        val y = math.log((r.getLong(0) + 1).toDouble / (r.getLong(1) + v)) *
+          1e6 + 0.5
+        math.abs(y - math.rint(y)) / 1e6
+      }.min
+      assert(minDist > 1e-11,
+        s"$dir: min boundary distance $minDist within libm noise range")
+    }
+  }
+
   test("token_stats matches a plain-Scala reference on random unicode tokens") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

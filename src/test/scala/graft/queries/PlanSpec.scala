@@ -528,7 +528,12 @@ class PlanSpec extends SparkSpec {
       // r12: embed_random_projection reads quantizedVectors (the shared
       // 1-row broadcast quantization scale); dsir_importance crosses the
       // 1-row (T, R) feature-total aggregate onto the 256-row bucket table
-      "embed_random_projection", "dsir_importance")
+      "embed_random_projection", "dsir_importance",
+      // r12b: sample_temperature crosses the 1-row (Σw, N) totals onto the
+      // |langs|-sized weight table (the corpus_mix_rebalance shape);
+      // perplexity_bigram_doc crosses the 1-row vocabulary size onto the
+      // vocab²-bounded bigram-type table (the text_bigram_lm shape)
+      "sample_temperature", "perplexity_bigram_doc")
     // ETL/streaming queries run real side effects — planning-only audit
     // covers the analytic surface (list shared with ContractSpec).
     val sideEffecting = QuerySets.sideEffecting
