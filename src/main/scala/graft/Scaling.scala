@@ -94,7 +94,10 @@ object Scaling {
     // O(k·N) claim ⇒ expected to track the scan-bound linear family
     Q("coreset_kcenter", 64),
     // round 12b: JL projection — pure per-row map work, scan-bound claim
-    Q("embed_random_projection", 64))
+    Q("embed_random_projection", 64),
+    // round 12b: PQ-ADC — two training passes + encode + lookup-sum, all
+    // linear with broadcast codebook/table; claims the scan-bound class
+    Q("knn_pq_adc", 64))
 
   private val GraphQueries = Seq(
     // round 11: bounded-round peel — per-round O(|E|) like LPA

@@ -729,6 +729,80 @@ object Similarity {
       }
       checked.select(col("vec_id") +: cols: _*).orderBy("vec_id")
     }),
+    // Product-quantization ADC search (round 12): the Jégou/Douze/Schmid
+    // 2011 scheme behind FAISS's IVFPQ — THE memory lever for
+    // billion-vector ANN: split each vector into M=8 subvectors of 8
+    // dims, learn a K=16-centroid codebook per subspace, store each
+    // vector as 8 four-bit codes (8 bytes vs 256 — 32×), and answer
+    // queries by Asymmetric Distance Computation: precompute the probe's
+    // exact d² to all M·K centroids (a 128-entry table), then each
+    // vector's approximate d² is a SUM OF 8 TABLE LOOKUPS — no vector
+    // math at query time. Training is pinned deterministic: seeds =
+    // subvectors of vec_ids 0..15, ONE Lloyd round (exact-integer d²
+    // argmin with (d², code) tie-break, centroid = component-wise mean),
+    // so the codebook is a pure function of the corpus and the DuckDB
+    // oracle replays it exactly. ALL arithmetic lives in the +127-SHIFTED
+    // non-negative int domain ([0,254] components): squared distances are
+    // shift-invariant, and the centroid mean's integer division is only
+    // cross-engine-deterministic for non-negative operands (Spark DIV
+    // truncates toward zero, DuckDB // floors — they agree iff ≥ 0, the
+    // CommonNeighbors caveat). Zero floats anywhere. 100 TB shape: the
+    // codebook (128 rows) and ADC table (128 rows) ride broadcasts;
+    // training is two corpus passes (seed-assign + recenter), encoding
+    // one more, and the query pass is a broadcast-lookup sum — every agg
+    // map-side-combinable; empty codes just drop out of the argmin
+    // (deterministic in both engines via the inner join).
+    "knn_pq_adc" -> ((s, d) => {
+      val M = 8; val SUB = 8
+      val q = quantizedVectors(s, d)
+        .select(col("vec_id"),
+          transform(col("qv"), x => x + lit(127.0)).as("sv0"))
+        .localCheckpoint()
+      // (vec_id, sub, sv): the M subvectors of every vector
+      val subs = q.select(col("vec_id"),
+          explode(sequence(lit(0), lit(M - 1))).as("sub"), col("sv0"))
+        .select(col("vec_id"), col("sub"),
+          expr(s"slice(sv0, sub * $SUB + 1, $SUB)").as("sv"))
+      def sqd(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x).cast("long")
+      val seeds = subs.filter(col("vec_id") < 16)
+        .select(col("sub"), col("vec_id").cast("int").as("code"),
+          col("sv").as("cv"))
+      def argminAssign(pts: DataFrame, cents: DataFrame): DataFrame = {
+        val w = Window.partitionBy("vec_id", "sub")
+          .orderBy(asc("d2"), asc("code"))
+        pts.join(broadcast(cents), Seq("sub"))
+          .select(col("vec_id"), col("sub"), col("sv"), col("code"),
+            sqd(col("sv"), col("cv")).as("d2"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .drop("rn")
+      }
+      // one Lloyd round: seed-assign, then component-wise integer mean
+      val cents = argminAssign(subs, seeds)
+        .select(col("sub"), col("code"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("sub", "code", "pos")
+        .agg(sum(col("x").cast("long")).as("sx"), count(lit(1)).as("n"))
+        .withColumn("cx", expr("sx DIV n"))
+        .groupBy("sub", "code")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+          t => t.getField("cx").cast("double")).as("cv"))
+      val codes = argminAssign(subs.filter(col("vec_id") =!= 0), cents)
+        .select("vec_id", "sub", "code")
+      // ADC: the probe's exact d² to every (sub, code) centroid
+      val adcTable = subs.filter(col("vec_id") === 0)
+        .select(col("sub"), col("sv"))
+        .join(broadcast(cents), Seq("sub"))
+        .select(col("sub"), col("code"), sqd(col("sv"), col("cv")).as("d2"))
+      codes.join(broadcast(adcTable), Seq("sub", "code"))
+        .groupBy("vec_id").agg(sum(col("d2")).as("adc_d2"))
+        .orderBy(asc("adc_d2"), asc("vec_id")).limit(10)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(asc("adc_d2"), asc("vec_id"))))
+        .select("rn", "vec_id", "adc_d2")
+        .orderBy("rn")
+    }),
     // Int8 symmetric quantization of the embedding column (training-data
     // pipeline op): per-vector scale = 127/max|x|, q_i = floor(x·scale+0.5)
     // — the storage/serving compression step (4× smaller than float32).
@@ -977,6 +1051,75 @@ object Similarity {
         |        $pCols
         |FROM q ORDER BY vec_id""".stripMargin
     },
+    // full replay of the deterministic PQ pipeline in the +127-shifted
+    // integer domain: subvector split, seed assignment, one-round integer
+    // centroids, re-encode, ADC table, lookup-sum top-10 — every distance
+    // an exact BIGINT
+    "knn_pq_adc" ->
+      """WITH m AS (
+        |  SELECT nullif(MAX(list_max(list_transform(embedding,
+        |           x -> abs(CAST(x AS DOUBLE))))), 0.0) AS m
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding,
+        |           x -> floor(CAST(x AS DOUBLE) * (127.0 / m) + 0.5) + 127.0)
+        |           AS sv0
+        |  FROM embeddings, m),
+        |subs AS (
+        |  SELECT vec_id, CAST(s AS INT) AS sub,
+        |         sv0[CAST(s AS INT) * 8 + 1 : CAST(s AS INT) * 8 + 8] AS sv
+        |  FROM q, UNNEST(range(0, 8)) t(s)),
+        |seeds AS (
+        |  SELECT sub, CAST(vec_id AS INT) AS code, sv AS cv
+        |  FROM subs WHERE vec_id < 16),
+        |a0 AS (
+        |  SELECT p.vec_id, p.sub, p.sv, se.code,
+        |         CAST(list_aggregate(list_transform(range(1, 9),
+        |           i -> (p.sv[CAST(i AS INT)] - se.cv[CAST(i AS INT)])
+        |              * (p.sv[CAST(i AS INT)] - se.cv[CAST(i AS INT)])),
+        |           'sum') AS BIGINT) AS d2
+        |  FROM subs p JOIN seeds se USING (sub)),
+        |a1 AS (
+        |  SELECT vec_id, sub, sv, code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |                                 ORDER BY d2, code) AS rn FROM a0) t
+        |  WHERE rn = 1),
+        |cexp AS (
+        |  SELECT sub, code, CAST(p AS INT) AS pos,
+        |         CAST(sv[CAST(p AS INT)] AS BIGINT) AS x
+        |  FROM a1, UNNEST(range(1, 9)) t(p)),
+        |cent AS (
+        |  SELECT sub, code, list(CAST(cx AS DOUBLE) ORDER BY pos) AS cv
+        |  FROM (SELECT sub, code, pos, SUM(x) // COUNT(*) AS cx
+        |        FROM cexp GROUP BY 1, 2, 3) g
+        |  GROUP BY 1, 2),
+        |e0 AS (
+        |  SELECT s.vec_id, s.sub, c.code,
+        |         CAST(list_aggregate(list_transform(range(1, 9),
+        |           i -> (s.sv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])
+        |              * (s.sv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])),
+        |           'sum') AS BIGINT) AS d2
+        |  FROM subs s JOIN cent c USING (sub) WHERE s.vec_id <> 0),
+        |enc AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |                                 ORDER BY d2, code) AS rn FROM e0) t
+        |  WHERE rn = 1),
+        |adc AS (
+        |  SELECT c.sub, c.code,
+        |         CAST(list_aggregate(list_transform(range(1, 9),
+        |           i -> (p.sv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])
+        |              * (p.sv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])),
+        |           'sum') AS BIGINT) AS d2
+        |  FROM cent c JOIN subs p USING (sub) WHERE p.vec_id = 0),
+        |scored AS (
+        |  SELECT enc.vec_id, CAST(SUM(adc.d2) AS BIGINT) AS adc_d2
+        |  FROM enc JOIN adc USING (sub, code) GROUP BY enc.vec_id)
+        |SELECT row_number() OVER (ORDER BY adc_d2, vec_id) AS rn,
+        |       vec_id, adc_d2
+        |FROM (SELECT * FROM scored ORDER BY adc_d2, vec_id LIMIT 10) t
+        |ORDER BY rn""".stripMargin,
     // same quantization pipeline, threshold filter instead of LIMIT — the
     // scores are exact integers so the >= 10000 cut cannot straddle noise
     "knn_radius_quantized" ->

@@ -47,6 +47,27 @@ class CommonNeighborsSpec extends SparkSpec {
       s"capped output must be exactly the cycle diagonals, got ${out.toSet}")
   }
 
+  test("resource allocation: a hub common neighbor is down-weighted exactly 1/deg") {
+    // two wedges: (1,2) share ONLY the degree-h hub 0; (1001,1003) share
+    // the two degree-2 cycle corners. Plain CN cannot separate the first
+    // pair's hub evidence (cn=1) from a bridge; RA scores it 10^6/h vs the
+    // cycle diagonal's 2·(10^6/2) — the operator's whole point.
+    val h = 100
+    val out = CommonNeighbors.resourceAllocation(plantedHub(h),
+        maxDegree = Long.MaxValue, topK = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // hub-only pair: one wedge through center of degree h
+    assert(out((1L, 2L)) == (1L, 1000000L / h),
+      s"hub wedge must contribute exactly floor(1e6/$h): ${out((1L, 2L))}")
+    // cycle diagonals: two degree-2 centers, each contributing 500000
+    assert(out((1001L, 1003L)) == (2L, 1000000L),
+      s"cycle diagonal must sum two half-weights: ${out((1001L, 1003L))}")
+    // and the ranking inverts plain CN's blindness: the bridge-backed pair
+    // dominates every hub-backed pair
+    assert(out((1001L, 1003L))._2 > out((1L, 2L))._2 * 10)
+  }
+
   test("fixture parity: default cap 1000 is bit-identical to uncapped") {
     // the oracle-checked query passes maxDegree=1000; the click graph's
     // max degree is 99 at sf0.1, so the cap may never alter sf output

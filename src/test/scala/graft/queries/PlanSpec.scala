@@ -533,7 +533,11 @@ class PlanSpec extends SparkSpec {
       // |langs|-sized weight table (the corpus_mix_rebalance shape);
       // perplexity_bigram_doc crosses the 1-row vocabulary size onto the
       // vocab²-bounded bigram-type table (the text_bigram_lm shape)
-      "sample_temperature", "perplexity_bigram_doc")
+      "sample_temperature", "perplexity_bigram_doc",
+      // r12b: knn_pq_adc reads quantizedVectors (1-row broadcast scale);
+      // its codebook/ADC tables join by (sub, code) equi-keys, broadcast
+      // hash joins, not cartesians
+      "knn_pq_adc")
     // ETL/streaming queries run real side effects — planning-only audit
     // covers the analytic surface (list shared with ContractSpec).
     val sideEffecting = QuerySets.sideEffecting

@@ -41,5 +41,8 @@ object QuerySets {
     "coreset_kcenter", "graph_components",
     // r12: resourceAllocation shares CommonNeighbors.adjDeg (same eager
     // adjacency/degree checkpoints as graph_common_neighbors)
-    "graph_resource_alloc")
+    "graph_resource_alloc",
+    // r12b: knn_pq_adc localCheckpoints the shifted quantized vectors its
+    // training, encoding and ADC passes all reuse
+    "knn_pq_adc")
 }
