@@ -237,6 +237,29 @@ object TierD {
           "the cross-batch carry was not exercised")
       s.table(name).orderBy("user_id", "session_start_s")
     }),
+    // D8 (round 12) — per-user streaming EWMA anomaly scoring: the
+    // ORDER-SENSITIVE stateful recurrence (EwmaAnomaly scaladoc) — state
+    // carries the running integer EWMA across the 3 real micro-batches,
+    // each event emitted exactly once with its prior-average verdict.
+    // Fold order is total ((unix_micros, event_id); chunks are ntile over
+    // the same global order), so the batch oracle's per-user
+    // recursive-CTE replay matches row-for-row.
+    "stream_ewma_anomaly" -> ((s, d) => withFewStatePartitions(s) {
+      val name = s"sea_out_${java.lang.Long.toHexString(System.nanoTime)}"
+      val q = graft.streaming.EwmaAnomaly
+        .scored(graft.core.Tables.eventsStreamChunked(s, d, chunks = 3))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", scratchDir("graft_sea_ckpt"))
+        .start()
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 2,
+        s"multi-batch contract violated: $batches data batch(es) ran — " +
+          "the cross-batch EWMA carry was not exercised")
+      s.table(name).orderBy("user_id", "t_s", "event_id")
+    }),
     // D6 — bookmark semantics end-to-end (reference README.md:145): a file
     // source with checkpoint processes each file exactly once; the second
     // AvailableNow run emits only newly-landed files. EtlSpec asserts the
@@ -380,6 +403,32 @@ object TierD {
         |FROM r, mx
         |WHERE rn > 1 OR (session_end_s + 1800) * 1000 < mms
         |ORDER BY user_id, session_start_s""".stripMargin,
+    // D8: the same integer recurrence replayed per user as a recursive
+    // CTE over the (unix_micros, event_id)-ordered sequence; first event
+    // seeds e = v (never flags), then e' = (3e + v) // 4
+    "stream_ewma_anomaly" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c
+        |  FROM events),
+        |seq AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |                               ORDER BY tus, event_id) AS idx
+        |  FROM e),
+        |rec AS (
+        |  SELECT user_id, idx, event_id, tus, v_c,
+        |         v_c AS e_prev_c, v_c AS e_c
+        |  FROM seq WHERE idx = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.idx, s.event_id, s.tus, s.v_c,
+        |         r.e_c, (3 * r.e_c + s.v_c) // 4
+        |  FROM rec r JOIN seq s
+        |    ON s.user_id = r.user_id AND s.idx = r.idx + 1)
+        |SELECT user_id, event_id, tus // 1000000 AS t_s, v_c,
+        |       e_prev_c, CAST(e_c AS BIGINT) AS e_c,
+        |       abs(v_c - e_prev_c) * 2 > e_prev_c AS is_anomaly
+        |FROM rec ORDER BY user_id, t_s, event_id""".stripMargin,
     // D7: final mapGroupsWithState state per user == the batch aggregate;
     // exact-decimal accumulation makes total_value order-independent.
     "stream_custom_state" ->
