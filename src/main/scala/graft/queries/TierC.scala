@@ -637,6 +637,36 @@ object TierCAgg {
           col("n").cast("double") / sum(col("n")).over(Window.partitionBy()))
         .orderBy("bucket")
     }),
+    // C14g' — Benford first-digit profile (round 12): the data-quality /
+    // fraud screen (Benford 1938; Nigrini's audit practice) — natural
+    // multi-magnitude amounts follow P(d) = log10(1+1/d), and fabricated
+    // or truncated feeds don't. First significant digit comes from the
+    // cents STRING (amounts are positive, so no sign handling); observed
+    // share is integer q6; the expected Benford shares are the NINE fixed
+    // constants ⌊log10(1+1/d)·10⁶+0.5⌋ inlined identically in both
+    // engines — precomputed integers, so no transcendental runs at query
+    // time and no margin discipline is needed. 100 TB shape: map-side
+    // digit extract + a 9-row agg; totals re-aggregated from that table
+    // and broadcast back (the profile_drift shape).
+    "profile_benford" -> ((s, d) => {
+      val benfordQ6 = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+        66947L, 57992L, 51153L, 45757L)
+      val per = orders(s, d)
+        .select(expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+        .select(expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS INT)")
+          .as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = per.agg(sum("n").as("total"))
+      per.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          expr("n * 1000000L DIV total").as("pct_q6"),
+          element_at(array(benfordQ6.map(lit): _*), col("digit"))
+            .as("benford_q6"))
+        .withColumn("dev_q6", col("pct_q6") - col("benford_q6"))
+        .orderBy("digit")
+    }),
     // C14h — deterministic MODE (most frequent value per group, smallest
     // value winning count ties — a bare mode() is nondeterministic on
     // ties, the first()-without-ordering trap): one map-side-combined
@@ -1221,6 +1251,30 @@ object TierCAgg {
         |SELECT bucket, n, min_price, max_price,
         |       CAST(n AS DOUBLE) / CAST((SELECT SUM(n) FROM h) AS DOUBLE) AS pct
         |FROM h ORDER BY bucket""".stripMargin,
+    // the nine Benford constants are precomputed ⌊log10(1+1/d)·1e6+0.5⌋
+    // integers inlined in both engines — no runtime transcendental
+    "profile_benford" ->
+      """WITH c AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders),
+        |per AS (
+        |  SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INT)
+        |           AS digit,
+        |         COUNT(*) AS n
+        |  FROM c GROUP BY 1),
+        |tot AS (SELECT SUM(n) AS total FROM per),
+        |b AS (
+        |  SELECT digit, n,
+        |         CAST(n * 1000000 // total AS BIGINT) AS pct_q6,
+        |         CAST(CASE digit
+        |           WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+        |           WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+        |           WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757
+        |         END AS BIGINT) AS benford_q6
+        |  FROM per, tot)
+        |SELECT digit, n, pct_q6, benford_q6, pct_q6 - benford_q6 AS dev_q6
+        |FROM b ORDER BY digit""".stripMargin,
     "agg_mode" ->
       """WITH c AS (
         |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
@@ -1734,6 +1788,34 @@ object TierCWindow {
         .select(col("st"), col("z.yms").as("ym"),
           col("z.vs").as("cents"), col("z.es").as("ewma_q6"))
         .orderBy("st", "ym")
+    }),
+    // C24b' — OHLC time bars (round 12): the open/high/low/close/volume
+    // candle aggregation every event-series dashboard and market-data
+    // pipeline runs — per (event_type, hour) bar. Open/close are pinned
+    // by min_by/max_by over the TOTAL (unix_micros, event_id) order (the
+    // agg_argminmax struct-key discipline — event_id breaks any same-µs
+    // tie across users), values are exact cents, so the whole candle is
+    // hash-exact. 100 TB shape: ONE map-side-combinable aggregation —
+    // min_by/max_by/min/max/count/sum all combine in partials, only
+    // |bars| skinny rows cross the shuffle; no window ever sees raw
+    // events (the oracle's row_number windows are the independent
+    // construction, not the plan).
+    "win_ohlc_bars" -> ((s, d) => {
+      events(s, d)
+        .select(col("event_type"),
+          date_trunc("hour", col("ts")).as("bar_ts"),
+          expr("unix_micros(ts)").as("tus"), col("event_id"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("v_c"))
+        .groupBy("event_type", "bar_ts")
+        .agg(
+          min_by(col("v_c"), struct(col("tus"), col("event_id")))
+            .as("open_c"),
+          max(col("v_c")).as("high_c"), min(col("v_c")).as("low_c"),
+          max_by(col("v_c"), struct(col("tus"), col("event_id")))
+            .as("close_c"),
+          count(lit(1)).as("n_events"), sum(col("v_c")).as("vol_c"))
+        .orderBy("event_type", "bar_ts")
     }),
     // C24c — time-series gap-fill + forward fill: the observed daily revenue
     // series per order priority is completed to EVERY calendar day of
@@ -2346,6 +2428,29 @@ object TierCWindow {
         |       es[CAST(i AS INT)] AS ewma_q6
         |FROM e, UNNEST(range(1, len(yms) + 1)) AS t(i)
         |ORDER BY st, ym""".stripMargin,
+    // open/close via the INDEPENDENT row_number construction (the
+    // agg_argminmax oracle shape) over the same total (tus, event_id)
+    // order the engine's min_by/max_by struct keys pin
+    "win_ohlc_bars" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar_ts,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_id,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c
+        |  FROM events),
+        |o AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY event_type, bar_ts
+        |                            ORDER BY tus, event_id) AS ra,
+        |         row_number() OVER (PARTITION BY event_type, bar_ts
+        |                            ORDER BY tus DESC, event_id DESC) AS rd
+        |  FROM e)
+        |SELECT event_type, bar_ts,
+        |       CAST(MAX(CASE WHEN ra = 1 THEN v_c END) AS BIGINT) AS open_c,
+        |       MAX(v_c) AS high_c, MIN(v_c) AS low_c,
+        |       CAST(MAX(CASE WHEN rd = 1 THEN v_c END) AS BIGINT) AS close_c,
+        |       COUNT(*) AS n_events, CAST(SUM(v_c) AS BIGINT) AS vol_c
+        |FROM o GROUP BY 1, 2 ORDER BY event_type, bar_ts""".stripMargin,
     "timeseries_gapfill" ->
       """WITH days AS (
         |  SELECT p.o_orderpriority, CAST(g.generate_series AS DATE) AS day

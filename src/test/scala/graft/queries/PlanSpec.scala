@@ -537,7 +537,10 @@ class PlanSpec extends SparkSpec {
       // r12b: knn_pq_adc reads quantizedVectors (1-row broadcast scale);
       // its codebook/ADC tables join by (sub, code) equi-keys, broadcast
       // hash joins, not cartesians
-      "knn_pq_adc")
+      "knn_pq_adc",
+      // r12b: profile_benford broadcasts the 1-row total re-aggregated
+      // from the 9-row digit table (the profile_drift shape)
+      "profile_benford")
     // ETL/streaming queries run real side effects — planning-only audit
     // covers the analytic surface (list shared with ContractSpec).
     val sideEffecting = QuerySets.sideEffecting
