@@ -156,9 +156,20 @@ object Scaling {
     System.err.println(
       s"[scaling] staged ${(docsDirs.size + eeDirs.size)} corpora")
 
-    // warm the session so the first timed point doesn't absorb codegen init
-    spark.read.parquet(s"$docsBase/documents.parquet").count()
-    SparkEntry.queries("dedup_exact_text")(spark, docsBase).count()
+    // warm the session PER FAMILY so no family's first timed point absorbs
+    // codegen/scan init (round 12: graph_resource_alloc's x1 read 26 s
+    // because only the docs corpus was warmed — the first graph query paid
+    // the whole events-scan + click-graph + codegen warmup)
+    if (selected(DocsQueries).nonEmpty) {
+      spark.read.parquet(s"$docsBase/documents.parquet").count()
+      SparkEntry.queries("dedup_exact_text")(spark, docsBase).count()
+    }
+    if (selected(EmbQueries).nonEmpty) {
+      spark.read.parquet(s"$eeBase/embeddings.parquet").count()
+      SparkEntry.queries("knn_quantized_topk")(spark, eeBase).count()
+    }
+    if (selected(GraphQueries).nonEmpty)
+      SparkEntry.queries("graph_degree_stats")(spark, eeBase).count()
 
     // ---- run ----------------------------------------------------------
     val pts = scala.collection.mutable.ArrayBuffer[Pt]()
