@@ -287,6 +287,137 @@ object Similarity {
     if (hex.charAt(0).toInt % 2 == 0) 1.0 else -1.0
   }
 
+  /** The deterministic-PQ oracle pipeline as a CTE prefix (quantize+shift
+    * → subvectors → seed-assign → one-round integer centroids → encode →
+    * ADC table → per-vector lookup sums in `scored`) — shared verbatim by
+    * the `knn_pq_adc` and `retrieval_eval_ndcg` oracles so the eval
+    * grades exactly the ranking the search key ships. */
+  private val PqOracleCtes: String =
+    """m AS (
+      |  SELECT nullif(MAX(list_max(list_transform(embedding,
+      |           x -> abs(CAST(x AS DOUBLE))))), 0.0) AS m
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding,
+      |           x -> floor(CAST(x AS DOUBLE) * (127.0 / m) + 0.5) + 127.0)
+      |           AS sv0
+      |  FROM embeddings, m),
+      |subs AS (
+      |  SELECT vec_id, CAST(s AS INT) AS sub,
+      |         sv0[CAST(s AS INT) * 8 + 1 : CAST(s AS INT) * 8 + 8] AS sv
+      |  FROM q, UNNEST(range(0, 8)) t(s)),
+      |seeds AS (
+      |  SELECT sub, CAST(vec_id AS INT) AS code, sv AS cv
+      |  FROM subs WHERE vec_id < 16),
+      |a0 AS (
+      |  SELECT p.vec_id, p.sub, p.sv, se.code,
+      |         CAST(list_aggregate(list_transform(range(1, 9),
+      |           i -> (p.sv[CAST(i AS INT)] - se.cv[CAST(i AS INT)])
+      |              * (p.sv[CAST(i AS INT)] - se.cv[CAST(i AS INT)])),
+      |           'sum') AS BIGINT) AS d2
+      |  FROM subs p JOIN seeds se USING (sub)),
+      |a1 AS (
+      |  SELECT vec_id, sub, sv, code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+      |                                 ORDER BY d2, code) AS rn FROM a0) t
+      |  WHERE rn = 1),
+      |cexp AS (
+      |  SELECT sub, code, CAST(p AS INT) AS pos,
+      |         CAST(sv[CAST(p AS INT)] AS BIGINT) AS x
+      |  FROM a1, UNNEST(range(1, 9)) t(p)),
+      |cent AS (
+      |  SELECT sub, code, list(CAST(cx AS DOUBLE) ORDER BY pos) AS cv
+      |  FROM (SELECT sub, code, pos, SUM(x) // COUNT(*) AS cx
+      |        FROM cexp GROUP BY 1, 2, 3) g
+      |  GROUP BY 1, 2),
+      |e0 AS (
+      |  SELECT s.vec_id, s.sub, c.code,
+      |         CAST(list_aggregate(list_transform(range(1, 9),
+      |           i -> (s.sv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])
+      |              * (s.sv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])),
+      |           'sum') AS BIGINT) AS d2
+      |  FROM subs s JOIN cent c USING (sub) WHERE s.vec_id <> 0),
+      |enc AS (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+      |                                 ORDER BY d2, code) AS rn FROM e0) t
+      |  WHERE rn = 1),
+      |adc AS (
+      |  SELECT c.sub, c.code,
+      |         CAST(list_aggregate(list_transform(range(1, 9),
+      |           i -> (p.sv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])
+      |              * (p.sv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])),
+      |           'sum') AS BIGINT) AS d2
+      |  FROM cent c JOIN subs p USING (sub) WHERE p.vec_id = 0),
+      |scored AS (
+      |  SELECT enc.vec_id, CAST(SUM(adc.d2) AS BIGINT) AS adc_d2
+      |  FROM enc JOIN adc USING (sub, code) GROUP BY enc.vec_id)""".stripMargin
+
+  /** Exact-integer squared L2 between two equal-length integer-valued
+    * double arrays — the PQ/NDCG distance kernel. */
+  private def sqdCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x).cast("long")
+
+  /** The +127-shifted quantized vectors (components in [0, 254]) — the
+    * PQ/exact-L2 working domain (squared distances are shift-invariant;
+    * the shift keeps every integer division non-negative, the
+    * Spark-DIV-vs-DuckDB-// caveat). Eagerly checkpointed: the PQ
+    * training/encode/ADC passes and the NDCG eval all reuse it. */
+  private def shiftedVectors(s: SparkSession, d: String): DataFrame =
+    quantizedVectors(s, d)
+      .select(col("vec_id"),
+        transform(col("qv"), x => x + lit(127.0)).as("sv0"))
+      .localCheckpoint()
+
+  /** Body of `knn_pq_adc` — see the query's scaladoc. Returns the top-10
+    * (rn, vec_id, adc_d2) by asymmetric PQ distance; factored so
+    * `retrieval_eval_ndcg` can grade the SAME ranking it ships. */
+  private def pqAdcTop10(s: SparkSession, d: String): DataFrame = {
+    val M = 8; val SUB = 8
+    val q = shiftedVectors(s, d)
+    // (vec_id, sub, sv): the M subvectors of every vector
+    val subs = q.select(col("vec_id"),
+        explode(sequence(lit(0), lit(M - 1))).as("sub"), col("sv0"))
+      .select(col("vec_id"), col("sub"),
+        expr(s"slice(sv0, sub * $SUB + 1, $SUB)").as("sv"))
+    val seeds = subs.filter(col("vec_id") < 16)
+      .select(col("sub"), col("vec_id").cast("int").as("code"),
+        col("sv").as("cv"))
+    def argminAssign(pts: DataFrame, cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id", "sub")
+        .orderBy(asc("d2"), asc("code"))
+      pts.join(broadcast(cents), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("sv"), col("code"),
+          sqdCol(col("sv"), col("cv")).as("d2"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .drop("rn")
+    }
+    // one Lloyd round: seed-assign, then component-wise integer mean
+    val cents = argminAssign(subs, seeds)
+      .select(col("sub"), col("code"),
+        posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy("sub", "code", "pos")
+      .agg(sum(col("x").cast("long")).as("sx"), count(lit(1)).as("n"))
+      .withColumn("cx", expr("sx DIV n"))
+      .groupBy("sub", "code")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        t => t.getField("cx").cast("double")).as("cv"))
+    val codes = argminAssign(subs.filter(col("vec_id") =!= 0), cents)
+      .select("vec_id", "sub", "code")
+    // ADC: the probe's exact d² to every (sub, code) centroid
+    val adcTable = subs.filter(col("vec_id") === 0)
+      .select(col("sub"), col("sv"))
+      .join(broadcast(cents), Seq("sub"))
+      .select(col("sub"), col("code"), sqdCol(col("sv"), col("cv")).as("d2"))
+    codes.join(broadcast(adcTable), Seq("sub", "code"))
+      .groupBy("vec_id").agg(sum(col("d2")).as("adc_d2"))
+      .orderBy(asc("adc_d2"), asc("vec_id")).limit(10)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(asc("adc_d2"), asc("vec_id"))))
+  }
+
   /** Body of `knn_mutual_pairs` on any (vec_id, uv, label) frame — factored
     * so LlmSpec can plant a hub geometry and assert the mutual filter kills
     * the non-reciprocated hub edges. Top-1 per vector within its label by
@@ -752,56 +883,66 @@ object Similarity {
     // one more, and the query pass is a broadcast-lookup sum — every agg
     // map-side-combinable; empty codes just drop out of the argmin
     // (deterministic in both engines via the inner join).
-    "knn_pq_adc" -> ((s, d) => {
-      val M = 8; val SUB = 8
-      val q = quantizedVectors(s, d)
-        .select(col("vec_id"),
-          transform(col("qv"), x => x + lit(127.0)).as("sv0"))
+    "knn_pq_adc" -> ((s, d) =>
+      pqAdcTop10(s, d).select("rn", "vec_id", "adc_d2").orderBy("rn")),
+    // Ranking-quality evaluation (round 12): NDCG@10 of the two lossy
+    // rankings this engine ships — PQ-ADC (the memory axis) and JL-16
+    // (the dimensionality axis) — against the EXACT shifted-L2 top-10,
+    // as a first-class query (the accept/reject readout an ANN rollout
+    // gates on; LlmSpec measures recall for the LSH family, this puts
+    // the graded-relevance metric on the oracle surface). Relevance of
+    // exact-rank i is 11−i; the rank discounts 1/log2(i+1) are TEN
+    // PRECOMPUTED ⌊10⁶/log2(i+1)+0.5⌋ integer constants (the
+    // profile_benford recipe — no transcendental at query time), so DCG,
+    // IDCG and ndcg_q6 = dcg·10⁶ DIV idcg are all exact longs. The PQ
+    // candidate list is the SAME pqAdcTop10 the search key ships
+    // (factored body; the oracle shares the CTE prefix identically), so
+    // the eval can never drift from the thing it grades. 100 TB shape:
+    // two corpus-scan rankings (TakeOrdered heaps) + 10-row broadcast
+    // joins — the eval adds nothing beyond the rankings themselves.
+    "retrieval_eval_ndcg" -> ((s, d) => {
+      val w = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+        356207L, 333333L, 315465L, 301030L, 289065L)
+      val idcg = (1 to 10).map(i => (11L - i) * w(i - 1)).sum
+      val sv = shiftedVectors(s, d)
+      val probe = sv.filter(col("vec_id") === 0).select(col("sv0").as("pv"))
+      val exTop = sv.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+        .select(col("vec_id"), sqdCol(col("sv0"), col("pv")).as("d2"))
+        .orderBy(asc("d2"), asc("vec_id")).limit(10)
+        .withColumn("ern", row_number().over(
+          Window.orderBy(asc("d2"), asc("vec_id"))))
+        .select(col("vec_id"), (lit(11) - col("ern")).cast("long").as("rel"))
         .localCheckpoint()
-      // (vec_id, sub, sv): the M subvectors of every vector
-      val subs = q.select(col("vec_id"),
-          explode(sequence(lit(0), lit(M - 1))).as("sub"), col("sv0"))
-        .select(col("vec_id"), col("sub"),
-          expr(s"slice(sv0, sub * $SUB + 1, $SUB)").as("sv"))
-      def sqd(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x).cast("long")
-      val seeds = subs.filter(col("vec_id") < 16)
-        .select(col("sub"), col("vec_id").cast("int").as("code"),
-          col("sv").as("cv"))
-      def argminAssign(pts: DataFrame, cents: DataFrame): DataFrame = {
-        val w = Window.partitionBy("vec_id", "sub")
-          .orderBy(asc("d2"), asc("code"))
-        pts.join(broadcast(cents), Seq("sub"))
-          .select(col("vec_id"), col("sub"), col("sv"), col("code"),
-            sqd(col("sv"), col("cv")).as("d2"))
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .drop("rn")
+      val projCols = (0 until 16).map { j =>
+        val signs = array((0 until 64).map(i => lit(jlSign(i, j))): _*)
+        graft.functions.VectorOps.dot_product(col("sv0"), signs)
+          .cast("long").as(s"p$j")
       }
-      // one Lloyd round: seed-assign, then component-wise integer mean
-      val cents = argminAssign(subs, seeds)
-        .select(col("sub"), col("code"),
-          posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy("sub", "code", "pos")
-        .agg(sum(col("x").cast("long")).as("sx"), count(lit(1)).as("n"))
-        .withColumn("cx", expr("sx DIV n"))
-        .groupBy("sub", "code")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
-          t => t.getField("cx").cast("double")).as("cv"))
-      val codes = argminAssign(subs.filter(col("vec_id") =!= 0), cents)
-        .select("vec_id", "sub", "code")
-      // ADC: the probe's exact d² to every (sub, code) centroid
-      val adcTable = subs.filter(col("vec_id") === 0)
-        .select(col("sub"), col("sv"))
-        .join(broadcast(cents), Seq("sub"))
-        .select(col("sub"), col("code"), sqd(col("sv"), col("cv")).as("d2"))
-      codes.join(broadcast(adcTable), Seq("sub", "code"))
-        .groupBy("vec_id").agg(sum(col("d2")).as("adc_d2"))
-        .orderBy(asc("adc_d2"), asc("vec_id")).limit(10)
+      val proj = sv.select(col("vec_id") +: projCols: _*)
+      val probeP = proj.filter(col("vec_id") === 0)
+        .select((0 until 16).map(j => col(s"p$j").as(s"q$j")): _*)
+      val jlTop = proj.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probeP))
+        .select(col("vec_id"),
+          (0 until 16).map(j =>
+            (col(s"p$j") - col(s"q$j")) * (col(s"p$j") - col(s"q$j")))
+            .reduce(_ + _).as("d2"))
+        .orderBy(asc("d2"), asc("vec_id")).limit(10)
         .withColumn("rn", row_number().over(
-          Window.orderBy(asc("adc_d2"), asc("vec_id"))))
-        .select("rn", "vec_id", "adc_d2")
-        .orderBy("rn")
+          Window.orderBy(asc("d2"), asc("vec_id"))))
+        .select("rn", "vec_id")
+      val pqTop = pqAdcTop10(s, d).select("rn", "vec_id")
+      val wLit = array(w.map(lit): _*)
+      def grade(cand: DataFrame, name: String): DataFrame =
+        cand.join(broadcast(exTop), Seq("vec_id"), "left")
+          .select(col("rn"), coalesce(col("rel"), lit(0L)).as("rel"))
+          .agg(count(when(col("rel") > 0, 1)).as("n_hits"),
+            sum(col("rel") * element_at(wLit, col("rn"))).as("dcg_q6"))
+          .select(lit(name).as("variant"), col("n_hits"), col("dcg_q6"),
+            lit(idcg).as("idcg_q6"),
+            expr(s"dcg_q6 * 1000000L DIV ${idcg}L").as("ndcg_q6"))
+      grade(jlTop, "jl16").unionAll(grade(pqTop, "pq_adc"))
+        .orderBy("variant")
     }),
     // Int8 symmetric quantization of the embedding column (training-data
     // pipeline op): per-vector scale = 127/max|x|, q_i = floor(x·scale+0.5)
@@ -1054,72 +1195,73 @@ object Similarity {
     // full replay of the deterministic PQ pipeline in the +127-shifted
     // integer domain: subvector split, seed assignment, one-round integer
     // centroids, re-encode, ADC table, lookup-sum top-10 — every distance
-    // an exact BIGINT
+    // an exact BIGINT (CTE prefix shared with retrieval_eval_ndcg)
     "knn_pq_adc" ->
-      """WITH m AS (
-        |  SELECT nullif(MAX(list_max(list_transform(embedding,
-        |           x -> abs(CAST(x AS DOUBLE))))), 0.0) AS m
-        |  FROM embeddings),
-        |q AS (
-        |  SELECT vec_id,
-        |         list_transform(embedding,
-        |           x -> floor(CAST(x AS DOUBLE) * (127.0 / m) + 0.5) + 127.0)
-        |           AS sv0
-        |  FROM embeddings, m),
-        |subs AS (
-        |  SELECT vec_id, CAST(s AS INT) AS sub,
-        |         sv0[CAST(s AS INT) * 8 + 1 : CAST(s AS INT) * 8 + 8] AS sv
-        |  FROM q, UNNEST(range(0, 8)) t(s)),
-        |seeds AS (
-        |  SELECT sub, CAST(vec_id AS INT) AS code, sv AS cv
-        |  FROM subs WHERE vec_id < 16),
-        |a0 AS (
-        |  SELECT p.vec_id, p.sub, p.sv, se.code,
-        |         CAST(list_aggregate(list_transform(range(1, 9),
-        |           i -> (p.sv[CAST(i AS INT)] - se.cv[CAST(i AS INT)])
-        |              * (p.sv[CAST(i AS INT)] - se.cv[CAST(i AS INT)])),
-        |           'sum') AS BIGINT) AS d2
-        |  FROM subs p JOIN seeds se USING (sub)),
-        |a1 AS (
-        |  SELECT vec_id, sub, sv, code FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
-        |                                 ORDER BY d2, code) AS rn FROM a0) t
-        |  WHERE rn = 1),
-        |cexp AS (
-        |  SELECT sub, code, CAST(p AS INT) AS pos,
-        |         CAST(sv[CAST(p AS INT)] AS BIGINT) AS x
-        |  FROM a1, UNNEST(range(1, 9)) t(p)),
-        |cent AS (
-        |  SELECT sub, code, list(CAST(cx AS DOUBLE) ORDER BY pos) AS cv
-        |  FROM (SELECT sub, code, pos, SUM(x) // COUNT(*) AS cx
-        |        FROM cexp GROUP BY 1, 2, 3) g
-        |  GROUP BY 1, 2),
-        |e0 AS (
-        |  SELECT s.vec_id, s.sub, c.code,
-        |         CAST(list_aggregate(list_transform(range(1, 9),
-        |           i -> (s.sv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])
-        |              * (s.sv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])),
-        |           'sum') AS BIGINT) AS d2
-        |  FROM subs s JOIN cent c USING (sub) WHERE s.vec_id <> 0),
-        |enc AS (
-        |  SELECT vec_id, sub, code FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
-        |                                 ORDER BY d2, code) AS rn FROM e0) t
-        |  WHERE rn = 1),
-        |adc AS (
-        |  SELECT c.sub, c.code,
-        |         CAST(list_aggregate(list_transform(range(1, 9),
-        |           i -> (p.sv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])
-        |              * (p.sv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])),
-        |           'sum') AS BIGINT) AS d2
-        |  FROM cent c JOIN subs p USING (sub) WHERE p.vec_id = 0),
-        |scored AS (
-        |  SELECT enc.vec_id, CAST(SUM(adc.d2) AS BIGINT) AS adc_d2
-        |  FROM enc JOIN adc USING (sub, code) GROUP BY enc.vec_id)
+      s"""WITH $PqOracleCtes
         |SELECT row_number() OVER (ORDER BY adc_d2, vec_id) AS rn,
         |       vec_id, adc_d2
         |FROM (SELECT * FROM scored ORDER BY adc_d2, vec_id LIMIT 10) t
         |ORDER BY rn""".stripMargin,
+    // grades the SAME pq pipeline (shared CTE prefix) and an independent
+    // in-SQL JL-16 ranking against the exact shifted-L2 top-10; discount
+    // weights are the ten precomputed ⌊1e6/log2(i+1)+0.5⌋ constants
+    "retrieval_eval_ndcg" ->
+      s"""WITH $PqOracleCtes,
+        |pqtop AS (
+        |  SELECT vec_id, row_number() OVER (ORDER BY adc_d2, vec_id) AS rn
+        |  FROM (SELECT * FROM scored ORDER BY adc_d2, vec_id LIMIT 10) t),
+        |exd AS (
+        |  SELECT a.vec_id,
+        |         CAST(list_aggregate(list_transform(range(1, 65),
+        |           i -> (a.sv0[CAST(i AS INT)] - p.sv0[CAST(i AS INT)])
+        |              * (a.sv0[CAST(i AS INT)] - p.sv0[CAST(i AS INT)])),
+        |           'sum') AS BIGINT) AS d2
+        |  FROM q a, (SELECT sv0 FROM q WHERE vec_id = 0) p
+        |  WHERE a.vec_id <> 0),
+        |extop AS (
+        |  SELECT vec_id, CAST(11 - rn AS BIGINT) AS rel FROM (
+        |    SELECT vec_id, row_number() OVER (ORDER BY d2, vec_id) AS rn
+        |    FROM (SELECT * FROM exd ORDER BY d2, vec_id LIMIT 10) t0) t),
+        |sgn AS (
+        |  SELECT CAST(j AS INT) AS j,
+        |         list_transform(range(0, 64), i ->
+        |           CASE WHEN ascii(substr(md5(i || '|' || j), 1, 1)) % 2 = 0
+        |                THEN 1.0 ELSE -1.0 END) AS sg
+        |  FROM range(0, 16) t(j)),
+        |pj AS (
+        |  SELECT q.vec_id, sgn.j,
+        |         CAST(list_dot_product(q.sv0, sgn.sg) AS BIGINT) AS p
+        |  FROM q, sgn),
+        |jld AS (
+        |  SELECT a.vec_id, SUM((a.p - b.p) * (a.p - b.p)) AS d2
+        |  FROM pj a JOIN (SELECT j, p FROM pj WHERE vec_id = 0) b USING (j)
+        |  WHERE a.vec_id <> 0 GROUP BY 1),
+        |jltop AS (
+        |  SELECT vec_id, row_number() OVER (ORDER BY d2, vec_id) AS rn
+        |  FROM (SELECT * FROM jld ORDER BY d2, vec_id LIMIT 10) t),
+        |w AS (
+        |  SELECT CAST(i AS INT) AS i,
+        |         CAST(CASE i WHEN 1 THEN 1000000 WHEN 2 THEN 630930
+        |           WHEN 3 THEN 500000 WHEN 4 THEN 430677 WHEN 5 THEN 386853
+        |           WHEN 6 THEN 356207 WHEN 7 THEN 333333 WHEN 8 THEN 315465
+        |           WHEN 9 THEN 301030 ELSE 289065 END AS BIGINT) AS w
+        |  FROM range(1, 11) t(i)),
+        |cand AS (
+        |  SELECT 'jl16' AS variant, rn, vec_id FROM jltop
+        |  UNION ALL SELECT 'pq_adc', rn, vec_id FROM pqtop),
+        |graded AS (
+        |  SELECT cand.variant,
+        |         COUNT(e.vec_id) AS n_hits,
+        |         SUM(COALESCE(e.rel, 0) * w.w) AS dcg_q6
+        |  FROM cand JOIN w ON w.i = cand.rn
+        |  LEFT JOIN extop e ON e.vec_id = cand.vec_id
+        |  GROUP BY 1),
+        |idcg AS (SELECT SUM((11 - i) * w) AS idcg_q6 FROM w)
+        |SELECT variant, CAST(n_hits AS BIGINT) AS n_hits,
+        |       CAST(dcg_q6 AS BIGINT) AS dcg_q6,
+        |       CAST(idcg_q6 AS BIGINT) AS idcg_q6,
+        |       CAST(dcg_q6 * 1000000 // idcg_q6 AS BIGINT) AS ndcg_q6
+        |FROM graded, idcg ORDER BY variant""".stripMargin,
     // same quantization pipeline, threshold filter instead of LIMIT — the
     // scores are exact integers so the >= 10000 cut cannot straddle noise
     "knn_radius_quantized" ->

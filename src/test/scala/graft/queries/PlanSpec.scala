@@ -540,7 +540,11 @@ class PlanSpec extends SparkSpec {
       "knn_pq_adc",
       // r12b: profile_benford broadcasts the 1-row total re-aggregated
       // from the 9-row digit table (the profile_drift shape)
-      "profile_benford")
+      "profile_benford",
+      // r12b: retrieval_eval_ndcg contains the pq pipeline's broadcast
+      // scale plus two 1-row broadcast probe crosses (exact + JL-16
+      // rankings) — all k-bounded
+      "retrieval_eval_ndcg")
     // ETL/streaming queries run real side effects — planning-only audit
     // covers the analytic surface (list shared with ContractSpec).
     val sideEffecting = QuerySets.sideEffecting

@@ -43,6 +43,7 @@ object QuerySets {
     // adjacency/degree checkpoints as graph_common_neighbors)
     "graph_resource_alloc",
     // r12b: knn_pq_adc localCheckpoints the shifted quantized vectors its
-    // training, encoding and ADC passes all reuse
-    "knn_pq_adc")
+    // training, encoding and ADC passes all reuse;
+    // retrieval_eval_ndcg reuses that plus its own exact-top-10 checkpoint
+    "knn_pq_adc", "retrieval_eval_ndcg")
 }
