@@ -97,7 +97,11 @@ object Scaling {
     Q("embed_random_projection", 64),
     // round 12b: PQ-ADC — two training passes + encode + lookup-sum, all
     // linear with broadcast codebook/table; claims the scan-bound class
-    Q("knn_pq_adc", 64))
+    Q("knn_pq_adc", 64),
+    // round 12c: production SemDeDup (banded candidates inside cells —
+    // must track the linear ANN family, not its quadratic-in-cell exact
+    // sibling) and the NDCG eval (two scan rankings)
+    Q("dedup_semantic_ann", 64), Q("retrieval_eval_ndcg", 64))
 
   private val GraphQueries = Seq(
     // round 11: bounded-round peel — per-round O(|E|) like LPA

@@ -143,17 +143,20 @@ object Similarity {
     math.max(BandBits, 64 - java.lang.Long.numberOfLeadingZeros(n - 1) - 4)
   }
 
-  def embeddingCosineDedupAnn(emb: DataFrame, threshold: Double,
-      bandBits: Option[Int] = None): DataFrame = {
-    val r = bandBits.getOrElse(adaptiveBandBits(emb))
+  /** ANN-blocked cosine dedup core: candidates from same-(blk, band
+    * bucket) sign-LSH collisions (adaptive band width r), exact-cosine
+    * verify, min-id keeper — the shared body of `dedup_embedding_ann`
+    * (blk = label) and `dedup_semantic_ann` (blk = IVF cell). `unit`
+    * must carry (vec_id, uv, blk). */
+  private def cosineDedupAnnBlocked(unit: DataFrame, threshold: Double,
+      r: Int): DataFrame = {
     val planes = hyperplanes(Bands * r, 64)
-    val unit = withUnitVec(emb, "embedding", "uv")
-    val tagged = unit.select(col("vec_id"), col("label"),
+    val tagged = unit.select(col("vec_id"), col("blk"),
       explode(graft.functions.SignBandBuckets
         .sign_band_buckets(col("uv"), planes, r)).as("bucket"))
-    // vectors are NOT replicated per band — only (vec_id, label, bucket)
+    // vectors are NOT replicated per band — only (vec_id, blk, bucket)
     // rows fan out Bands×; the vector fetches below are equi-joins on id
-    val cand = tagged.as("x").join(tagged.as("y"), Seq("label", "bucket"))
+    val cand = tagged.as("x").join(tagged.as("y"), Seq("blk", "bucket"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("b_id"), col("y.vec_id").as("a_id"))
       .distinct()
@@ -164,6 +167,30 @@ object Similarity {
       .groupBy(col("a_id").as("vec_id"))
       .agg(min(col("b_id")).as("keeper"))
       .orderBy("vec_id")
+  }
+
+  def embeddingCosineDedupAnn(emb: DataFrame, threshold: Double,
+      bandBits: Option[Int] = None): DataFrame = {
+    val r = bandBits.getOrElse(adaptiveBandBits(emb))
+    val unit = withUnitVec(emb, "embedding", "uv")
+    cosineDedupAnnBlocked(unit.withColumn("blk", col("label")), threshold, r)
+  }
+
+  /** Deterministic IVF cell assignment (knn_ivf_coarse's 8 seed
+    * centroids, 4dp-quantized csim with c_id tiebreak) — factored so
+    * `dedup_semantic_cells` and `dedup_semantic_ann` block on the SAME
+    * cells and can never silently diverge. Returns (vec_id, uv, cell). */
+  private def ivfCellAssign(unit: DataFrame): DataFrame = {
+    val cent = unit.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("uv").as("c_v"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(desc("csim"), asc("c_id"))
+    unit.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("uv"),
+        round(dotD(col("uv"), col("c_v")), 4).as("csim"), col("c_id"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("uv"), col("c_id").as("cell"))
   }
 
   /** Greedy maximal-marginal-relevance selection: pick `k` of the exact
@@ -621,16 +648,7 @@ object Similarity {
     // the label-blocked family does.
     "dedup_semantic_cells" -> ((s, d) => {
       val unit = withUnitVec(embeddings(s, d), "embedding", "uv")
-      val cent = unit.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("c_id"), col("uv").as("c_v"))
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(desc("csim"), asc("c_id"))
-      val clustered = unit.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("uv"),
-          round(dotD(col("uv"), col("c_v")), 4).as("csim"), col("c_id"))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") === 1)
-        .select(col("vec_id"), col("uv"), col("c_id").as("cell"))
+      val clustered = ivfCellAssign(unit)
       val blocked = Dedup.withAdaptiveSalt(clustered, Seq("cell"))
       val a = blocked.select(col("vec_id").as("a_id"), col("uv").as("a_v"),
           col("cell"), col("bg"))
@@ -644,6 +662,27 @@ object Similarity {
         .groupBy(col("a_id").as("vec_id"))
         .agg(min(col("b_id")).as("keeper"))
         .orderBy("vec_id")
+    }),
+    // PRODUCTION SemDeDup (round 12): the composition dedup_semantic_cells'
+    // scaladoc promised — sign-LSH candidate generation INSIDE each IVF
+    // cell (the same deterministic ivfCellAssign cells, so the two keys
+    // can never block differently) with the same adaptive band width r
+    // the label-blocked ANN uses, then exact-cosine verify at the same
+    // 0.4458 threshold and min-id keeper. Candidate work is linear in
+    // colliding rows instead of quadratic-in-cell — the within-cell pair
+    // space never materializes, which is what survives a hot cell at
+    // 100 TB. Unit-tier like its label-blocked sibling (seeded gaussian
+    // hyperplanes are engine-local): LlmSpec asserts every verdict is a
+    // sound subset of dedup_semantic_cells' (same cells, same threshold,
+    // candidates ⊆ within-cell pairs ⇒ keepers can only move up) and a
+    // recall floor vs the exact key.
+    "dedup_semantic_ann" -> ((s, d) => {
+      val unit = withUnitVec(embeddings(s, d), "embedding", "uv")
+      val cells = ivfCellAssign(unit)
+        .select(col("vec_id"), col("uv"), col("cell").as("blk"))
+      val r = annBandBits.computeIfAbsent(d, _ =>
+        Integer.valueOf(adaptiveBandBits(embeddings(s, d))))
+      cosineDedupAnnBlocked(cells, threshold = 0.4458, r = r)
     }),
     // Approximate variant of knn_pairs_label: nearest same-label neighbour
     // per probe, candidates from same-(label, band bucket) collisions only.

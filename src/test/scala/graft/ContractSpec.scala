@@ -97,6 +97,7 @@ class ContractSpec extends SparkSpec {
       "dedup_simhash",        // xxhash64 bit votes (LlmSpec: hamming behavior)
       "knn_lsh_bucketed",     // seeded gaussian planes (LlmSpec: recall)
       "dedup_embedding_ann",  // LSH candidates (LlmSpec: sound subset + recall)
+      "dedup_semantic_ann",   // LSH candidates in IVF cells (LlmSpec: sound subset + recall)
       "knn_pairs_label_ann")  // LSH candidates (LlmSpec: top-1 agreement)
     val missing = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- unitOnly

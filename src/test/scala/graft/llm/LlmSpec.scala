@@ -199,6 +199,26 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.45, s"ANN dedup recall $recall < 0.45")
   }
 
+  test("semantic ANN dedup verdicts are a sound subset of the exact cell query's") {
+    // dedup_semantic_ann blocks on the SAME deterministic IVF cells as
+    // dedup_semantic_cells (shared ivfCellAssign) and verifies candidates
+    // at the same exact threshold, so its candidate pairs are a subset of
+    // the within-cell pairs: every verdict must appear in the exact
+    // output with keeper <= the ANN keeper, and a recall floor holds at
+    // this corpus's low-threshold regime (the dedup_embedding_ann bound).
+    val exact = graft.SparkEntry.queries("dedup_semantic_cells")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ann = graft.SparkEntry.queries("dedup_semantic_ann")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ann.foreach { case (v, k) =>
+      assert(exact.contains(v), s"semantic ANN invented a verdict for vec $v")
+      assert(k >= exact(v),
+        s"semantic ANN keeper $k beats the exact min ${exact(v)}")
+    }
+    val recall = ann.size.toDouble / exact.size
+    assert(recall >= 0.45, s"semantic ANN dedup recall $recall < 0.45")
+  }
+
   test("ANN dedup recalls everything in the production threshold regime") {
     import spark.implicits._
     // The low-threshold corpus caps LSH recall near 0.5 (documented in

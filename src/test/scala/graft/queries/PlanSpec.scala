@@ -544,7 +544,11 @@ class PlanSpec extends SparkSpec {
       // r12b: retrieval_eval_ndcg contains the pq pipeline's broadcast
       // scale plus two 1-row broadcast probe crosses (exact + JL-16
       // rankings) — all k-bounded
-      "retrieval_eval_ndcg")
+      "retrieval_eval_ndcg",
+      // r12c: dedup_semantic_ann's ivfCellAssign crosses the 8-row
+      // broadcast centroid table (the dedup_semantic_cells /
+      // knn_ivf_coarse assignment pattern)
+      "dedup_semantic_ann")
     // ETL/streaming queries run real side effects — planning-only audit
     // covers the analytic surface (list shared with ContractSpec).
     val sideEffecting = QuerySets.sideEffecting
