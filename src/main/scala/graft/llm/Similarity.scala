@@ -176,12 +176,35 @@ object Similarity {
     cosineDedupAnnBlocked(unit.withColumn("blk", col("label")), threshold, r)
   }
 
-  /** Deterministic IVF cell assignment (knn_ivf_coarse's 8 seed
+  /** Corpus-adaptive IVF cell count for the semantic-dedup pair:
+    * K = max(8, ⌈√n⌉ DIV 8) — exactly 8 on every driver fixture
+    * (n ≤ 4096 ⇒ ⌈√n⌉ ≤ 64 ⇒ DIV 8 ≤ 8, outputs bit-unchanged), growing
+    * ~√n/8 beyond so the within-cell population n/K tracks ~8√n instead
+    * of n/8. This is the adaptive-r lesson applied to the OTHER latent
+    * linear-in-n block (round 12 scaling run: fixed K=8 read 63 s /
+    * slope 1.17 at 128 k vectors — cells that grow ×m make even banded
+    * candidates quadratic-residual). Pure integer formula over the exact
+    * count; sqrt/ceil are IEEE-exact, so the DuckDB oracle derives the
+    * SAME K in SQL. Shared by both semantic keys — identical blocking is
+    * the sound-subset property's precondition. */
+  def adaptiveCellCount(emb: DataFrame): Int = {
+    val n = math.max(emb.count(), 1L)
+    math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong / 8L).toInt
+  }
+
+  private val semCellK =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]
+
+  private def cellCountFor(s: SparkSession, d: String): Int =
+    semCellK.computeIfAbsent(d, _ =>
+      Integer.valueOf(adaptiveCellCount(embeddings(s, d)))).intValue()
+
+  /** Deterministic IVF cell assignment (adaptiveCellCount seed
     * centroids, 4dp-quantized csim with c_id tiebreak) — factored so
     * `dedup_semantic_cells` and `dedup_semantic_ann` block on the SAME
     * cells and can never silently diverge. Returns (vec_id, uv, cell). */
-  private def ivfCellAssign(unit: DataFrame): DataFrame = {
-    val cent = unit.filter(col("vec_id") < 8)
+  private def ivfCellAssign(unit: DataFrame, k: Int): DataFrame = {
+    val cent = unit.filter(col("vec_id") < k)
       .select(col("vec_id").as("c_id"), col("uv").as("c_v"))
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(desc("csim"), asc("c_id"))
@@ -648,7 +671,7 @@ object Similarity {
     // the label-blocked family does.
     "dedup_semantic_cells" -> ((s, d) => {
       val unit = withUnitVec(embeddings(s, d), "embedding", "uv")
-      val clustered = ivfCellAssign(unit)
+      val clustered = ivfCellAssign(unit, cellCountFor(s, d))
       val blocked = Dedup.withAdaptiveSalt(clustered, Seq("cell"))
       val a = blocked.select(col("vec_id").as("a_id"), col("uv").as("a_v"),
           col("cell"), col("bg"))
@@ -678,7 +701,7 @@ object Similarity {
     // recall floor vs the exact key.
     "dedup_semantic_ann" -> ((s, d) => {
       val unit = withUnitVec(embeddings(s, d), "embedding", "uv")
-      val cells = ivfCellAssign(unit)
+      val cells = ivfCellAssign(unit, cellCountFor(s, d))
         .select(col("vec_id"), col("uv"), col("cell").as("blk"))
       val r = annBandBits.computeIfAbsent(d, _ =>
         Integer.valueOf(adaptiveBandBits(embeddings(s, d))))
@@ -1173,10 +1196,16 @@ object Similarity {
     // the assignment replays knn_ivf_coarse's deterministic ranking; the
     // within-cell dedup is the dedup_embedding_cosine construction with
     // the cell in place of the label
+    // the adaptive cell count K = max(8, ⌈√n⌉ // 8) is derived in SQL
+    // from the same exact count (sqrt/ceil IEEE-exact — fixture K = 8)
     "dedup_semantic_cells" ->
-      """WITH cent AS (
+      """WITH kc AS (
+        |  SELECT GREATEST(8, CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE)))
+        |                          AS BIGINT) // 8) AS k
+        |  FROM embeddings),
+        |cent AS (
         |  SELECT vec_id AS c_id, embedding AS c_v
-        |  FROM embeddings WHERE vec_id < 8),
+        |  FROM embeddings, kc WHERE vec_id < kc.k),
         |assign AS (
         |  SELECT vec_id, embedding, c_id,
         |         row_number() OVER (PARTITION BY vec_id
