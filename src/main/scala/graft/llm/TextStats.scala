@@ -98,6 +98,24 @@ object TextStats {
       nonAlnum.cast("double") / length(col("text")))
   }
 
+  /** The langid argmax expression — ONE definition shared by text_langid
+    * and text_lang_confusion (the eval grades exactly the classifier the
+    * query ships). All marker-hit counts come from ONE TokenStats pass;
+    * array_max over (hits, lang) structs ties to the lexicographically
+    * largest lang, mirrored by the oracle's CASE order fr>es>en>de. */
+  private def predictedLang: Column = {
+    val langs = LangMarkers.toSeq.sortBy(_._1)
+    val stats = graft.functions.TokenStats.token_stats(
+      tokens(col("text")), langs.map(_._2))
+    val scored = langs.zipWithIndex.map { case ((lang, _), i) =>
+      struct(stats.getField("hits").getItem(i).as("hits"),
+        lit(lang).as("lang"))
+    }
+    when(array_max(array(scored: _*)).getField("hits") > 0,
+      array_max(array(scored: _*)).getField("lang"))
+      .otherwise("und")
+  }
+
   /** The keep/drop rule stack shared by text_quality_filter and the
     * corpus_curation pipeline (ONE definition, like qualityStats — the
     * filter report and the pipeline gate can never silently diverge).
@@ -169,21 +187,32 @@ object TextStats {
     // DuckDB SQL, and array_max over (hits, lang) structs ties to the
     // lexicographically-largest lang, mirrored by the CASE order fr>es>en>de.
     "text_langid" -> ((s, d) => {
-      // all four marker-hit counts come from ONE TokenStats pass (one
-      // lexicon per language) instead of four interpreted filter() walks
-      val langs = LangMarkers.toSeq.sortBy(_._1)
-      val stats = graft.functions.TokenStats.token_stats(
-        tokens(col("text")), langs.map(_._2))
-      val scored = langs.zipWithIndex.map { case ((lang, _), i) =>
-        struct(stats.getField("hits").getItem(i).as("hits"),
-          lit(lang).as("lang"))
-      }
       documents(s, d).select(
           col("doc_id"), col("lang").as("actual_lang"),
-          when(array_max(array(scored: _*)).getField("hits") > 0,
-            array_max(array(scored: _*)).getField("lang"))
-            .otherwise("und").as("predicted_lang"))
+          predictedLang.as("predicted_lang"))
         .orderBy("doc_id")
+    }),
+    // Language-ID CONFUSION MATRIX (round 12): the model-eval readout for
+    // the langid heuristic — per (actual, predicted) cell counts plus the
+    // row share n·10⁶ DIV actual-total in q6 integer fixed point (the
+    // diagonal cells' share IS per-language recall). Predicted comes from
+    // the SAME factored predictedLang expression text_langid ships, so
+    // the eval can never drift from the classifier it grades (the
+    // retrieval_eval_ndcg principle applied to the text surface).
+    // 100 TB: one TokenStats scan + a |langs|²-bounded map-side agg; row
+    // totals via a window over that tiny aggregate.
+    "text_lang_confusion" -> ((s, d) => {
+      val cells = documents(s, d)
+        .select(col("lang").as("actual_lang"),
+          predictedLang.as("predicted_lang"))
+        .groupBy("actual_lang", "predicted_lang")
+        .agg(count(lit(1)).as("n"))
+      cells
+        .withColumn("actual_total",
+          sum(col("n")).over(Window.partitionBy("actual_lang")))
+        .select(col("actual_lang"), col("predicted_lang"), col("n"),
+          expr("n * 1000000 DIV actual_total").as("share_q6"))
+        .orderBy("actual_lang", "predicted_lang")
     }),
     // Document fingerprint via the custom codegen'd rolling-hash expression
     // (also cross-checked against the interpreted path in a spec). The
@@ -1287,6 +1316,31 @@ object TextStats {
         |       WHEN h_en = greatest(h_en,h_es,h_de,h_fr) THEN 'en'
         |       ELSE 'de' END AS predicted_lang
         |FROM h ORDER BY doc_id""".stripMargin,
+    // same CASE-chain classifier as text_langid's oracle, grouped into
+    // the confusion matrix with q6 row shares
+    "text_lang_confusion" ->
+      """WITH h AS (
+        |  SELECT lang AS actual_lang,
+        |    len(list_filter(str_split(text,' '), x -> list_contains(['the','and','of','to','in'], x))) AS h_en,
+        |    len(list_filter(str_split(text,' '), x -> list_contains(['el','la','de','que','y'], x))) AS h_es,
+        |    len(list_filter(str_split(text,' '), x -> list_contains(['der','die','und','das','ist'], x))) AS h_de,
+        |    len(list_filter(str_split(text,' '), x -> list_contains(['le','la','et','les','des'], x))) AS h_fr
+        |  FROM documents),
+        |p AS (
+        |  SELECT actual_lang,
+        |    CASE WHEN greatest(h_en,h_es,h_de,h_fr) = 0 THEN 'und'
+        |         WHEN h_fr = greatest(h_en,h_es,h_de,h_fr) THEN 'fr'
+        |         WHEN h_es = greatest(h_en,h_es,h_de,h_fr) THEN 'es'
+        |         WHEN h_en = greatest(h_en,h_es,h_de,h_fr) THEN 'en'
+        |         ELSE 'de' END AS predicted_lang
+        |  FROM h),
+        |cells AS (
+        |  SELECT actual_lang, predicted_lang, COUNT(*) AS n
+        |  FROM p GROUP BY 1, 2)
+        |SELECT actual_lang, predicted_lang, n,
+        |       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY actual_lang)
+        |            AS BIGINT) AS share_q6
+        |FROM cells ORDER BY actual_lang, predicted_lang""".stripMargin,
     // Stub frame features are sums of (byte&0xff)/256 dyadic rationals —
     // exact and order-independent, so the fan-out is fully hashable; ord()
     // == byte on this ASCII corpus (same assumption as multimodal_meta).

@@ -1817,6 +1817,41 @@ object TierCWindow {
           count(lit(1)).as("n_events"), sum(col("v_c")).as("vol_c"))
         .orderBy("event_type", "bar_ts")
     }),
+    // C24b'' — seasonal-baseline forecast + MAE backtest (round 12): the
+    // climatology baseline every forecasting system is graded against —
+    // per (event_type, hour-of-day), the TRAIN-period (before the
+    // profile_drift Jan-16 cut) mean value in exact cents forecasts the
+    // TEST period, and the test MAE comes back as the skill readout. All
+    // integer: forecast_c = train-sum DIV train-n, mae_c = Σ|v −
+    // forecast| DIV test-n (order-independent integer sums; hours absent
+    // from test report NULL mae, never 0/0). 100 TB shape: two map-side-
+    // combinable passes to a 24·|types|-sized table — train aggregation
+    // and test-error aggregation both combine in partials; the test pass
+    // joins the broadcast forecast table before its agg.
+    "forecast_seasonal_baseline" -> ((s, d) => {
+      val cut = lit("2024-01-16").cast("timestamp")
+      val ev = events(s, d).select(col("event_type"),
+        hour(col("ts")).as("hr"), col("ts"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v_c"))
+      val train = ev.filter(col("ts") < cut)
+        .groupBy("event_type", "hr")
+        .agg(count(lit(1)).as("n_train"), sum(col("v_c")).as("sum_c"))
+        .withColumn("forecast_c", expr("sum_c DIV n_train"))
+        .drop("sum_c")
+      val test = ev.filter(col("ts") >= cut)
+        .join(broadcast(train.select("event_type", "hr", "forecast_c")),
+          Seq("event_type", "hr"))
+        .groupBy("event_type", "hr")
+        .agg(count(lit(1)).as("n_test"),
+          sum(abs(col("v_c") - col("forecast_c"))).as("ae_c"))
+      train.join(test, Seq("event_type", "hr"), "left")
+        .select(col("event_type"), col("hr"), col("n_train"),
+          col("forecast_c"),
+          coalesce(col("n_test"), lit(0L)).as("n_test"),
+          when(col("n_test").isNotNull, expr("ae_c DIV n_test"))
+            .as("mae_c"))
+        .orderBy("event_type", "hr")
+    }),
     // C24c — time-series gap-fill + forward fill: the observed daily revenue
     // series per order priority is completed to EVERY calendar day of
     // 1995-01 (sequence() explode — expression-level, no shuffle, no
@@ -2428,6 +2463,29 @@ object TierCWindow {
         |       es[CAST(i AS INT)] AS ewma_q6
         |FROM e, UNNEST(range(1, len(yms) + 1)) AS t(i)
         |ORDER BY st, ym""".stripMargin,
+    // train means and test MAE as pure integer floor divisions; hours
+    // absent from the test window surface NULL mae
+    "forecast_seasonal_baseline" ->
+      """WITH e AS (
+        |  SELECT event_type, hour(CAST(ts AS TIMESTAMP)) AS hr,
+        |         CAST(ts AS TIMESTAMP) AS t,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c
+        |  FROM events),
+        |train AS (
+        |  SELECT event_type, hr, COUNT(*) AS n_train,
+        |         CAST(SUM(v_c) // COUNT(*) AS BIGINT) AS forecast_c
+        |  FROM e WHERE t < TIMESTAMP '2024-01-16' GROUP BY 1, 2),
+        |test AS (
+        |  SELECT e.event_type, e.hr, COUNT(*) AS n_test,
+        |         SUM(abs(e.v_c - tr.forecast_c)) AS ae_c
+        |  FROM e JOIN train tr USING (event_type, hr)
+        |  WHERE e.t >= TIMESTAMP '2024-01-16' GROUP BY 1, 2)
+        |SELECT tr.event_type, tr.hr, tr.n_train, tr.forecast_c,
+        |       COALESCE(te.n_test, 0) AS n_test,
+        |       CAST(CASE WHEN te.n_test IS NOT NULL
+        |                 THEN te.ae_c // te.n_test END AS BIGINT) AS mae_c
+        |FROM train tr LEFT JOIN test te USING (event_type, hr)
+        |ORDER BY tr.event_type, tr.hr""".stripMargin,
     // open/close via the INDEPENDENT row_number construction (the
     // agg_argminmax oracle shape) over the same total (tus, event_id)
     // order the engine's min_by/max_by struct keys pin
