@@ -116,9 +116,30 @@ object Tables {
     * carry must reproduce the batch result. File order is pinned twice:
     * zero-padded names and strictly increasing mtimes (the file source
     * sorts by modification time). The ntile global sort is staging-only
-    * work at gate scale, not part of the measured operator. */
+    * work at gate scale, not part of the measured operator.
+    *
+    * Staged chunk dirs are CACHED per (sfDir, chunks) for the JVM's life
+    * (round 12: with five streaming gates each re-staging the same
+    * files, staging was ~40% of the bench's streaming floor; the files
+    * are immutable once written and readers are concurrent-safe, so one
+    * staging serves every gate — scratch dirs die with the JVM as
+    * before). */
   def eventsStreamChunked(s: SparkSession, d: String, chunks: Int): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = t(s, d, "events")
+    val dir = java.nio.file.Paths.get(
+      chunkDirCache.computeIfAbsent(s"$d#$chunks", _ =>
+        stageChunks(s, d, chunks)))
+    val schema = s.read.parquet(dir.toString).schema
+    s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .withColumn("ts", tsToTimestamp(schema("ts").dataType))
+  }
+
+  private val chunkDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private def stageChunks(s: SparkSession, d: String, chunks: Int): String = {
     val raw = t(s, d, "events")
     val dir = java.nio.file.Paths.get(scratchDir("graft_events_chunks"))
     val byTime = org.apache.spark.sql.expressions.Window
@@ -141,10 +162,7 @@ object Tables {
       java.nio.file.Files.setLastModifiedTime(target,
         java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
     }
-    val schema = s.read.parquet(dir.toString).schema
-    s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
-      .parquet(dir.toString)
-      .withColumn("ts", tsToTimestamp(schema("ts").dataType))
+    dir.toString
   }
 
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
