@@ -118,7 +118,9 @@ object Scaling {
     Q("graph_components", 64), Q("graph_clustering_coeff", 64),
     Q("markov_next_page", 64), Q("streaks_activity", 64),
     // round 12b: RA link prediction — same cap·|E| wedge bound as CN
-    Q("graph_resource_alloc", 64))
+    Q("graph_resource_alloc", 64),
+    // round 12c: HITS — per-round O(|E|) like LPA/pagerank
+    Q("graph_hits", 64))
 
   case class Pt(query: String, mult: Int, inputRows: Long, outRows: Long,
       sec: Double)

@@ -1916,6 +1916,18 @@ object TierCWindow {
       graft.operators.PageRank.run(ClickGraph.directed(s, d), "src", "dst",
         ClickGraph.pages(s, d), "page", 5)
         .orderBy(desc("rank"), asc("page"))),
+    // HITS hubs-and-authorities (round 12) — the bipartite-reinforcement
+    // ranking PageRank's single score cannot express: navigation pages
+    // that POINT AT the good content (hubs) vs the content pages
+    // themselves (authorities). Max-normalized all-integer rounds —
+    // operators.Hits scaladoc has the full derivation; the oracle unrolls
+    // the identical integer recurrence (the pagerank/LPA precedent).
+    // 100 TB: two |E|-linear join+agg passes per round, broadcast 1-row
+    // maxes, per-round checkpointed loop frames.
+    "graph_hits" -> ((s, d) =>
+      graft.operators.Hits.run(ClickGraph.directed(s, d), "src", "dst",
+        ClickGraph.pages(s, d), "page", 3)
+        .orderBy("page")),
     // Last-touch attribution (round 6): every purchase credits the same
     // user's most recent preceding touch (click/view) — the carry pattern
     // (last ignoreNulls over an event_id-ordered user window; the purchase
@@ -2546,6 +2558,40 @@ object TierCWindow {
     // SUM(BIGINT) is HUGEINT in DuckDB — CAST back so the schema matches.
     // `//` is DuckDB's integer floor division = Spark's DIV on these
     // non-negative values.
+    // the identical max-normalized integer recurrence unrolled — 3 rounds
+    // of (authority half-step, hub half-step), each: in(out)-edge sum,
+    // 1-row max, q6 normalization with the zero-graph guard
+    "graph_hits" -> {
+      val rounds = (1 to 3).map { t =>
+        val prevH = if (t == 1) "h0" else s"h${t - 1}"
+        s"""a${t}r AS (
+           |  SELECT e.dst AS id, SUM($prevH.x) AS s
+           |  FROM e JOIN $prevH ON $prevH.id = e.src GROUP BY 1),
+           |a${t}m AS (SELECT MAX(s) AS m FROM a${t}r),
+           |a$t AS (
+           |  SELECT n0.id,
+           |         CASE WHEN m > 0 THEN COALESCE(r.s, 0) * 1000000 // m
+           |              ELSE 0 END AS x
+           |  FROM n0 LEFT JOIN a${t}r r USING (id), a${t}m),
+           |h${t}r AS (
+           |  SELECT e.src AS id, SUM(a$t.x) AS s
+           |  FROM e JOIN a$t ON a$t.id = e.dst GROUP BY 1),
+           |h${t}m AS (SELECT MAX(s) AS m FROM h${t}r),
+           |h$t AS (
+           |  SELECT n0.id,
+           |         CASE WHEN m > 0 THEN COALESCE(r.s, 0) * 1000000 // m
+           |              ELSE 0 END AS x
+           |  FROM n0 LEFT JOIN h${t}r r USING (id), h${t}m)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${ClickGraph.OracleEv},
+         |${ClickGraph.OracleDirected},
+         |n0 AS (SELECT DISTINCT page AS id FROM ev),
+         |h0 AS (SELECT id, 1000000 AS x FROM n0),
+         |$rounds
+         |SELECT a3.id AS page, CAST(a3.x AS BIGINT) AS auth_q6,
+         |       CAST(h3.x AS BIGINT) AS hub_q6
+         |FROM a3 JOIN h3 USING (id) ORDER BY page""".stripMargin
+    },
     "pagerank_clicks" -> {
       val iterCte = (1 to 5).map { i =>
         s"""r$i AS (

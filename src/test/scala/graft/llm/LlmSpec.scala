@@ -199,6 +199,33 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.45, s"ANN dedup recall $recall < 0.45")
   }
 
+  test("adaptive cell count: exactly 8 on every fixture size, ~sqrt(n)/8 beyond") {
+    import spark.implicits._
+    // the fixture-stability claim the oracle parity rests on: K = 8 for
+    // every n <= 4096 (all driver SFs), so adaptive K never changes
+    // committed outputs; beyond, K tracks ceil(sqrt(n))/8
+    def kOf(n: Int): Int = Similarity.adaptiveCellCount(
+      (0 until n).map(i => (i.toLong, Array(0.1f), 0L))
+        .toDF("vec_id", "embedding", "label"))
+    for (n <- Seq(1, 8, 500, 2000, 4096))
+      assert(kOf(n) == 8, s"K must stay 8 at n=$n (fixture stability)")
+    // first n with ceil(sqrt(n)) DIV 8 = 9 is 71^2 + 1 = 5042 — the
+    // formula stays at the fixture value with margin past 4096
+    assert(kOf(5041) == 8 && kOf(5042) == 9,
+      s"growth boundary: ${kOf(5041)}/${kOf(5042)}")
+    assert(kOf(32000) == 22,
+      s"K(32000) = ceil(sqrt(32000)) DIV 8 = 22: ${kOf(32000)}")
+  }
+
+  test("JL sign matrix is balanced (the md5-parity Rademacher claim)") {
+    // jlSign's scaladoc: hex chars split 8/16 even on ASCII parity, so
+    // the 64x16 matrix should be near-balanced — pin it within 40-60%
+    val plus = (for (i <- 0 until 64; j <- 0 until 16)
+      yield Similarity.jlSign(i, j)).count(_ > 0)
+    assert(plus >= 410 && plus <= 614,
+      s"sign matrix unbalanced: $plus/1024 positive")
+  }
+
   test("semantic ANN dedup verdicts are a sound subset of the exact cell query's") {
     // dedup_semantic_ann blocks on the SAME deterministic IVF cells as
     // dedup_semantic_cells (shared ivfCellAssign) and verifies candidates

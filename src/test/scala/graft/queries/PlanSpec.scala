@@ -548,7 +548,10 @@ class PlanSpec extends SparkSpec {
       // r12c: dedup_semantic_ann's ivfCellAssign crosses the 8-row
       // broadcast centroid table (the dedup_semantic_cells /
       // knn_ivf_coarse assignment pattern)
-      "dedup_semantic_ann")
+      "dedup_semantic_ann",
+      // r12c: graph_hits crosses the broadcast 1-row normalization max
+      // twice per round (the pagerank-family bounded broadcast pattern)
+      "graph_hits")
     // ETL/streaming queries run real side effects — planning-only audit
     // covers the analytic surface (list shared with ContractSpec).
     val sideEffecting = QuerySets.sideEffecting

@@ -45,5 +45,7 @@ object QuerySets {
     // r12b: knn_pq_adc localCheckpoints the shifted quantized vectors its
     // training, encoding and ADC passes all reuse;
     // retrieval_eval_ndcg reuses that plus its own exact-top-10 checkpoint
-    "knn_pq_adc", "retrieval_eval_ndcg")
+    "knn_pq_adc", "retrieval_eval_ndcg",
+    // r12c: Hits.run checkpoints edges/nodes and each round's score frame
+    "graph_hits")
 }
