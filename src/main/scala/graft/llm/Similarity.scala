@@ -566,6 +566,103 @@ object Similarity {
         col("best.d2").as("d2"))
   }
 
+  /** NN-Descent k-NN graph construction (Dong, Moses & Li, WWW 2011) —
+    * the GRAPH-based ANN family, completing the candidate-generation
+    * spectrum next to LSH bands (hash), IVF cells (partition) and PQ
+    * (compression): each node keeps a k-best neighbor list and improves it
+    * by scoring neighbors-of-neighbors ("a neighbor of my neighbor is
+    * likely my neighbor"), converging in a few rounds without any global
+    * index structure.
+    *
+    * Spark-first shape, per round over the directed list (v, u, sim):
+    *   1. symmetrize — reverse edges carry the same cosine;
+    *   2. SAMPLE each node's adjacency to ≤`cap` rows (NN-Descent's ρ
+    *      sampling) by a deterministic per-round hash order — this bounds
+    *      the local join at cap²/2 pairs per pivot, the lever that keeps a
+    *      round linear in |V| at 100 TB;
+    *   3. local join — equi-self-join on the pivot node (never a cross
+    *      join) emits canonical candidate pairs, anti-joined against the
+    *      already-scored pair set so each pair's dot product is paid once
+    *      across all rounds;
+    *   4. score fresh pairs via two id-equi-joins to the unit vectors
+    *      (one shuffle each — the vectors never ride the candidate join);
+    *   5. re-rank: union old + fresh edges both ways, per-node top-k by a
+    *      PARTITIONED window (partitionBy v — no global funnel), then
+    *      localCheckpoint to cut the loop's lineage.
+    *
+    * Init is the union of FOUR independent hash partitions into ~4-node
+    * buckets (seeded xxhash64 mod n/4, bucket key disambiguated per seed)
+    * — one bounded equi-self-join, ~12 pseudo-random first neighbors per
+    * node. A SINGLE partition would init disjoint cliques: a neighbor of
+    * my neighbor is then always my bucket-mate, every candidate is
+    * already scored, and the descent never leaves its island (observed:
+    * recall frozen at the init's 0.02). The union of independent
+    * partitions is a connected random graph, which is exactly what
+    * NN-Descent's random init needs — and there is no driver-side
+    * randomness (xxhash64 is the project's seeded-randomness idiom).
+    * Determinism: sims are 4dp-quantized before every
+    * rank and ties break on neighbor id, so the output is a pure function
+    * of the fixture. Engine-local float math → unit-only key: LlmSpec
+    * asserts recall@10 vs brute force AND that rounds strictly improve on
+    * the init recall (the descent property itself). */
+  def nnDescent(emb: DataFrame, k: Int = 10, rounds: Int = 3,
+      cap: Int = 20): DataFrame = {
+    val unit = withUnitVec(emb, "embedding", "uv")
+      .select("vec_id", "uv").localCheckpoint()
+    val n = math.max(unit.count(), 1L)
+    def scorePairs(pairs: DataFrame): DataFrame =
+      pairs // (p1, p2) canonical p1 < p2
+        .join(unit.select(col("vec_id").as("p1"), col("uv").as("v1")), "p1")
+        .join(unit.select(col("vec_id").as("p2"), col("uv").as("v2")), "p2")
+        .select(col("p1"), col("p2"),
+          round(dotD(col("v1"), col("v2")), 4).as("sim"))
+    def topK(directed: DataFrame): DataFrame = {
+      val w = Window.partitionBy("v").orderBy(desc("sim"), asc("u"))
+      directed.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).select("v", "u", "sim")
+    }
+    val initSeeds = Seq(1011L, 2022L, 3033L, 4044L)
+    val initBuckets = math.max(1L, n / 4)
+    val b = unit.select(col("vec_id"), explode(array(
+      initSeeds.zipWithIndex.map { case (sd, i) =>
+        pmod(xxhash64(col("vec_id"), lit(sd)), lit(initBuckets)) *
+          lit(initSeeds.size.toLong) + lit(i.toLong)
+      }: _*)).as("bkt"))
+    val initPairs = b.select(col("bkt"), col("vec_id").as("p1"))
+      .join(b.select(col("bkt"), col("vec_id").as("p2")), Seq("bkt"))
+      .filter(col("p1") < col("p2"))
+      .select("p1", "p2").distinct()
+    var scored = scorePairs(initPairs).localCheckpoint()
+    var nbr = topK(scored.select(col("p1").as("v"), col("p2").as("u"), col("sim"))
+      .unionAll(scored.select(col("p2").as("v"), col("p1").as("u"), col("sim"))))
+      .localCheckpoint()
+    for (r <- 1 to rounds) {
+      val adj = nbr.select("v", "u", "sim")
+        .unionAll(nbr.select(col("u").as("v"), col("v").as("u"), col("sim")))
+        .dropDuplicates("v", "u")
+      val wS = Window.partitionBy("v")
+        .orderBy(xxhash64(col("u"), lit(r.toLong)), col("u"))
+      val sampled = adj.withColumn("srn", row_number().over(wS))
+        .filter(col("srn") <= cap).select("v", "u")
+      val cand = sampled.select(col("v").as("pivot"), col("u").as("a"))
+        .join(sampled.select(col("v").as("pivot"), col("u").as("b")), Seq("pivot"))
+        .filter(col("a") < col("b"))
+        .select(col("a").as("p1"), col("b").as("p2")).distinct()
+      val fresh = cand.join(scored.select("p1", "p2"),
+        Seq("p1", "p2"), "left_anti")
+      scored = scored.unionAll(scorePairs(fresh)).localCheckpoint()
+      nbr = topK(
+        nbr.unionAll(scored.select(col("p1").as("v"), col("p2").as("u"), col("sim")))
+           .unionAll(scored.select(col("p2").as("v"), col("p1").as("u"), col("sim")))
+           .dropDuplicates("v", "u"))
+        .localCheckpoint()
+    }
+    val wOut = Window.partitionBy("v").orderBy(desc("sim"), asc("u"))
+    nbr.withColumn("rn", row_number().over(wOut))
+      .select(col("v").as("vec_id"), col("rn"), col("u").as("nbr_id"))
+      .orderBy("vec_id", "rn")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E4 — exact top-10 cosine neighbours of vec_id=0. Similarity itself is
     // engine-local float math, so only the *ranking* (with PK tiebreak) is
@@ -1098,7 +1195,15 @@ object Similarity {
       // non-empty at any SF; total order via PK tiebreak)
       pairs.orderBy(desc("sim"), asc("a_id"), asc("b_id")).limit(100)
         .select("a_id", "b_id")
-    })
+    }),
+    // NN-Descent k-NN graph (round 12) — see nnDescent's scaladoc: the
+    // graph-based ANN candidate generator (neighbors-of-neighbors local
+    // joins over a k-best list), the fourth family next to LSH bands, IVF
+    // cells and PQ codes. Engine-local float cosine → unit-only key;
+    // LlmSpec measures recall@10 vs brute force and asserts the descent
+    // property (final recall strictly above the hash-init recall).
+    "knn_nndescent" -> ((s, d) =>
+      nnDescent(embeddings(s, d)))
   )
 
   def oracle: Map[String, String] = Map(

@@ -182,6 +182,54 @@ object TextStats {
           stats.getField("bpe_sum").as("bpe_tokens"))
         .orderBy("doc_id")
     }),
+    // BPE merge TRAINING (round 12) — the vocabulary LEARNER behind
+    // text_tokens_bpe's counting heuristic (Sennrich/Haddow/Birch 2016):
+    // greedily merge the most frequent adjacent symbol pair, 8 rounds.
+    // The scale move (also how HF tokenizers train): BPE statistics are a
+    // function of WORD TYPES × frequency, not corpus positions — one
+    // corpus scan folds 100 TB into a vocabulary-sized (Heaps-law
+    // sublinear) type table, and every round after that touches only the
+    // type table: one map-side-combinable pair count, a 1-row argmax
+    // broadcast, and a map-only merge apply. Segmentations are
+    // space-delimited symbol strings (' l o w '); applying merge (a,b) is
+    // replace(' a b ' → ' ab ') — leftmost non-overlapping in BOTH
+    // engines, and a symbol's inner characters can never false-match
+    // because they lack the surrounding delimiters. Restricted to
+    // ^[a-z]+$ word types so the delimiter cannot occur inside a symbol
+    // (the documented segmentation contract; production swaps in a
+    // byte-level pre-tokenizer). Ties break (cnt DESC, lhs, rhs) — fully
+    // deterministic; the oracle unrolls the identical 8-round recurrence
+    // (the HITS/pagerank precedent) and the fixture yields genuine
+    // compositional merges (e+r→er, then m+er→mer).
+    "bpe_train_merges" -> ((s, d) => {
+      val words = documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      var v = words.select(col("c"),
+        concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("seg"))
+        .localCheckpoint()
+      val merges = (0 until 8).map { k =>
+        val best = v
+          .select(col("c"), split(trim(col("seg")), " ").as("l"))
+          .filter(size(col("l")) >= 2)
+          .select(col("c"), explode(expr(
+            "transform(sequence(0, size(l)-2), " +
+              "i -> named_struct('a', l[i], 'b', l[i+1]))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("c").as("cnt"))
+          .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1)
+          .localCheckpoint()
+        v = v.crossJoin(broadcast(best))
+          .select(col("c"), expr(
+            "replace(seg, concat(' ', a, ' ', b, ' '), " +
+              "concat(' ', a, b, ' '))").as("seg"))
+          .localCheckpoint()
+        best.select(lit(k).as("step"), col("a").as("lhs"),
+          col("b").as("rhs"), col("cnt"))
+      }
+      merges.reduce(_ unionAll _).orderBy("step")
+    }),
     // Language-ID heuristic: argmax of marker-hit counts, 'und' when nothing
     // matches. Oracle-checked — the marker lexicon is spelled out in the
     // DuckDB SQL, and array_max over (hits, lang) structs ties to the
@@ -1162,6 +1210,38 @@ object TextStats {
   )
 
   def oracle: Map[String, String] = Map(
+    // unrolls the identical 8-round greedy recurrence (the HITS/pagerank
+    // precedent): per round, weighted adjacent-pair counts over the word
+    // TYPE table, argmax with (cnt DESC, a, b) tie-break, then the same
+    // leftmost non-overlapping space-delimited replace both engines run
+    "bpe_train_merges" -> {
+      val rounds = (0 until 8).map { k =>
+        s"""p$k AS (
+           |  SELECT l[x] AS a, l[x+1] AS b, SUM(c) AS cnt
+           |  FROM (SELECT c, str_split(trim(seg), ' ') AS l FROM v$k),
+           |       unnest(range(1, len(l))) AS t(x)
+           |  GROUP BY 1, 2),
+           |b$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+           |m$k AS (SELECT $k AS step, a AS lhs, b AS rhs,
+           |        CAST(cnt AS BIGINT) AS cnt FROM b$k),
+           |v${k + 1} AS (
+           |  SELECT c, replace(seg, ' ' || a || ' ' || b || ' ',
+           |                    ' ' || a || b || ' ') AS seg
+           |  FROM v$k, b$k)""".stripMargin
+      }.mkString(",\n")
+      val union = (0 until 8).map(k => s"SELECT * FROM m$k")
+        .mkString(" UNION ALL ")
+      s"""WITH words AS (
+         |  SELECT w, COUNT(*) AS c FROM (
+         |    SELECT unnest(str_split(text, ' ')) AS w FROM documents)
+         |  WHERE regexp_matches(w, '^[a-z]+$$')
+         |  GROUP BY w),
+         |v0 AS (
+         |  SELECT c, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seg
+         |  FROM words),
+         |$rounds
+         |SELECT step, lhs, rhs, cnt FROM ($union) ORDER BY step""".stripMargin
+    },
     "text_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

@@ -98,7 +98,8 @@ class ContractSpec extends SparkSpec {
       "knn_lsh_bucketed",     // seeded gaussian planes (LlmSpec: recall)
       "dedup_embedding_ann",  // LSH candidates (LlmSpec: sound subset + recall)
       "dedup_semantic_ann",   // LSH candidates in IVF cells (LlmSpec: sound subset + recall)
-      "knn_pairs_label_ann")  // LSH candidates (LlmSpec: top-1 agreement)
+      "knn_pairs_label_ann",  // LSH candidates (LlmSpec: top-1 agreement)
+      "knn_nndescent")        // graph ANN (LlmSpec: recall@10 + descent)
     val missing = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- unitOnly
     assert(missing.isEmpty,

@@ -180,6 +180,43 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall vs brute force = $recall (< 0.5)")
   }
 
+  test("ANN: knn_nndescent converges toward the true k-NN graph and beats its init") {
+    // ground truth: exact top-10 cosine neighbors per vector (brute force)
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / math.sqrt(na * nb)
+    }
+    val truth: Map[Long, Set[Long]] = vecs.map { case (id, v) =>
+      id -> vecs.iterator.filter(_._1 != id)
+        .map { case (j, u) => (j, cos(v, u)) }
+        .toSeq.sortBy { case (j, s) => (-s, j) }.take(10).map(_._1).toSet
+    }.toMap
+    def recallOf(rounds: Int): Double = {
+      val got = Similarity.nnDescent(Tables.embeddings(spark, sf), rounds = rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val hits = truth.iterator.map { case (id, t) =>
+        t.count(got.getOrElse(id, Set.empty).contains) }.sum
+      hits.toDouble / (truth.size * 10)
+    }
+    val init = recallOf(0)
+    val fin = recallOf(3)
+    info(f"NN-Descent recall@10: init $init%.4f, after 3 rounds $fin%.4f")
+    // the multi-partition hash init is a random graph — recall ≈ k/n;
+    // three neighbor-of-neighbor rounds must lift it decisively
+    // (deterministic — pure fixture function). The floors leave slack
+    // only for a fixture regeneration.
+    assert(fin > init + 0.3,
+      s"NN-Descent did not descend: init recall $init, final $fin")
+    assert(fin >= 0.6, s"NN-Descent recall@10 $fin < 0.6")
+  }
+
   test("ANN dedup verdicts are a sound subset of the exact query's") {
     // dedup_embedding_ann generates pairs from LSH band collisions, then
     // re-ranks exactly — so every verdict it emits must be genuine (the vec

@@ -35,6 +35,29 @@ class PlanSpec extends SparkSpec {
       s"no might_contain filter on the fact-side join key in:\n$plan")
   }
 
+  test("r12: bloom incremental dedup prunes the corpus side below the join") {
+    // dedup_incremental_bloom's whole point is that the corpus scan is
+    // gated by a bloom over the BATCH's hashes before anything shuffles;
+    // the filter must sit on the corpus branch (the one keeping
+    // doc_id % 5 <> 0), not merely exist somewhere in the plan.
+    val df = SparkEntryPlan("dedup_incremental_bloom")
+    df.collect() // AQE finalizes subquery reuse only on execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"no might_contain prefilter in:\n$plan")
+    // non-vacuity: a bloom that pruned TOO MUCH would also show a clean
+    // plan — so pin the output to the plain sibling's, row for row (the
+    // exact confirm join must make the two semantics identical; at this
+    // SF every batch hash is corpus-absent, so this checks the all-'new'
+    // case while the sf0.1 oracle run covers a genuine dup_corpus hit)
+    val bloom = df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val plain = SparkEntryPlan("dedup_incremental")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(bloom == plain,
+      s"bloom variant diverged from dedup_incremental: " +
+        s"${bloom.diff(plain).take(5)} vs ${plain.diff(bloom).take(5)}")
+  }
+
   test("A4b: a partition-key filter prunes to exactly its directory") {
     // the 100 TB contract behind Hive-style layouts (SURVEY §2 A4): a
     // filter on the partition column must eliminate non-matching
@@ -551,7 +574,11 @@ class PlanSpec extends SparkSpec {
       "dedup_semantic_ann",
       // r12c: graph_hits crosses the broadcast 1-row normalization max
       // twice per round (the pagerank-family bounded broadcast pattern)
-      "graph_hits")
+      "graph_hits",
+      // r12d: bpe_train_merges crosses the broadcast 1-row argmax merge
+      // rule onto the word-type table each round (the pagerank/hits
+      // bounded-broadcast loop shape)
+      "bpe_train_merges")
     // ETL/streaming queries run real side effects — planning-only audit
     // covers the analytic surface (list shared with ContractSpec).
     val sideEffecting = QuerySets.sideEffecting

@@ -47,5 +47,11 @@ object QuerySets {
     // retrieval_eval_ndcg reuses that plus its own exact-top-10 checkpoint
     "knn_pq_adc", "retrieval_eval_ndcg",
     // r12c: Hits.run checkpoints edges/nodes and each round's score frame
-    "graph_hits")
+    "graph_hits",
+    // r12d: nnDescent counts the corpus (bucket sizing) and checkpoints
+    // the unit vectors + every round's pair store and neighbor lists
+    "knn_nndescent",
+    // r12d: bpe_train_merges checkpoints the word-type table and each
+    // round's 1-row argmax merge rule + re-segmented types
+    "bpe_train_merges")
 }
