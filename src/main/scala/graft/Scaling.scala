@@ -74,7 +74,15 @@ object Scaling {
     // CCNet tertiles (histogram ranking), and the per-doc bigram LM score
     // (instance stream × broadcast type table) — all claim linear
     Q("dsir_importance", 64), Q("quality_buckets_lang", 64),
-    Q("perplexity_bigram_doc", 64))
+    Q("perplexity_bigram_doc", 64),
+    // round 12d: bloom-prefiltered incremental dedup (digest-only shuffle
+    // after the map-side bloom prune — linear claim) and BPE merge
+    // training (corpus scan + 8 rounds over the word-TYPE table; types
+    // grow ~×m under content-disjoint rotation, so ≈ linear expected)
+    Q("dedup_incremental_bloom", 64), Q("bpe_train_merges", 64),
+    // round 12d: BPE encode — bpeLearn + one corpus explode → type-table
+    // equi-join → per-doc sum; linear claim
+    Q("bpe_apply_encode", 64))
 
   /** embeddings+events-family study (base sf0.1 — 2000 vecs / 100k events
     * ⇒ 128000 / 6.4M at 64×). The exact per-label pair operator is capped
@@ -101,7 +109,12 @@ object Scaling {
     // round 12c: production SemDeDup (banded candidates inside cells —
     // must track the linear ANN family, not its quadratic-in-cell exact
     // sibling) and the NDCG eval (two scan rankings)
-    Q("dedup_semantic_ann", 64), Q("retrieval_eval_ndcg", 64))
+    Q("dedup_semantic_ann", 64), Q("retrieval_eval_ndcg", 64),
+    // round 12d: NN-Descent — per-round candidate work is N·cap²/2 pair
+    // scores (linear-in-N claim), but the constant is ~20 corpus scans'
+    // worth of dot products, so cap the study at 16× to stay inside the
+    // local-run budget (the 4→16 top half still fits the slope)
+    Q("knn_nndescent", 16))
 
   private val GraphQueries = Seq(
     // round 11: bounded-round peel — per-round O(|E|) like LPA

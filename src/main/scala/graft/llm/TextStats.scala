@@ -133,6 +133,44 @@ object TextStats {
       .otherwise("pass")
   }
 
+  /** Shared 8-round BPE learner (bpe_train_merges / bpe_apply_encode —
+    * one recurrence, so the trainer and the encoder cannot drift):
+    * returns (merges, finalTypes) where merges = (step, lhs, rhs, cnt)
+    * and finalTypes = (w, c, seg) with seg the space-delimited symbol
+    * string after all 8 merges. Word types are filtered to ^[a-z]+$ (the
+    * documented segmentation contract — the delimiter can then never
+    * occur inside a symbol). Each round localCheckpoints the 1-row argmax
+    * and the re-segmented type table — the loop's lineage cut. */
+  private def bpeLearn(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val words = documents(s, d)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    var v = words.select(col("w"), col("c"),
+      concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("seg"))
+      .localCheckpoint()
+    val merges = (0 until 8).map { k =>
+      val best = v
+        .select(col("c"), split(trim(col("seg")), " ").as("l"))
+        .filter(size(col("l")) >= 2)
+        .select(col("c"), explode(expr(
+          "transform(sequence(0, size(l)-2), " +
+            "i -> named_struct('a', l[i], 'b', l[i+1]))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("c").as("cnt"))
+        .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1)
+        .localCheckpoint()
+      v = v.crossJoin(broadcast(best))
+        .select(col("w"), col("c"), expr(
+          "replace(seg, concat(' ', a, ' ', b, ' '), " +
+            "concat(' ', a, b, ' '))").as("seg"))
+        .localCheckpoint()
+      best.select(lit(k).as("step"), col("a").as("lhs"),
+        col("b").as("rhs"), col("cnt"))
+    }
+    (merges.reduce(_ unionAll _), v)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E6 — corpus stats per (lang, source): doc counts, token counts, exact
     // char sums, stable mean chars (int sums + one double division).
@@ -201,34 +239,28 @@ object TextStats {
     // deterministic; the oracle unrolls the identical 8-round recurrence
     // (the HITS/pagerank precedent) and the fixture yields genuine
     // compositional merges (e+r→er, then m+er→mer).
-    "bpe_train_merges" -> ((s, d) => {
-      val words = documents(s, d)
-        .select(explode(tokens(col("text"))).as("w"))
-        .filter(col("w").rlike("^[a-z]+$"))
-        .groupBy("w").agg(count(lit(1)).as("c"))
-      var v = words.select(col("c"),
-        concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("seg"))
-        .localCheckpoint()
-      val merges = (0 until 8).map { k =>
-        val best = v
-          .select(col("c"), split(trim(col("seg")), " ").as("l"))
-          .filter(size(col("l")) >= 2)
-          .select(col("c"), explode(expr(
-            "transform(sequence(0, size(l)-2), " +
-              "i -> named_struct('a', l[i], 'b', l[i+1]))")).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum("c").as("cnt"))
-          .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1)
-          .localCheckpoint()
-        v = v.crossJoin(broadcast(best))
-          .select(col("c"), expr(
-            "replace(seg, concat(' ', a, ' ', b, ' '), " +
-              "concat(' ', a, b, ' '))").as("seg"))
-          .localCheckpoint()
-        best.select(lit(k).as("step"), col("a").as("lhs"),
-          col("b").as("rhs"), col("cnt"))
-      }
-      merges.reduce(_ unionAll _).orderBy("step")
+    "bpe_train_merges" -> ((s, d) => bpeLearn(s, d)._1.orderBy("step")),
+    // BPE ENCODE (round 12) — the inference half of bpe_train_merges,
+    // sharing the SAME bpeLearn recurrence (the retrieval_eval_ndcg
+    // cannot-drift principle): re-segment every corpus token under the 8
+    // learned merges and report per-document whitespace vs BPE token
+    // counts. The apply is a vocabulary-sized lookup, never a per-token
+    // re-derivation: the learner's final type table carries each word
+    // type's symbol count, and the corpus pass is explode → type-table
+    // equi-join → per-doc sum (map-side-combinable). Tokens outside the
+    // ^[a-z]+$ segmentation contract count 1 unsegmented (the byte-level
+    // pre-tokenizer's job in production).
+    "bpe_apply_encode" -> ((s, d) => {
+      val nsub = bpeLearn(s, d)._2
+        .select(col("w"), size(split(trim(col("seg")), " ")).as("n_sub"))
+      documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .join(nsub, Seq("w"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_ws"),
+          sum(coalesce(col("n_sub").cast("long"), lit(1L))).as("n_bpe"))
+        .orderBy("doc_id")
     }),
     // Language-ID heuristic: argmax of marker-hit counts, 'und' when nothing
     // matches. Oracle-checked — the marker lexicon is spelled out in the
@@ -1209,39 +1241,57 @@ object TextStats {
     })
   )
 
+  /** The bpeLearn recurrence as a DuckDB CTE prefix (words → v0 → … → v8
+    * with per-round b$k argmax and m$k merge rows), shared by BOTH bpe
+    * oracles so the trainer's and encoder's replays cannot drift — the
+    * same leftmost non-overlapping space-delimited replace, the same
+    * (cnt DESC, a, b) tie-break (the HITS/pagerank unrolled-recurrence
+    * precedent). */
+  private def bpeOracleCtes: String = {
+    val rounds = (0 until 8).map { k =>
+      s"""p$k AS (
+         |  SELECT l[x] AS a, l[x+1] AS b, SUM(c) AS cnt
+         |  FROM (SELECT c, str_split(trim(seg), ' ') AS l FROM v$k),
+         |       unnest(range(1, len(l))) AS t(x)
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+         |m$k AS (SELECT $k AS step, a AS lhs, b AS rhs,
+         |        CAST(cnt AS BIGINT) AS cnt FROM b$k),
+         |v${k + 1} AS (
+         |  SELECT w, c, replace(seg, ' ' || a || ' ' || b || ' ',
+         |                       ' ' || a || b || ' ') AS seg
+         |  FROM v$k, b$k)""".stripMargin
+    }.mkString(",\n")
+    s"""words AS (
+       |  SELECT w, COUNT(*) AS c FROM (
+       |    SELECT unnest(str_split(text, ' ')) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+$$')
+       |  GROUP BY w),
+       |v0 AS (
+       |  SELECT w, c, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seg
+       |  FROM words),
+       |$rounds""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
-    // unrolls the identical 8-round greedy recurrence (the HITS/pagerank
-    // precedent): per round, weighted adjacent-pair counts over the word
-    // TYPE table, argmax with (cnt DESC, a, b) tie-break, then the same
-    // leftmost non-overlapping space-delimited replace both engines run
     "bpe_train_merges" -> {
-      val rounds = (0 until 8).map { k =>
-        s"""p$k AS (
-           |  SELECT l[x] AS a, l[x+1] AS b, SUM(c) AS cnt
-           |  FROM (SELECT c, str_split(trim(seg), ' ') AS l FROM v$k),
-           |       unnest(range(1, len(l))) AS t(x)
-           |  GROUP BY 1, 2),
-           |b$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
-           |m$k AS (SELECT $k AS step, a AS lhs, b AS rhs,
-           |        CAST(cnt AS BIGINT) AS cnt FROM b$k),
-           |v${k + 1} AS (
-           |  SELECT c, replace(seg, ' ' || a || ' ' || b || ' ',
-           |                    ' ' || a || b || ' ') AS seg
-           |  FROM v$k, b$k)""".stripMargin
-      }.mkString(",\n")
       val union = (0 until 8).map(k => s"SELECT * FROM m$k")
         .mkString(" UNION ALL ")
-      s"""WITH words AS (
-         |  SELECT w, COUNT(*) AS c FROM (
-         |    SELECT unnest(str_split(text, ' ')) AS w FROM documents)
-         |  WHERE regexp_matches(w, '^[a-z]+$$')
-         |  GROUP BY w),
-         |v0 AS (
-         |  SELECT c, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seg
-         |  FROM words),
-         |$rounds
+      s"""WITH $bpeOracleCtes
          |SELECT step, lhs, rhs, cnt FROM ($union) ORDER BY step""".stripMargin
     },
+    "bpe_apply_encode" ->
+      s"""WITH $bpeOracleCtes,
+         |seg8 AS (SELECT w, len(str_split(trim(seg), ' ')) AS n_sub FROM v8),
+         |tok AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents)
+         |  WHERE w <> '')
+         |SELECT t.doc_id, COUNT(*) AS n_ws,
+         |       CAST(SUM(CASE WHEN s.n_sub IS NOT NULL THEN s.n_sub
+         |                     ELSE 1 END) AS BIGINT) AS n_bpe
+         |FROM tok t LEFT JOIN seg8 s ON t.w = s.w
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "text_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

@@ -575,10 +575,10 @@ class PlanSpec extends SparkSpec {
       // r12c: graph_hits crosses the broadcast 1-row normalization max
       // twice per round (the pagerank-family bounded broadcast pattern)
       "graph_hits",
-      // r12d: bpe_train_merges crosses the broadcast 1-row argmax merge
-      // rule onto the word-type table each round (the pagerank/hits
-      // bounded-broadcast loop shape)
-      "bpe_train_merges")
+      // r12d: the bpe keys share bpeLearn, which crosses the broadcast
+      // 1-row argmax merge rule onto the word-type table each round (the
+      // pagerank/hits bounded-broadcast loop shape)
+      "bpe_train_merges", "bpe_apply_encode")
     // ETL/streaming queries run real side effects — planning-only audit
     // covers the analytic surface (list shared with ContractSpec).
     val sideEffecting = QuerySets.sideEffecting

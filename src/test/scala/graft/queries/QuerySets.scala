@@ -51,7 +51,7 @@ object QuerySets {
     // r12d: nnDescent counts the corpus (bucket sizing) and checkpoints
     // the unit vectors + every round's pair store and neighbor lists
     "knn_nndescent",
-    // r12d: bpe_train_merges checkpoints the word-type table and each
-    // round's 1-row argmax merge rule + re-segmented types
-    "bpe_train_merges")
+    // r12d: the bpe keys share bpeLearn, which checkpoints the word-type
+    // table and each round's 1-row argmax merge rule + re-segmented types
+    "bpe_train_merges", "bpe_apply_encode")
 }
