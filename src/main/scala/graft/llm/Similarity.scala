@@ -423,8 +423,13 @@ object Similarity {
 
   /** Body of `knn_pq_adc` — see the query's scaladoc. Returns the top-10
     * (rn, vec_id, adc_d2) by asymmetric PQ distance; factored so
-    * `retrieval_eval_ndcg` can grade the SAME ranking it ships. */
-  private def pqAdcTop10(s: SparkSession, d: String): DataFrame = {
+    * `retrieval_eval_ndcg` can grade the SAME ranking it ships and
+    * `knn_ivf_pq` can restrict the scored postings to an IVF cell
+    * (`members`: the candidate vec_id set — None scans the full corpus;
+    * the codebook/training passes always see the whole corpus, exactly
+    * like a FAISS index trained corpus-wide and queried per-cell). */
+  private def pqAdcTop10(s: SparkSession, d: String,
+      members: Option[DataFrame] = None): DataFrame = {
     val M = 8; val SUB = 8
     val q = shiftedVectors(s, d)
     // (vec_id, sub, sv): the M subvectors of every vector
@@ -454,8 +459,10 @@ object Similarity {
       .groupBy("sub", "code")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
         t => t.getField("cx").cast("double")).as("cv"))
-    val codes = argminAssign(subs.filter(col("vec_id") =!= 0), cents)
+    val codesAll = argminAssign(subs.filter(col("vec_id") =!= 0), cents)
       .select("vec_id", "sub", "code")
+    val codes = members.fold(codesAll)(m =>
+      codesAll.join(m.select("vec_id"), Seq("vec_id"), "left_semi"))
     // ADC: the probe's exact d² to every (sub, code) centroid
     val adcTable = subs.filter(col("vec_id") === 0)
       .select(col("sub"), col("sv"))
@@ -1044,6 +1051,30 @@ object Similarity {
     // (deterministic in both engines via the inner join).
     "knn_pq_adc" -> ((s, d) =>
       pqAdcTop10(s, d).select("rn", "vec_id", "adc_d2").orderBy("rn")),
+    // IVF-PQ (round 12e) — the composition production ANN serving actually
+    // deploys (Jégou, Douze & Schmid, "Product Quantization for Nearest
+    // Neighbor Search", TPAMI 2011, §V: coarse inverted index × product
+    // codes): the IVF cell restricts WHICH postings the query scans (1/K
+    // of the corpus — the latency axis) and PQ compresses WHAT each
+    // posting stores (32× — the memory axis); ADC scores the probed
+    // cell's codes with 8 table lookups each. Both halves are the
+    // already-shipped deterministic pieces, single-sourced so they cannot
+    // drift: cells come from ivfCellAssign(unit, 8) — the exact
+    // knn_ivf_coarse / dedup_semantic_cells assignment — and scoring is
+    // pqAdcTop10 with the cell's vec_id set as the postings restriction
+    // (codebook TRAINING stays corpus-wide, like a FAISS index). 100 TB
+    // shape: cells are the partition key, the cell filter is a semi-join
+    // pushed before the ADC lookup join, and everything the probe touches
+    // after assignment is |cell| rows, not |corpus|.
+    "knn_ivf_pq" -> ((s, d) => {
+      val unit = withUnitVec(embeddings(s, d), "embedding", "uv")
+      val clustered = ivfCellAssign(unit, 8)
+      val probeCell = clustered.filter(col("vec_id") === 0).select("cell")
+      val members = clustered.join(broadcast(probeCell), Seq("cell"))
+        .filter(col("vec_id") =!= 0).select("vec_id")
+      pqAdcTop10(s, d, Some(members))
+        .select("rn", "vec_id", "adc_d2").orderBy("rn")
+    }),
     // Ranking-quality evaluation (round 12): NDCG@10 of the two lossy
     // rankings this engine ships — PQ-ADC (the memory axis) and JL-16
     // (the dimensionality axis) — against the EXACT shifted-L2 top-10,
@@ -1374,6 +1405,33 @@ object Similarity {
         |SELECT row_number() OVER (ORDER BY adc_d2, vec_id) AS rn,
         |       vec_id, adc_d2
         |FROM (SELECT * FROM scored ORDER BY adc_d2, vec_id LIMIT 10) t
+        |ORDER BY rn""".stripMargin,
+    // the shared PQ CTE prefix restricted to the probe's IVF cell — the
+    // cell CTEs replay knn_ivf_coarse's assignment verbatim
+    "knn_ivf_pq" ->
+      s"""WITH $PqOracleCtes,
+        |icent AS (
+        |  SELECT vec_id AS c_id, embedding AS c_v FROM embeddings
+        |  WHERE vec_id < 8),
+        |iassign AS (
+        |  SELECT e.vec_id, c.c_id,
+        |         round(list_cosine_similarity(e.embedding, c.c_v), 4) AS csim
+        |  FROM embeddings e CROSS JOIN icent c),
+        |icl AS (
+        |  SELECT vec_id, c_id AS cell FROM (
+        |    SELECT vec_id, c_id,
+        |           row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY csim DESC, c_id) AS arn
+        |    FROM iassign) t
+        |  WHERE arn = 1),
+        |mem AS (
+        |  SELECT vec_id FROM icl
+        |  WHERE cell = (SELECT cell FROM icl WHERE vec_id = 0)
+        |    AND vec_id <> 0)
+        |SELECT row_number() OVER (ORDER BY adc_d2, vec_id) AS rn,
+        |       vec_id, adc_d2
+        |FROM (SELECT s.vec_id, s.adc_d2 FROM scored s JOIN mem USING (vec_id)
+        |      ORDER BY adc_d2, vec_id LIMIT 10) t
         |ORDER BY rn""".stripMargin,
     // grades the SAME pq pipeline (shared CTE prefix) and an independent
     // in-SQL JL-16 ranking against the exact shifted-L2 top-10; discount

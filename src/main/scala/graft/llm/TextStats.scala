@@ -661,6 +661,133 @@ object TextStats {
         .select("rank", "token", "freq", "cum_freq", "total_tokens")
         .orderBy("rank")
     }),
+    // Heaps-law vocabulary growth curve (round 12e): how fast the TYPE
+    // vocabulary grows as the corpus is consumed in doc_id order — the
+    // readout that sizes tokenizer vocabularies and tells a crawl when new
+    // data has stopped contributing new types (the curve flattening is the
+    // exhaustion signal; Heaps' law V(n) ≈ K·n^β predicts the sub-linear
+    // shape the bpe_train_merges scaladoc leans on). The corpus is cut
+    // into 10 equal doc_id bands of width ceil((max_id+1)/10) — an exact
+    // integer from the 1-row max aggregate, never a global ntile window
+    // over docs — and each token contributes one new type to the band of
+    // its FIRST occurrence, min(doc_id) DIV width (the
+    // dedup_ngram_novelty first-occurrence shape, one vocab-sized
+    // map-side-combinable agg over the instance stream). new_types per
+    // band plus the running cum_types reproduce the vocabulary-vs-corpus
+    // curve exactly; all integers, and the running sum windows the 10-row
+    // band table. 100 TB shape: one explode pass + vocab/band-sized aggs
+    // — only (token, min-doc) partials cross the shuffle; the width rides
+    // a broadcast 1-row crossJoin.
+    "vocab_growth_curve" -> ((s, d) => {
+      val docs = documents(s, d)
+      val wdt = docs.agg(expr("(MAX(doc_id) + 10) DIV 10").as("w"))
+      val tok = docs.select(col("doc_id"),
+        explode(tokens(col("text"))).as("token"))
+      val nd = docs.crossJoin(broadcast(wdt))
+        .groupBy(expr("doc_id DIV w").as("band"))
+        .agg(count(lit(1)).as("n_docs"))
+      val inst = tok.crossJoin(broadcast(wdt))
+        .groupBy(expr("doc_id DIV w").as("band"))
+        .agg(count(lit(1)).as("n_tokens"))
+      val firsts = tok.groupBy("token").agg(min(col("doc_id")).as("fd"))
+        .crossJoin(broadcast(wdt))
+        .groupBy(expr("fd DIV w").as("band"))
+        .agg(count(lit(1)).as("new_types"))
+      val wCum = Window.orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      nd.join(inst, Seq("band"), "left")
+        .join(firsts, Seq("band"), "left")
+        .select(col("band"), col("n_docs"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("new_types"), lit(0L)).as("new_types"))
+        .withColumn("cum_types", sum(col("new_types")).over(wCum))
+        .orderBy("band")
+    }),
+    // Cross-source quantile normalization (round 12f) — the distribution
+    // aligner (Bolstad et al., Bioinformatics 2003, the microarray
+    // workhorse) corpus mixing needs when per-source length/quality scales
+    // disagree: replace each doc's n_chars by the CROSS-SOURCE mean of its
+    // within-source quantile bucket, so every source ends up with the
+    // same marginal distribution and mixture weights compare like with
+    // like. Exact integers throughout: within-source rank (n_chars,
+    // doc_id total order), percent bucket q = ((rnk−1)·100) DIV ns, and
+    // the bucket reference mean as (Σ·10⁶) DIV count fixed point — the
+    // jac_q6 recipe, zero floats. 100 TB shape: the within-source ranking
+    // window is partition-parallel across sources (at extreme per-source
+    // cardinality, range-partition the per-source sort and carry partition
+    // row-count offsets — the standard distributed-rank move); the bucket
+    // table is ≤100 rows × sources and the reference ≤100 rows, joined
+    // back by an explicit broadcast.
+    "quantile_normalize_source" -> ((s, d) => {
+      val docs = documents(s, d)
+      val wSrc = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+      val ranked = docs.select("doc_id", "source", "n_chars")
+        .withColumn("rnk", row_number().over(wSrc))
+      val cnt = docs.groupBy("source").agg(count(lit(1)).as("ns"))
+      val bucketed = ranked.join(cnt, Seq("source"))
+        .withColumn("q", expr("((rnk - 1) * 100) DIV ns"))
+      val ref = bucketed.groupBy("q")
+        .agg(sum(col("n_chars")).as("qs"), count(lit(1)).as("qc"))
+      bucketed.join(broadcast(ref), Seq("q"))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("q"),
+          expr("(qs * 1000000) DIV qc").as("norm_q6"))
+        .orderBy("doc_id")
+    }),
+    // KMV distinct-intersection sketch (round 12f) — per-source k-minimum-
+    // values sketches of the token-hash space (operators.KmvSketch
+    // scaladoc: Bar-Yossef et al. 2002; Beyer et al. SIGMOD 2007), the
+    // sketch that gives the mergeable family SET ALGEBRA: every source
+    // pair gets distinct estimates, a union estimate, and the Jaccard /
+    // INTERSECTION estimates two HLLs cannot produce — cross-source token
+    // overlap accounting at 100 TB without `corpus_overlap_ngram`'s exact
+    // posting join. The sketch is a pure function of the token SET (k
+    // smallest distinct hashes — merge-tree-independent, unlike
+    // Space-Saving), but the hashes are engine-local xxhash64 → unit
+    // tier; KmvSketchSpec asserts the determinism, the error bound, the
+    // union-containment law and the planted-overlap Jaccard. Estimator:
+    // u_k = (h_k + 2^63)/2^64 (signed order IS unsigned order under the
+    // shift), D̂ = (k−1)/u_k when saturated, exact size below k; pair
+    // stats from the trimmed merged sketch (un), J ≈ |un ∩ A ∩ B|/|un|,
+    // |A∩B| ≈ J·D̂(un). 100 TB shape: the k-bounded buffer rides partial
+    // aggregation (k longs per source per partition cross the shuffle;
+    // after warm-up an insert costs one compare), and the pair matrix is
+    // a broadcast theta self-join of the SOURCES-sized sketch table —
+    // never the corpus.
+    "sketch_kmv_intersect" -> ((s, d) => {
+      import s.implicits._
+      val k = 128
+      val agg = new graft.operators.KmvAggregator(k).toColumn
+      val sk = documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("token"))
+        .select(col("source"), xxhash64(col("token")).as("h"))
+        .as[(String, Long)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(agg)
+        .toDF("source", "sketch")
+      def est(arr: String) =
+        s"""CASE WHEN size($arr) < $k THEN CAST(size($arr) AS DOUBLE)
+           |ELSE ${k - 1}.0 /
+           |  ((CAST(element_at($arr, $k) AS DOUBLE)
+           |    + 9.223372036854775808E18) / 1.8446744073709551616E19)
+           |END""".stripMargin
+      val a = sk.select(col("source").as("s1"), col("sketch").as("k1"))
+      val b = sk.select(col("source").as("s2"), col("sketch").as("k2"))
+      a.join(broadcast(b), col("s1") < col("s2"))
+        .withColumn("un",
+          expr(s"slice(array_sort(array_distinct(concat(k1, k2))), 1, $k)"))
+        .withColumn("overlap_k",
+          expr("size(array_intersect(array_intersect(un, k1), k2))"))
+        .select(col("s1"), col("s2"),
+          expr(est("k1")).as("est_d1"),
+          expr(est("k2")).as("est_d2"),
+          expr(est("un")).as("est_union"),
+          col("overlap_k"),
+          expr("(CAST(overlap_k AS BIGINT) * 1000000) DIV size(un)")
+            .as("jaccard_q6"),
+          (col("overlap_k").cast("double") / expr("size(un)")
+            * expr(est("un"))).as("est_intersect"))
+        .orderBy("s1", "s2")
+    }),
     // TF-IDF top terms per document (training-data pipeline op): the
     // classic relevance weighting — tf(doc, term) × ln(N / df(term)) — kept
     // oracle-hashable by quantizing the score to 1e-4 before ranking (ties
@@ -1857,6 +1984,51 @@ object TextStats {
         |         row_number() OVER (ORDER BY n_occurrences DESC, token) AS rank
         |  FROM c) t
         |WHERE rank <= 50 ORDER BY rank""".stripMargin,
+    // same band arithmetic ((max+10)//10 width, first-occurrence band via
+    // MIN(doc_id)//w) — every value an exact integer; non-negative ids
+    // keep // and DIV in agreement
+    "vocab_growth_curve" ->
+      """WITH w AS (SELECT (MAX(doc_id) + 10) // 10 AS w FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(str_split(text, ' ')) AS token
+        |  FROM documents),
+        |nd AS (
+        |  SELECT doc_id // w AS band, COUNT(*) AS n_docs
+        |  FROM documents, w GROUP BY 1),
+        |inst AS (
+        |  SELECT doc_id // w AS band, COUNT(*) AS n_tokens
+        |  FROM tok, w GROUP BY 1),
+        |fv AS (SELECT token, MIN(doc_id) AS fd FROM tok GROUP BY token),
+        |nt AS (
+        |  SELECT fd // w AS band, COUNT(*) AS new_types
+        |  FROM fv, w GROUP BY 1)
+        |SELECT nd.band, nd.n_docs,
+        |       COALESCE(inst.n_tokens, 0) AS n_tokens,
+        |       COALESCE(nt.new_types, 0) AS new_types,
+        |       CAST(SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY nd.band
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS cum_types
+        |FROM nd LEFT JOIN inst USING (band) LEFT JOIN nt USING (band)
+        |ORDER BY nd.band""".stripMargin,
+    // same integer rank/bucket/fixed-point arithmetic; the within-source
+    // count rides a window here vs the engine's groupBy join — same values
+    "quantile_normalize_source" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |         ROW_NUMBER() OVER (PARTITION BY source
+        |                            ORDER BY n_chars, doc_id) AS rnk,
+        |         COUNT(*) OVER (PARTITION BY source) AS ns
+        |  FROM documents),
+        |b AS (SELECT doc_id, source, n_chars,
+        |             ((rnk - 1) * 100) // ns AS q
+        |      FROM r),
+        |ref AS (SELECT q, CAST(SUM(n_chars) AS BIGINT) AS qs,
+        |               COUNT(*) AS qc
+        |        FROM b GROUP BY q)
+        |SELECT b.doc_id, b.source, b.n_chars, b.q,
+        |       (ref.qs * 1000000) // ref.qc AS norm_q6
+        |FROM b JOIN ref ON b.q = ref.q
+        |ORDER BY b.doc_id""".stripMargin,
     // coverage as the exact rational (cum_freq, total_tokens); the
     // denominator comes from the pre-limit counts
     "vocab_coverage" ->

@@ -59,6 +59,61 @@ object PageRank {
     runLoop(eo, v, id, iters, p)
   }
 
+  /** Personalized PageRank (random walk with restart): the teleport mass
+    * lands ONLY on the seed set S instead of uniformly — the "relevance to
+    * THESE pages" ranking recommendation and related-content pipelines run
+    * (Page et al. 1999 §6's personalized vector; Jeh & Widom, WWW 2003).
+    * Same integer fixed-point discipline as [[run]] (SCALE = 10^12, every
+    * step DIV/×/sum on longs, bit-exact cross-engine by construction):
+    *
+    *   r_0(i)     = [i ∈ S] · (SCALE DIV |S|)
+    *   r_{t+1}(i) = [i ∈ S] · (150000000000 DIV |S|)
+    *              + (85 * Σ_{j→i} (r_t(j) DIV od(j))) DIV 100
+    *
+    * Dangling mass leaks as in [[run]]; nodes unreachable from S stay at
+    * exactly 0 — the property that makes PPR a seed-locality score.
+    *
+    * 100 TB design: identical loop shape to [[run]] (one src-hash join +
+    * one dst groupBy per round, both linear in |E|); |S| rides a broadcast
+    * 1-row aggregate, and the seed flag is a left-semi-derived 0/1 column
+    * carried on the rank frame, so seeding adds NO extra shuffle.
+    *
+    * @param seeds one column named like `id` — the restart set
+    */
+  def runPersonalized(edges: DataFrame, src: String, dst: String,
+      nodes: DataFrame, id: String, seeds: DataFrame, iters: Int,
+      loopShufflePartitions: Int = 8): DataFrame = {
+    val p = loopShufflePartitions
+    val e = edges.select(col(src).as("pr_src"), col(dst).as("pr_dst"))
+    val eo = e.join(e.groupBy("pr_src").agg(count(lit(1)).as("pr_od")),
+      "pr_src").repartition(p, col("pr_src")).localCheckpoint()
+    val sd = seeds.select(col(id).as("pr_id"), lit(1).as("pr_seed"))
+    val v = nodes.select(col(id).as("pr_id"))
+      .join(sd, Seq("pr_id"), "left")
+      .select(col("pr_id"), coalesce(col("pr_seed"), lit(0)).as("pr_seed"))
+      .repartition(p, col("pr_id")).localCheckpoint()
+    // |S| as a broadcast 1-row aggregate, never a driver constant
+    val nsRow = v.agg(sum(col("pr_seed")).cast("long").as("pr_ns"))
+    var ranks = v
+      .crossJoin(broadcast(nsRow))
+      .select(col("pr_id"), col("pr_seed"),
+        expr(s"pr_seed * (${Scale}L DIV pr_ns)").as("pr_r"), col("pr_ns"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = ranks.join(eo, col("pr_id") === col("pr_src"))
+        .select(col("pr_dst"), expr("pr_r DIV pr_od").as("pr_c"))
+        .groupBy("pr_dst").agg(sum("pr_c").as("pr_s"))
+      ranks = ranks.join(contrib, col("pr_id") === col("pr_dst"), "left")
+        .select(col("pr_id"), col("pr_seed"),
+          (expr(s"pr_seed * (${Scale / 100 * 15}L DIV pr_ns)") +
+            expr("(85 * coalesce(pr_s, 0L)) DIV 100")).as("pr_r"),
+          col("pr_ns"))
+        .repartition(p, col("pr_id"))
+        .localCheckpoint()
+    }
+    ranks.select(col("pr_id").as(id), col("pr_r").as("rank"))
+  }
+
   /** @param eo edges pre-annotated with src out-degree, checkpointed
     * @param v  node ids, checkpointed */
   private def runLoop(eo: DataFrame, v: DataFrame, id: String,

@@ -555,6 +555,37 @@ object TierCAgg {
           sha2(base64(col("sketch")), 256).as("sketch_fp"))
         .orderBy("l_returnflag")
     }),
+    // C17f — Space-Saving top-k heavy hitters (round 12e), completing the
+    // mergeable-sketch family's fourth axis: HLL answers "how many
+    // distinct", GK "what value at rank p", CMS "how often is THIS item"
+    // — Space-Saving answers "WHICH items are frequent" with k bounded
+    // counters and no key-space enumeration. k=16 counters per return
+    // flag over the 100-supplier key, so eviction churn is real (the
+    // sketch regime, not the exact one). Unit-tier like its three
+    // siblings: counter values depend on partition merge order;
+    // SpaceSavingSpec asserts the order-independent guarantees (count ≥
+    // true ≥ count − err for every counter under any merge tree, planted
+    // heavy hitters always present, exact in the ≤k-distinct regime).
+    // 100 TB shape: the k-bounded buffer rides partial aggregation — one
+    // pass, k counters per group per partition across the shuffle (see
+    // operators/SpaceSaving.scala).
+    "agg_spacesaving_topk" -> ((s, d) => {
+      import s.implicits._
+      val agg = new graft.operators.SpaceSavingAggregator(16).toColumn
+      lineitem(s, d)
+        .select(col("l_returnflag"), col("l_suppkey").cast("string"))
+        .as[(String, String)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(agg)
+        .flatMap { case (flag, (n, cs)) =>
+          cs.zipWithIndex.map { case ((item, c, e), i) =>
+            (flag, i + 1, item, c, e, n)
+          }
+        }
+        .toDF("l_returnflag", "rank", "item", "est_count", "err_bound",
+          "n_rows")
+        .orderBy("l_returnflag", "rank")
+    }),
     // C18 — ROLLUP grouping sets.
     "agg_rollup" -> ((s, d) => {
       lineitem(s, d).rollup("l_returnflag", "l_linestatus")
@@ -1852,6 +1883,40 @@ object TierCWindow {
             .as("mae_c"))
         .orderBy("event_type", "hr")
     }),
+    // C24b''' — CUSUM changepoint scan (round 12e): the classic level-shift
+    // detector monitoring stacks run after the EWMA smoother — the
+    // cumulative sum of deviations from the series mean peaks at the most
+    // likely changepoint (Page's statistic in its offline scan form).
+    // Float-free by construction: with daily revenue as exact cents v_t,
+    // n days and total T = Σv, the deviation is scaled by n —
+    //   dev_t = n·v_t − T,   S_t = Σ_{i≤t} dev_i = n·Σ_{i≤t}(v_i − T/n)
+    // so S_t is n× the textbook CUSUM, an exact long in both engines
+    // (monotone transform: the argmax day is identical). Magnitudes:
+    // |S_t| ≤ 2·n·T ≈ 10¹⁶ at sf0.1 (n ≈ 2.4k days, T ≈ 2.3×10¹² cents)
+    // — 800× under 2⁶³; at ~1000× revenue move the fold to DECIMAL(38,0)
+    // or a monthly grain. The peak flag marks argmax |S_t| (every tied
+    // day — exact integers, so the tie set is engine-identical). 100 TB
+    // shape: one map-side-combinable daily aggregation (|days| rows cross
+    // the shuffle), the 1-row (n, T) total and 1-row peak ride broadcast
+    // crossJoins, and the running-sum window orders the CALENDAR-BOUNDED
+    // daily table (~2.4k rows for 7 years — bounded by time, not corpus
+    // size), the same justification as every sortedPick site.
+    "timeseries_cusum" -> ((s, d) => {
+      val daily = orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("v"))
+      val tot = daily.agg(count(lit(1)).as("n"), sum(col("v")).as("t"))
+      val wRun = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val scored = daily.crossJoin(broadcast(tot))
+        .withColumn("cusum", sum(col("n") * col("v") - col("t")).over(wRun))
+      val peak = scored.agg(max(abs(col("cusum"))).as("pk"))
+      scored.crossJoin(broadcast(peak))
+        .select(col("day"), col("v").as("day_cents"), col("cusum"),
+          (abs(col("cusum")) === col("pk")).cast("int").as("is_peak"))
+        .orderBy("day")
+    }),
     // C24c — time-series gap-fill + forward fill: the observed daily revenue
     // series per order priority is completed to EVERY calendar day of
     // 1995-01 (sequence() explode — expression-level, no shuffle, no
@@ -1916,6 +1981,25 @@ object TierCWindow {
       graft.operators.PageRank.run(ClickGraph.directed(s, d), "src", "dst",
         ClickGraph.pages(s, d), "page", 5)
         .orderBy(desc("rank"), asc("page"))),
+    // Personalized PageRank (round 12f) — random walk with restart from a
+    // SEED set (Page et al. 1999 §6; Jeh & Widom, WWW 2003): the teleport
+    // mass lands only on the landing pages (page < 10), so the score reads
+    // "authority AS SEEN FROM these entry points" — the related-content /
+    // recommendation ranking the uniform pagerank_clicks cannot express
+    // (pages unreachable from the seeds score exactly 0). Same integer
+    // fixed-point recurrence as pagerank_clicks (operators.PageRank
+    // scaladoc: SCALE=10^12, every step DIV/×/long-sum — bit-exact
+    // cross-engine by construction); the oracle unrolls the identical
+    // seeded recurrence. 100 TB: the run() loop shape unchanged — one
+    // |E|-linear src join + dst groupBy per round; the seed flag is a
+    // carried 0/1 column and |S| a broadcast 1-row aggregate, so
+    // personalization adds zero shuffles.
+    "pagerank_personalized" -> ((s, d) =>
+      graft.operators.PageRank.runPersonalized(
+        ClickGraph.directed(s, d), "src", "dst",
+        ClickGraph.pages(s, d), "page",
+        ClickGraph.pages(s, d).filter(col("page") < 10), 5)
+        .orderBy(desc("rank"), asc("page"))),
     // HITS hubs-and-authorities (round 12) — the bipartite-reinforcement
     // ranking PageRank's single score cannot express: navigation pages
     // that POINT AT the good content (hubs) vs the content pages
@@ -1952,6 +2036,63 @@ object TierCWindow {
         .groupBy(coalesce(col("touch_page"), lit(-1L)).as("touch_page"))
         .agg(count(lit(1)).as("n_purchases"),
           decSum(col("value")).as("revenue"))
+        .orderBy("touch_page")
+    }),
+    // Position-based (U-shaped) attribution (round 12f) — the multi-touch
+    // refinement of attribution_last_touch: every purchase splits its
+    // revenue over its WHOLE touch path (the touches since the user's
+    // previous purchase), 40% to the first touch, 40% to the last, the
+    // middle 20% spread over the interior (the standard U-shape; m=1 →
+    // 100%, m=2 → 50/50). Credits are integer BASIS POINTS (m>2 interior
+    // bp = 2000 DIV (m−2) — truncation is the DEFINED rule, identical in
+    // both engines), revenue is exact cents, and the one division to
+    // whole credited cents happens ONCE on the final sum — zero floats
+    // anywhere. Path segmentation is the gaps-and-islands running
+    // purchase count (grp inclusive: a touch with grp g precedes purchase
+    // number g+1; the purchase row's own grp IS its number), touches
+    // after the last purchase and purchases with an empty path (credited
+    // to page −1 at 100%) fall out of the inner/anti join pair. 100 TB
+    // shape: one user_id window for segmentation, one (user, pidx) window
+    // pair for position/length — both partition-parallel, keys nested so
+    // the second shuffle is the only extra cost over last_touch — then a
+    // page-vocabulary-sized map-side-combinable aggregation; products
+    // cents×bp ≤ 10⁹ per row keep the long sum far from overflow.
+    "attribution_position" -> ((s, d) => {
+      val ev = events(s, d)
+        .filter(col("event_type").isin("click", "view", "purchase"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+          get_json_object(col("props"), "$.k").cast("long").as("page"))
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val g = ev.withColumn("grp",
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).over(w))
+      val touches = g.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_id"), col("page"),
+          (col("grp") + 1).as("pidx"))
+      val purchases = g.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("grp").as("pidx"), col("cents"))
+      val wp = Window.partitionBy("user_id", "pidx").orderBy("event_id")
+      val pathed = touches
+        .withColumn("pos", row_number().over(wp))
+        .withColumn("m",
+          count(lit(1)).over(Window.partitionBy("user_id", "pidx")))
+      val credited = pathed.join(purchases, Seq("user_id", "pidx"))
+        .select(col("page"), col("cents"),
+          when(col("m") === 1, 10000L)
+            .when(col("m") === 2, 5000L)
+            .when(col("pos") === 1 || col("pos") === col("m"), 4000L)
+            .otherwise(expr("2000 DIV (m - 2)")).as("bp"))
+      val orphans = purchases
+        .join(touches, Seq("user_id", "pidx"), "left_anti")
+        .select(lit(-1L).as("page"), col("cents"), lit(10000L).as("bp"))
+      credited.unionAll(orphans)
+        .groupBy("page")
+        .agg(count(lit(1)).as("n_credits"),
+          sum(col("cents") * col("bp")).as("credit_bp_cents"))
+        .select(col("page").as("touch_page"), col("n_credits"),
+          col("credit_bp_cents"),
+          expr("credit_bp_cents DIV 10000").as("credit_cents"))
         .orderBy("touch_page")
     }),
     // Triangle census of the click graph (round 6) — the structural stat
@@ -2475,6 +2616,26 @@ object TierCWindow {
         |       es[CAST(i AS INT)] AS ewma_q6
         |FROM e, UNNEST(range(1, len(yms) + 1)) AS t(i)
         |ORDER BY st, ym""".stripMargin,
+    // same n-scaled integer CUSUM (dev = n·v − T exact BIGINTs; DuckDB's
+    // window SUM runs in HUGEINT, cast back); the tied-peak set is an
+    // integer comparison so both engines flag identical days
+    "timeseries_cusum" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |                       AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS t FROM daily),
+        |sc AS (
+        |  SELECT day, v,
+        |         CAST(SUM(n * v - t) OVER (ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cusum
+        |  FROM daily, tot),
+        |pk AS (SELECT MAX(abs(cusum)) AS pk FROM sc)
+        |SELECT day, v AS day_cents, cusum,
+        |       CAST(abs(cusum) = pk AS INT) AS is_peak
+        |FROM sc, pk ORDER BY day""".stripMargin,
     // train means and test MAE as pure integer floor divisions; hours
     // absent from the test window surface NULL mae
     "forecast_seasonal_baseline" ->
@@ -2614,6 +2775,33 @@ object TierCWindow {
          |$iterCte
          |SELECT page, r AS "rank" FROM r5 ORDER BY r DESC, page""".stripMargin
     },
+    // the pagerank_clicks recurrence with the teleport term gated on the
+    // seed flag and divided by |S| — the identical integer unroll
+    "pagerank_personalized" -> {
+      val iterCte = (1 to 5).map { i =>
+        s"""r$i AS (
+           |  SELECT sv.page,
+           |         sv.seed * (150000000000 // nn.n)
+           |         + (85 * coalesce(c.s, 0)) // 100 AS r
+           |  FROM sv CROSS JOIN nn LEFT JOIN (
+           |    SELECT e.dst, CAST(SUM(p.r // o.od) AS BIGINT) AS s
+           |    FROM r${i - 1} p JOIN e ON p.page = e.src
+           |    JOIN outdeg o ON e.src = o.src
+           |    GROUP BY e.dst) c ON sv.page = c.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${ClickGraph.OracleEv},
+         |${ClickGraph.OracleDirected},
+         |outdeg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+         |nodes AS (SELECT DISTINCT page FROM ev),
+         |sv AS (SELECT page,
+         |              CASE WHEN page < 10 THEN 1 ELSE 0 END AS seed
+         |       FROM nodes),
+         |nn AS (SELECT CAST(SUM(seed) AS BIGINT) AS n FROM sv),
+         |r0 AS (SELECT page, seed * (1000000000000 // n) AS r
+         |       FROM sv CROSS JOIN nn),
+         |$iterCte
+         |SELECT page, r AS "rank" FROM r5 ORDER BY r DESC, page""".stripMargin
+    },
     "attribution_last_touch" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, event_type, value,
@@ -2633,6 +2821,48 @@ object TierCWindow {
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM touched WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY touch_page""".stripMargin,
+    // same segmentation (running purchase count), same integer basis-point
+    // credit rule, same single final DIV to credited cents
+    "attribution_position" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS page
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view', 'purchase')),
+        |g AS (
+        |  SELECT *, SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS grp
+        |  FROM ev),
+        |t AS (SELECT user_id, event_id, page, grp + 1 AS pidx
+        |      FROM g WHERE event_type <> 'purchase'),
+        |p AS (SELECT user_id, grp AS pidx, cents
+        |      FROM g WHERE event_type = 'purchase'),
+        |pathed AS (
+        |  SELECT user_id, pidx, page,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, pidx
+        |                            ORDER BY event_id) AS pos,
+        |         COUNT(*) OVER (PARTITION BY user_id, pidx) AS m
+        |  FROM t),
+        |cr AS (
+        |  SELECT pa.page, p.cents,
+        |         CASE WHEN pa.m = 1 THEN 10000
+        |              WHEN pa.m = 2 THEN 5000
+        |              WHEN pa.pos = 1 OR pa.pos = pa.m THEN 4000
+        |              ELSE 2000 // (pa.m - 2) END AS bp
+        |  FROM pathed pa
+        |  JOIN p ON pa.user_id = p.user_id AND pa.pidx = p.pidx
+        |  UNION ALL
+        |  SELECT -1 AS page, cents, 10000 AS bp
+        |  FROM p WHERE NOT EXISTS (
+        |    SELECT 1 FROM t
+        |    WHERE t.user_id = p.user_id AND t.pidx = p.pidx))
+        |SELECT page AS touch_page, COUNT(*) AS n_credits,
+        |       CAST(SUM(cents * bp) AS BIGINT) AS credit_bp_cents,
+        |       CAST(SUM(cents * bp) AS BIGINT) // 10000 AS credit_cents
+        |FROM cr GROUP BY 1 ORDER BY touch_page""".stripMargin,
     // deliberately the UNORIENTED a<b<c three-way join — an independent
     // construction of the census the oriented Spark plan computes
     "graph_triangles" ->

@@ -92,6 +92,8 @@ class ContractSpec extends SparkSpec {
       "anomaly_iqr_fence_approx", // GK quartiles (PlanSpec: fence brackets)
       "agg_hll_merge",        // HLL sketch union (PlanSpec: ±5% + merge≡single-pass)
       "agg_cms_freq",         // Count-Min sketch (PlanSpec: bounds + merge≡single-pass)
+      "agg_spacesaving_topk", // Space-Saving counters (SpaceSavingSpec: bounds + planted HH + merge trees)
+      "sketch_kmv_intersect", // KMV xxhash64 sketch (KmvSketchSpec: set-function determinism + bounds)
       "minhash_signature",    // xxhash64 signatures (LlmSpec: aggregator parity)
       "dedup_minhash_lsh",    // xxhash64 banding (LlmSpec: collision behavior)
       "dedup_simhash",        // xxhash64 bit votes (LlmSpec: hamming behavior)

@@ -578,7 +578,22 @@ class PlanSpec extends SparkSpec {
       // r12d: the bpe keys share bpeLearn, which crosses the broadcast
       // 1-row argmax merge rule onto the word-type table each round (the
       // pagerank/hits bounded-broadcast loop shape)
-      "bpe_train_merges", "bpe_apply_encode")
+      "bpe_train_merges", "bpe_apply_encode",
+      // r12e: timeseries_cusum crosses the 1-row (n, T) totals and the
+      // 1-row peak aggregate onto the calendar-bounded daily table;
+      // vocab_growth_curve crosses the 1-row band width onto the doc /
+      // instance / first-occurrence streams (the vocab_coverage shape);
+      // knn_ivf_pq contains the pq pipeline's broadcast scale plus the
+      // 8-row ivfCellAssign centroid cross and the 1-row probe-cell
+      // broadcast (the knn_ivf_coarse + knn_pq_adc composition)
+      "timeseries_cusum", "vocab_growth_curve", "knn_ivf_pq",
+      // r12f: pagerank_personalized broadcasts the 1-row |S| aggregate
+      // each round (the pagerank_clicks N-broadcast pattern);
+      // sketch_kmv_intersect theta-joins (s1 < s2) the SOURCES-sized
+      // broadcast sketch table against itself — a ≤|sources|² pair
+      // matrix over k-bounded arrays, never the corpus (the
+      // corpus_overlap_ngram pair-matrix scale argument)
+      "pagerank_personalized", "sketch_kmv_intersect")
     // ETL/streaming queries run real side effects — planning-only audit
     // covers the analytic surface (list shared with ContractSpec).
     val sideEffecting = QuerySets.sideEffecting

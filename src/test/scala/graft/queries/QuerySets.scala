@@ -46,6 +46,11 @@ object QuerySets {
     // training, encoding and ADC passes all reuse;
     // retrieval_eval_ndcg reuses that plus its own exact-top-10 checkpoint
     "knn_pq_adc", "retrieval_eval_ndcg",
+    // r12e: knn_ivf_pq shares pqAdcTop10's shiftedVectors checkpoint
+    "knn_ivf_pq",
+    // r12f: PageRank.runPersonalized checkpoints the seeded node/edge
+    // frames and every round's rank frame inside the builder
+    "pagerank_personalized",
     // r12c: Hits.run checkpoints edges/nodes and each round's score frame
     "graph_hits",
     // r12d: nnDescent counts the corpus (bucket sizing) and checkpoints
