@@ -82,7 +82,14 @@ object Scaling {
     Q("dedup_incremental_bloom", 64), Q("bpe_train_merges", 64),
     // round 12d: BPE encode — bpeLearn + one corpus explode → type-table
     // equi-join → per-doc sum; linear claim
-    Q("bpe_apply_encode", 64))
+    Q("bpe_apply_encode", 64),
+    // round 12e/f: Heaps-law banding (one explode + first-occurrence agg —
+    // types grow ~×m under content-disjoint rotation, linear claim), the
+    // per-source rank window normalizer (sources stay 3, partitions grow
+    // ×m — n·log n per source, near-linear expected), and the KMV set
+    // sketch (k-bounded partial agg + constant pair matrix — linear)
+    Q("vocab_growth_curve", 64), Q("quantile_normalize_source", 64),
+    Q("sketch_kmv_intersect", 64))
 
   /** embeddings+events-family study (base sf0.1 — 2000 vecs / 100k events
     * ⇒ 128000 / 6.4M at 64×). The exact per-label pair operator is capped
@@ -114,7 +121,11 @@ object Scaling {
     // scores (linear-in-N claim), but the constant is ~20 corpus scans'
     // worth of dot products, so cap the study at 16× to stay inside the
     // local-run budget (the 4→16 top half still fits the slope)
-    Q("knn_nndescent", 16))
+    Q("knn_nndescent", 16),
+    // round 12e: IVF-PQ composition — cell assignment + PQ training are
+    // corpus-wide scans, ADC scoring is |cell| ≈ corpus/8 rows; claims
+    // the scan-bound linear class like its two halves
+    Q("knn_ivf_pq", 64))
 
   private val GraphQueries = Seq(
     // round 11: bounded-round peel — per-round O(|E|) like LPA
@@ -133,7 +144,25 @@ object Scaling {
     // round 12b: RA link prediction — same cap·|E| wedge bound as CN
     Q("graph_resource_alloc", 64),
     // round 12c: HITS — per-round O(|E|) like LPA/pagerank
-    Q("graph_hits", 64))
+    Q("graph_hits", 64),
+    // round 12f: personalized PageRank — same per-round O(|E|) loop with
+    // the teleport gated on the seed flag; under page-offset copies only
+    // copy 0 holds seeds (pages < 10), so output mass concentrates there
+    // while the per-round join+agg work still spans the FULL ×m edge
+    // list — exactly the claim under test. The U-shaped attribution is
+    // two nested windows + a vocabulary-sized agg — linear in events.
+    Q("pagerank_personalized", 64), Q("attribution_position", 64))
+
+  /** orders/lineitem-family study (base sf0.1 — 150k orders / 600k
+    * lineitem ⇒ 9.6M / 38.4M at 64×): the two round-12e keys whose input
+    * is the TPC-H fact tables. Copies offset the order keys only — the
+    * CUSUM daily table stays CALENDAR-bounded (~2.4k rows at every m, the
+    * design point: only the scan and the map-side daily agg grow) and
+    * Space-Saving keeps the base (flag, suppkey) key domain so eviction
+    * churn is preserved while n grows ×m (the k-bounded partial-agg
+    * claim). */
+  private val TpchQueries = Seq(
+    Q("timeseries_cusum", 64), Q("agg_spacesaving_topk", 64))
 
   case class Pt(query: String, mult: Int, inputRows: Long, outRows: Long,
       sec: Double)
@@ -172,6 +201,11 @@ object Scaling {
         Map.empty[Int, String]
       else Mults.map(m => m -> stageFamily(spark, eeBase, m,
         inflateDocs = false, inflateEmbEvents = true)).toMap
+    val tpchDirs =
+      if (selected(TpchQueries).isEmpty) Map.empty[Int, String]
+      else Mults.map(m => m -> stageFamily(spark, eeBase, m,
+        inflateDocs = false, inflateEmbEvents = false,
+        inflateTpch = true)).toMap
     System.err.println(
       s"[scaling] staged ${(docsDirs.size + eeDirs.size)} corpora")
 
@@ -189,6 +223,10 @@ object Scaling {
     }
     if (selected(GraphQueries).nonEmpty)
       SparkEntry.queries("graph_degree_stats")(spark, eeBase).count()
+    if (selected(TpchQueries).nonEmpty) {
+      spark.read.parquet(s"$eeBase/lineitem.parquet").count()
+      SparkEntry.queries("agg_global")(spark, eeBase).count()
+    }
 
     // ---- run ----------------------------------------------------------
     val pts = scala.collection.mutable.ArrayBuffer[Pt]()
@@ -214,6 +252,7 @@ object Scaling {
     runSet(DocsQueries, docsDirs, tableRows("documents"))
     runSet(EmbQueries, eeDirs, tableRows("embeddings"))
     runSet(GraphQueries, eeDirs, tableRows("events"))
+    runSet(TpchQueries, tpchDirs, tableRows("lineitem"))
     val loadEnd = Bench.loadAvg()
 
     // ---- fit + emit ---------------------------------------------------
@@ -301,7 +340,8 @@ object Scaling {
     * inflated ones with an m-copy content-disjoint union (see object doc).
     * Dirs live in scratch (tmpfs) and are deleted on JVM exit. */
   def stageFamily(spark: SparkSession, baseDir: String, m: Int,
-      inflateDocs: Boolean, inflateEmbEvents: Boolean): String = {
+      inflateDocs: Boolean, inflateEmbEvents: Boolean,
+      inflateTpch: Boolean = false): String = {
     val dir = graft.core.Tables.scratchDir(s"graft_scale_x$m")
     // match Tables.events' read posture so a NANOS-vintage fixture stages
     // as raw longs (which the reader dispatch then handles) instead of
@@ -311,7 +351,8 @@ object Scaling {
     val inflated =
       (if (inflateDocs) Set("documents") else Set.empty[String]) ++
         (if (inflateEmbEvents) Set("embeddings", "events")
-         else Set.empty[String])
+         else Set.empty[String]) ++
+        (if (inflateTpch) Set("orders", "lineitem") else Set.empty[String])
     val listing = java.nio.file.Files.list(base)
     try listing.forEach { p =>
       val name = p.getFileName.toString
@@ -370,6 +411,26 @@ object Scaling {
       }
       vCopies.reduce(_.union(_)).repartition(math.max(4, m))
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    }
+    if (inflateTpch) {
+      // fact-table growth only: order keys offset per copy so the copies
+      // are row-disjoint, everything else byte-identical — the CUSUM
+      // daily table stays calendar-bounded and Space-Saving's (flag,
+      // suppkey) key domain is preserved (eviction churn intact) while
+      // the scanned row count grows ×m.
+      val ord = spark.read.parquet(s"$baseDir/orders.parquet")
+      val oSpan = ord.agg(max("o_orderkey")).head.getLong(0) + 1
+      val oCopies = (0 until m).map { i =>
+        ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * oSpan))
+      }
+      oCopies.reduce(_.union(_)).repartition(math.max(4, m))
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
+      val lCopies = (0 until m).map { i =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(i * oSpan))
+      }
+      lCopies.reduce(_.union(_)).repartition(math.max(4, m))
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     }
     dir
   }

@@ -816,6 +816,47 @@ object TextStats {
         .select("doc_id", "rn", "token", "tfidf")
         .orderBy("doc_id", "rn")
     }),
+    // χ² term-source association (round 12g) — the classic feature-
+    // selection statistic (Yang & Pedersen, ICML 1997 rank it top with IG
+    // for text): for every (source, token), the 2×2 document-presence
+    // contingency chi-square — which tokens are DISTINCTIVE of a source
+    // vs the rest of the corpus, the per-source signature tfidf (per-doc)
+    // and PMI (pair-level) don't give. Top-5 per source. Float
+    // discipline: the determinant det = a·d − b·c and both χ² factors
+    // are EXACT longs (n·det² ≤ 3.1e18 at sf0.1 — ~3× under 2⁶³;
+    // beyond sf0.3 move the products to DECIMAL(38,0)); χ² itself is ONE
+    // double division of the two exact casts, identical in both engines,
+    // and the ranking orders that deterministic double with token
+    // tie-break. Tokens present in every document carry no signal and a
+    // zero denominator — filtered (nt < n) in both engines. 100 TB
+    // shape: the presence explode+distinct is the only corpus-sized
+    // shuffle; everything after is vocab-sized (a, nt), 3-row (ns)
+    // broadcast, and the 1-row n crossJoin; the top-5 window partitions
+    // by source over ≤|vocab| rows.
+    "text_chisq_terms" -> ((s, d) => {
+      val docs = documents(s, d)
+      val dt = docs.select(col("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("token")).distinct()
+      val a = dt.groupBy("source", "token").agg(count(lit(1)).as("a"))
+      val srcN = docs.groupBy("source").agg(count(lit(1)).as("ns"))
+      val tokN = dt.groupBy("token").agg(count(lit(1)).as("nt"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val det = col("a") * (col("n") - col("ns") - col("nt") + col("a")) -
+        (col("ns") - col("a")) * (col("nt") - col("a"))
+      val chi2 = (col("n") * det * det).cast("double") /
+        (col("ns") * (col("n") - col("ns")) * col("nt") *
+          (col("n") - col("nt"))).cast("double")
+      val scored = a.join(broadcast(srcN), "source").join(tokN, "token")
+        .crossJoin(broadcast(n))
+        .filter(col("nt") < col("n"))
+        .select(col("source"), col("token"), col("a").as("df_in"),
+          col("nt"), chi2.as("chi2"))
+      val w = Window.partitionBy("source").orderBy(desc("chi2"), asc("token"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("source"), col("rn"), col("token"), col("df_in"),
+          col("nt"), round(col("chi2"), 6).as("chi2"))
+        .orderBy("source", "rn")
+    }),
     // BM25 retrieval (round 6) — the lexical ranking function every search/
     // RAG pipeline runs before (or fused with) vector retrieval: top-20
     // docs for a fixed 3-term query, Okapi BM25 with k1=1.2, b=0.75,
@@ -2062,6 +2103,38 @@ object TextStats {
         |                            ORDER BY tfidf DESC, token) AS rn
         |  FROM scored) t
         |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    // exact-integer contingency factors (BIGINT products, HUGEINT-safe
+    // sums), ONE double division — the identical deterministic value the
+    // Spark side ranks; the rn window mirrors the tie-break
+    "text_chisq_terms" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, source, token FROM (
+        |    SELECT doc_id, source, unnest(str_split(text, ' ')) AS token
+        |    FROM documents) t),
+        |a AS (SELECT source, token, COUNT(*) AS a FROM dt GROUP BY 1, 2),
+        |srcn AS (SELECT source, COUNT(*) AS ns FROM documents GROUP BY 1),
+        |tokn AS (SELECT token, COUNT(*) AS nt FROM dt GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |sc AS (
+        |  SELECT a.source, a.token, a.a, ns, nt, n.n,
+        |         a.a * (n.n - ns - nt + a.a) - (ns - a.a) * (nt - a.a)
+        |           AS det
+        |  FROM a JOIN srcn USING (source) JOIN tokn USING (token)
+        |  CROSS JOIN n
+        |  WHERE nt < n.n),
+        |scored AS (
+        |  SELECT source, token, a AS df_in, nt,
+        |         CAST(n * det * det AS DOUBLE)
+        |           / CAST(ns * (n - ns) * nt * (n - nt) AS DOUBLE) AS chi2
+        |  FROM sc)
+        |SELECT source, CAST(rn AS INT) AS rn, token, df_in, nt,
+        |       round(chi2, 6) AS chi2
+        |FROM (
+        |  SELECT source, token, df_in, nt, chi2,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY chi2 DESC, token) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
     // same float shape as the Spark plan, operation for operation; every
     // numeric literal CAST to DOUBLE (a bare 2.2 is DECIMAL in DuckDB and
     // would run the formula in decimal arithmetic — the §7.4c trap);

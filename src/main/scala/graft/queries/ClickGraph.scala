@@ -115,4 +115,31 @@ object ClickGraph {
       |  FROM ev),
       |e AS (SELECT DISTINCT src, page AS dst FROM seq
       |      WHERE src IS NOT NULL AND src <> page)""".stripMargin
+
+  /** `nodes`, `l0`, `l1`..`l<rounds>` CTEs — the synchronous
+    * most-frequent-neighbour / min-label-tie LPA recurrence
+    * LabelPropagation.run executes, factored (round 12g) so
+    * graph_communities_lpa and graph_modularity grade the IDENTICAL
+    * labeling: a recurrence edit applied to one oracle only cannot
+    * silently desync the community structure the two keys describe.
+    * Requires `ev` and `adj` in scope; final labels are
+    * l<rounds>(id, lab). */
+  def oracleLpa(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""l$i AS (
+         |  SELECT id, lab FROM (
+         |    SELECT adj.w AS id, p.lab,
+         |           ROW_NUMBER() OVER (PARTITION BY adj.w
+         |             ORDER BY COUNT(*) DESC, p.lab ASC) AS rn
+         |    FROM adj JOIN l${i - 1} p ON adj.x = p.id
+         |    GROUP BY adj.w, p.lab) t
+         |  WHERE rn = 1
+         |  UNION ALL
+         |  SELECT id, lab FROM l${i - 1}
+         |  WHERE id NOT IN (SELECT w FROM adj))""".stripMargin
+    }.mkString(",\n")
+    s"""nodes AS (SELECT DISTINCT page FROM ev),
+       |l0 AS (SELECT page AS id, page AS lab FROM nodes),
+       |$roundCtes""".stripMargin
+  }
 }

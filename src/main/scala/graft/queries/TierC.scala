@@ -304,6 +304,50 @@ object TierCJoins {
         .groupBy(col("p.b1").as("b1"), col("p.b2").as("b2"))
         .agg(count(lit(1)).as("n_orders"))
         .orderBy(desc("n_orders"), asc("b1"), asc("b2")).limit(25)
+    }),
+    // Association-rule mining (round 12g) — support/confidence/lift over
+    // the brand pair space (Agrawal & Srikant, VLDB 1994 give the
+    // support-confidence framework; lift is Brin et al., SIGMOD 1997's
+    // interest): supp(A,B) = co-occurring baskets, conf(A→B) =
+    // supp(A,B)/supp(A), lift = N·supp(A,B)/(supp(A)·supp(B)) — >1e6 in
+    // the q6 fixed point means the brands co-occur MORE than independence
+    // predicts (the cross-sell signal basket_brand_pairs' raw counts
+    // can't read: a pair can have top support only because both brands
+    // are everywhere). Integer discipline: conf_q6 = supp·10⁶ DIV nA,
+    // lift_q6 = supp·N·10⁶ DIV (nA·nB) — exact longs in both engines
+    // (supp·N·10⁶ ≤ 2.3e16 at sf0.1; ~1000× headroom under 2⁶³ — beyond
+    // that move the q6 product to DECIMAL(38,0)). Ranked by lift.
+    // 100 TB shape: reuses basket_brand_pairs' map-side array expansion
+    // for the pair counts (≤|brands|² keys after combine), the per-brand
+    // basket counts are a |brands|-row broadcast joined twice, and the
+    // 1-row basket total rides a broadcast crossJoin — nothing after the
+    // two fact-table shuffles exceeds |brands|² rows.
+    "market_basket_lift" -> ((s, d) => {
+      val ib = lineitem(s, d)
+        .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand")).distinct()
+      val baskets = ib.groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+      val pairs = baskets
+        .select(explode(expr(
+          """flatten(transform(bs, (x, i) ->
+            |  transform(slice(bs, i + 2, size(bs)),
+            |            y -> struct(x AS b1, y AS b2))))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.b1").as("b1"), col("p.b2").as("b2"))
+        .agg(count(lit(1)).as("supp"))
+      val brandN = ib.groupBy("p_brand").agg(count(lit(1)).as("nb"))
+      val tot = baskets.agg(count(lit(1)).as("n_baskets"))
+      pairs
+        .join(broadcast(brandN.select(col("p_brand").as("b1"),
+          col("nb").as("n1"))), Seq("b1"))
+        .join(broadcast(brandN.select(col("p_brand").as("b2"),
+          col("nb").as("n2"))), Seq("b2"))
+        .crossJoin(broadcast(tot))
+        .select(col("b1"), col("b2"), col("supp"),
+          expr("supp * 1000000L DIV n1").as("conf_q6"),
+          expr("supp * n_baskets * 1000000L DIV (n1 * n2)").as("lift_q6"))
+        .orderBy(desc("lift_q6"), asc("b1"), asc("b2")).limit(25)
     })
   )
 
@@ -459,7 +503,28 @@ object TierCJoins {
         |FROM ib a JOIN ib b USING (l_orderkey)
         |WHERE a.p_brand < b.p_brand
         |GROUP BY 1, 2
-        |ORDER BY n_orders DESC, b1, b2 LIMIT 25""".stripMargin
+        |ORDER BY n_orders DESC, b1, b2 LIMIT 25""".stripMargin,
+    // independent construction: DuckDB derives the pair space by self-join
+    // (vs Spark's array expansion) and the ratios with HUGEINT-exact //
+    "market_basket_lift" ->
+      """WITH ib AS (
+        |  SELECT DISTINCT l_orderkey, p_brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |pairs AS (
+        |  SELECT a.p_brand AS b1, b.p_brand AS b2, COUNT(*) AS supp
+        |  FROM ib a JOIN ib b USING (l_orderkey)
+        |  WHERE a.p_brand < b.p_brand GROUP BY 1, 2),
+        |bn AS (SELECT p_brand, COUNT(*) AS nb FROM ib GROUP BY 1),
+        |tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM ib)
+        |SELECT b1, b2, supp,
+        |       CAST(supp * 1000000 // n1.nb AS BIGINT) AS conf_q6,
+        |       CAST(supp * n_baskets * 1000000 // (n1.nb * n2.nb) AS BIGINT)
+        |         AS lift_q6
+        |FROM pairs
+        |JOIN bn n1 ON pairs.b1 = n1.p_brand
+        |JOIN bn n2 ON pairs.b2 = n2.p_brand
+        |CROSS JOIN tot
+        |ORDER BY lift_q6 DESC, b1, b2 LIMIT 25""".stripMargin
   )
 }
 
@@ -1820,6 +1885,48 @@ object TierCWindow {
           col("z.vs").as("cents"), col("z.es").as("ewma_q6"))
         .orderBy("st", "ym")
     }),
+    // C24a' — autocorrelation function (round 12g): Pearson r of the daily
+    // revenue series against itself at lags 1..7 — the seasonality readout
+    // that says WHICH lag the forecast_seasonal_baseline key should key
+    // on (a weekly cycle shows as a lag-7 peak) and whether the CUSUM
+    // scan's mean-shift model is even plausible. Per lag, only days where
+    // BOTH endpoints exist pair up (the overlap convention of the sample
+    // ACF's pairwise form). Float discipline (agg_corr recipe): every sum
+    // is EXACT — day cents as longs, squares/products accumulated in
+    // DECIMAL(38,0) (v² ~ 1e18 × 2.4k days overflows a long at sf0.1) —
+    // and only the final Pearson expression runs in double, identically
+    // spelled in both engines on identical exact inputs; round(., 6) is
+    // display-only (nothing ranks on it). 100 TB shape: ONE map-side-
+    // combinable daily agg (the only fact-table shuffle), then the lag
+    // pairing explodes each of the ~2.4k CALENDAR-BOUNDED daily rows
+    // into 7 shifted copies and equi-joins them back on day — the joined
+    // frame is 7×|days|, bounded by time, not corpus; the per-lag sums
+    // combine map-side into 7 rows.
+    "timeseries_autocorr" -> ((s, d) => {
+      val daily = orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("v"))
+      val shifted = daily
+        .select(explode(expr("sequence(1, 7)")).as("lag"),
+          col("day"), col("v"))
+        .select(col("lag"), expr("date_add(day, lag)").as("day"),
+          col("v").as("pv"))
+      val dd = (c: Column) => c.cast("decimal(38,0)")
+      val m = daily.join(shifted, Seq("day"))
+        .groupBy("lag")
+        .agg(count(lit(1)).as("n"),
+          sum(dd(col("v"))).as("sx"), sum(dd(col("pv"))).as("sy"),
+          sum(dd(col("v")) * dd(col("v"))).as("sxx"),
+          sum(dd(col("pv")) * dd(col("pv"))).as("syy"),
+          sum(dd(col("v")) * dd(col("pv"))).as("sxy"))
+      val db = (c: Column) => c.cast("double")
+      val r = (db(col("sxy")) - db(col("sx")) * db(col("sy")) / col("n")) /
+        sqrt((db(col("sxx")) - db(col("sx")) * db(col("sx")) / col("n")) *
+          (db(col("syy")) - db(col("sy")) * db(col("sy")) / col("n")))
+      m.select(col("lag"), col("n"), round(r, 6).as("acf"))
+        .orderBy("lag")
+    }),
     // C24b' — OHLC time bars (round 12): the open/high/low/close/volume
     // candle aggregation every event-series dashboard and market-data
     // pipeline runs — per (event_type, hour) bar. Open/close are pinned
@@ -2255,6 +2362,48 @@ object TierCWindow {
       graft.operators.LabelPropagation.run(ClickGraph.und(s, d), "u", "v",
         ClickGraph.pages(s, d), "page", 4)
         .orderBy("page")),
+    // Modularity of the LPA communities (round 12g) — Newman & Girvan
+    // 2004's Q = Σ_c [L_c/m − (D_c/2m)²], the quality score that says
+    // whether the partition graph_communities_lpa ships actually has
+    // more intra-community edges than a random graph with the same
+    // degrees would (the eval operator of the graph family, the role
+    // retrieval_eval_ndcg plays for ANN). Exact integers throughout:
+    // per-community q_num = 4·m·L_c − D_c² over the shared q_den = 4·m²
+    // (Q = Σ q_num / q_den — multiply-through by 4m², zero floats;
+    // |q_num| ≤ 4m² stays under 2⁶³ to m ≈ 10⁹ edges, beyond that move
+    // the products to DECIMAL(38,0)). The labeling is the SAME
+    // LabelPropagation.run the LPA key ships, and the oracle replays the
+    // same shared recurrence (ClickGraph.oracleLpa) — the two keys cannot
+    // drift. 100 TB shape: the label join is |E|-linear (two id-equi
+    // joins), degree and intra-edge tallies combine map-side into
+    // |communities| rows, and the 1-row edge count rides a broadcast
+    // crossJoin.
+    "graph_modularity" -> ((s, d) => {
+      val und = ClickGraph.und(s, d).localCheckpoint()
+      val labels = graft.operators.LabelPropagation.run(und, "u", "v",
+        ClickGraph.pages(s, d), "page", 4)
+      val mm = und.agg(count(lit(1)).as("m"))
+      val comm = labels.groupBy("label").agg(count(lit(1)).as("n_nodes"))
+      val deg = und.select(col("u").as("node"))
+        .unionAll(und.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("dg"))
+      val degc = deg
+        .join(labels.select(col("page").as("node"), col("label")), "node")
+        .groupBy("label").agg(sum("dg").as("d_c"))
+      val intra = und
+        .join(labels.select(col("page").as("u"), col("label").as("lu")), "u")
+        .join(labels.select(col("page").as("v"), col("label").as("lv")), "v")
+        .filter(col("lu") === col("lv"))
+        .groupBy(col("lu").as("label")).agg(count(lit(1)).as("l_c"))
+      comm.join(degc, Seq("label"), "left").join(intra, Seq("label"), "left")
+        .na.fill(0L, Seq("d_c", "l_c"))
+        .crossJoin(broadcast(mm))
+        .select(col("label"), col("n_nodes"), col("l_c"), col("d_c"),
+          (lit(4L) * col("m") * col("l_c")
+            - col("d_c") * col("d_c")).as("q_num"),
+          (lit(4L) * col("m") * col("m")).as("q_den"))
+        .orderBy("label")
+    }),
     // Degree profile of the click graph (round 10): the measurement that
     // justifies the graph operators' knobs — CommonNeighbors' maxDegree
     // hub cap and the triangle census's orientation bound are both
@@ -2616,6 +2765,31 @@ object TierCWindow {
         |       es[CAST(i AS INT)] AS ewma_q6
         |FROM e, UNNEST(range(1, len(yms) + 1)) AS t(i)
         |ORDER BY st, ym""".stripMargin,
+    // exact HUGEINT sums cast to double, then the identically-spelled
+    // Pearson expression — the agg_corr recipe at seven lags
+    "timeseries_autocorr" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |                       AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |sh AS (
+        |  SELECT lag, day + CAST(lag AS INT) AS day2, v AS pv
+        |  FROM daily, UNNEST(range(1, 8)) AS t(lag)),
+        |m AS (
+        |  SELECT lag, COUNT(*) AS n,
+        |         CAST(SUM(d.v) AS DOUBLE) AS sx,
+        |         CAST(SUM(s.pv) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(d.v AS HUGEINT) * d.v) AS DOUBLE) AS sxx,
+        |         CAST(SUM(CAST(s.pv AS HUGEINT) * s.pv) AS DOUBLE) AS syy,
+        |         CAST(SUM(CAST(d.v AS HUGEINT) * s.pv) AS DOUBLE) AS sxy
+        |  FROM daily d JOIN sh s ON d.day = s.day2
+        |  GROUP BY lag)
+        |SELECT CAST(lag AS INT) AS lag, n,
+        |       round((sxy - sx * sy / n) /
+        |             sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+        |         AS acf
+        |FROM m ORDER BY lag""".stripMargin,
     // same n-scaled integer CUSUM (dev = n·v − T exact BIGINTs; DuckDB's
     // window SUM runs in HUGEINT, cast back); the tied-peak set is an
     // integer comparison so both engines flag identical days
@@ -2951,28 +3125,44 @@ object TierCWindow {
     // pagerank_clicks recipe): round r = per-vertex argmax of neighbor
     // label counts over round r-1, ties to the smaller label; vertices
     // absent from adj (isolated) carry their previous label.
-    "graph_communities_lpa" -> {
-      val roundCte = (1 to 4).map { i =>
-        s"""l$i AS (
-           |  SELECT id, lab FROM (
-           |    SELECT adj.w AS id, p.lab,
-           |           ROW_NUMBER() OVER (PARTITION BY adj.w
-           |             ORDER BY COUNT(*) DESC, p.lab ASC) AS rn
-           |    FROM adj JOIN l${i - 1} p ON adj.x = p.id
-           |    GROUP BY adj.w, p.lab) t
-           |  WHERE rn = 1
-           |  UNION ALL
-           |  SELECT id, lab FROM l${i - 1}
-           |  WHERE id NOT IN (SELECT w FROM adj))""".stripMargin
-      }.mkString(",\n")
+    "graph_communities_lpa" ->
       s"""WITH ${ClickGraph.OracleEv},
          |${ClickGraph.OracleUnd},
          |${ClickGraph.OracleAdj},
-         |nodes AS (SELECT DISTINCT page FROM ev),
-         |l0 AS (SELECT page AS id, page AS lab FROM nodes),
-         |$roundCte
-         |SELECT id AS page, lab AS label FROM l4 ORDER BY page""".stripMargin
-    },
+         |${ClickGraph.oracleLpa(4)}
+         |SELECT id AS page, lab AS label FROM l4 ORDER BY page""".stripMargin,
+    // the SAME shared LPA recurrence (ClickGraph.oracleLpa) feeding the
+    // exact-integer modularity decomposition: every count/degree-sum is
+    // a BIGINT, q_num = 4·m·L_c − D_c² exact in both engines
+    "graph_modularity" ->
+      s"""WITH ${ClickGraph.OracleEv},
+         |${ClickGraph.OracleUnd},
+         |${ClickGraph.OracleAdj},
+         |${ClickGraph.oracleLpa(4)},
+         |lab AS (SELECT id, lab FROM l4),
+         |mm AS (SELECT COUNT(*) AS m FROM und),
+         |comm AS (SELECT lab AS label, COUNT(*) AS n_nodes
+         |         FROM lab GROUP BY 1),
+         |deg AS (SELECT node, COUNT(*) AS dg FROM (
+         |          SELECT u AS node FROM und
+         |          UNION ALL SELECT v AS node FROM und) t GROUP BY 1),
+         |degc AS (SELECT l.lab AS label, CAST(SUM(dg) AS BIGINT) AS d_c
+         |         FROM deg JOIN lab l ON deg.node = l.id GROUP BY 1),
+         |intra AS (SELECT lu.lab AS label, COUNT(*) AS l_c
+         |          FROM und JOIN lab lu ON und.u = lu.id
+         |                   JOIN lab lv ON und.v = lv.id
+         |          WHERE lu.lab = lv.lab GROUP BY 1)
+         |SELECT c.label, c.n_nodes,
+         |       COALESCE(i.l_c, 0) AS l_c, COALESCE(dc.d_c, 0) AS d_c,
+         |       CAST(4 * mm.m * COALESCE(i.l_c, 0)
+         |            - COALESCE(dc.d_c, 0) * COALESCE(dc.d_c, 0)
+         |            AS BIGINT) AS q_num,
+         |       CAST(4 * mm.m * mm.m AS BIGINT) AS q_den
+         |FROM comm c
+         |LEFT JOIN degc dc ON c.label = dc.label
+         |LEFT JOIN intra i ON c.label = i.label
+         |CROSS JOIN mm
+         |ORDER BY c.label""".stripMargin,
     // same edge derivation as the other graph oracles; the histogram is a
     // straight GROUP BY replay — the construction is shared, but every
     // count/min/max is an exact long so any drift in the edge derivation

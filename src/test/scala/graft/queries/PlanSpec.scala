@@ -593,7 +593,14 @@ class PlanSpec extends SparkSpec {
       // broadcast sketch table against itself — a ≤|sources|² pair
       // matrix over k-bounded arrays, never the corpus (the
       // corpus_overlap_ngram pair-matrix scale argument)
-      "pagerank_personalized", "sketch_kmv_intersect")
+      "pagerank_personalized", "sketch_kmv_intersect",
+      // r12g: market_basket_lift crosses the 1-row basket total onto the
+      // |brands|²-bounded pair table (brand counts join by equi-key);
+      // graph_modularity crosses the 1-row edge count onto the
+      // |communities|-sized table; text_chisq_terms crosses the 1-row
+      // doc total onto the vocab-sized contingency table (the
+      // vocab_coverage shape)
+      "market_basket_lift", "graph_modularity", "text_chisq_terms")
     // ETL/streaming queries run real side effects — planning-only audit
     // covers the analytic surface (list shared with ContractSpec).
     val sideEffecting = QuerySets.sideEffecting

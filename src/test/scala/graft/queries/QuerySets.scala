@@ -58,5 +58,9 @@ object QuerySets {
     "knn_nndescent",
     // r12d: the bpe keys share bpeLearn, which checkpoints the word-type
     // table and each round's 1-row argmax merge rule + re-segmented types
-    "bpe_train_merges", "bpe_apply_encode")
+    "bpe_train_merges", "bpe_apply_encode",
+    // r12g: graph_modularity checkpoints the undirected edge list and
+    // runs LabelPropagation.run (per-round label checkpoints) inside the
+    // builder
+    "graph_modularity")
 }
