@@ -89,7 +89,10 @@ object Scaling {
     // ×m — n·log n per source, near-linear expected), and the KMV set
     // sketch (k-bounded partial agg + constant pair matrix — linear)
     Q("vocab_growth_curve", 64), Q("quantile_normalize_source", 64),
-    Q("sketch_kmv_intersect", 64))
+    Q("sketch_kmv_intersect", 64),
+    // round 12g: χ² feature selection — the presence explode+distinct is
+    // the only corpus-sized shuffle, everything after vocab-sized; linear
+    Q("text_chisq_terms", 64))
 
   /** embeddings+events-family study (base sf0.1 — 2000 vecs / 100k events
     * ⇒ 128000 / 6.4M at 64×). The exact per-label pair operator is capped
@@ -151,7 +154,10 @@ object Scaling {
     // while the per-round join+agg work still spans the FULL ×m edge
     // list — exactly the claim under test. The U-shaped attribution is
     // two nested windows + a vocabulary-sized agg — linear in events.
-    Q("pagerank_personalized", 64), Q("attribution_position", 64))
+    Q("pagerank_personalized", 64), Q("attribution_position", 64),
+    // round 12g: modularity — two |E|-linear label joins over the LPA
+    // loop's output; expected to track graph_communities_lpa's class
+    Q("graph_modularity", 64))
 
   /** orders/lineitem-family study (base sf0.1 — 150k orders / 600k
     * lineitem ⇒ 9.6M / 38.4M at 64×): the two round-12e keys whose input
@@ -162,7 +168,11 @@ object Scaling {
     * churn is preserved while n grows ×m (the k-bounded partial-agg
     * claim). */
   private val TpchQueries = Seq(
-    Q("timeseries_cusum", 64), Q("agg_spacesaving_topk", 64))
+    Q("timeseries_cusum", 64), Q("agg_spacesaving_topk", 64),
+    // round 12g: lift rides the same map-side pair expansion as
+    // basket_brand_pairs (≤|brands|² keys after combine — linear in
+    // lineitem); the ACF's lag pairing is calendar-bounded like CUSUM
+    Q("market_basket_lift", 64), Q("timeseries_autocorr", 64))
 
   case class Pt(query: String, mult: Int, inputRows: Long, outRows: Long,
       sec: Double)

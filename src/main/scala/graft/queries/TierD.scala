@@ -260,6 +260,35 @@ object TierD {
           "the cross-batch EWMA carry was not exercised")
       s.table(name).orderBy("user_id", "t_s", "event_id")
     }),
+    // D8b — streaming Space-Saving heavy hitters (round 12g): one k=16
+    // sketch per event_type carried across 3 real micro-batches, a
+    // ranked top-k snapshot per batch; the query returns the FINAL
+    // snapshot (max n_so_far per key — the post-backlog trending list).
+    // The fold is single-sourced from SpaceSavingAggregator.reduce (see
+    // streaming/StreamTopK.scala) and deterministic under the
+    // (unix_micros, event_id) order contract; unit-tier like the batch
+    // sketch (StreamTopKSpec: exact sequential-fold parity, ICDT bounds
+    // vs exact counts, n/k heavy-hitter presence, cross-batch n carry).
+    "stream_spacesaving_topk" -> ((s, d) => withFewStatePartitions(s) {
+      val name = s"sst_out_${java.lang.Long.toHexString(System.nanoTime)}"
+      val q = graft.streaming.StreamTopK
+        .topk(graft.core.Tables.eventsStreamChunked(s, d, chunks = 3))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", scratchDir("graft_sst_ckpt"))
+        .start()
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 2,
+        s"multi-batch contract violated: $batches data batch(es) ran — " +
+          "the cross-batch sketch carry was not exercised")
+      val t = s.table(name)
+      val wMax = Window.partitionBy("event_type")
+      t.withColumn("n_max", max("n_so_far").over(wMax))
+        .filter(col("n_so_far") === col("n_max")).drop("n_max")
+        .orderBy("event_type", "rank")
+    }),
     // D6 — bookmark semantics end-to-end (reference README.md:145): a file
     // source with checkpoint processes each file exactly once; the second
     // AvailableNow run emits only newly-landed files. EtlSpec asserts the

@@ -93,6 +93,7 @@ class ContractSpec extends SparkSpec {
       "agg_hll_merge",        // HLL sketch union (PlanSpec: ±5% + merge≡single-pass)
       "agg_cms_freq",         // Count-Min sketch (PlanSpec: bounds + merge≡single-pass)
       "agg_spacesaving_topk", // Space-Saving counters (SpaceSavingSpec: bounds + planted HH + merge trees)
+      "stream_spacesaving_topk", // streaming Space-Saving (StreamTopKSpec: sequential-fold parity + bounds + carry; a k-vector eviction recurrence has no tractable SQL replay)
       "sketch_kmv_intersect", // KMV xxhash64 sketch (KmvSketchSpec: set-function determinism + bounds)
       "minhash_signature",    // xxhash64 signatures (LlmSpec: aggregator parity)
       "dedup_minhash_lsh",    // xxhash64 banding (LlmSpec: collision behavior)
