@@ -128,7 +128,11 @@ object Scaling {
     // round 12e: IVF-PQ composition — cell assignment + PQ training are
     // corpus-wide scans, ADC scoring is |cell| ≈ corpus/8 rows; claims
     // the scan-bound linear class like its two halves
-    Q("knn_ivf_pq", 64))
+    Q("knn_ivf_pq", 64),
+    // round 12i: retrieve-then-rerank — the PQ scan proposes 100
+    // candidates, the exact rerank touches only those; expected to track
+    // knn_pq_adc's linear curve plus a constant
+    Q("knn_pq_rerank", 64))
 
   private val GraphQueries = Seq(
     // round 11: bounded-round peel — per-round O(|E|) like LPA
@@ -157,7 +161,10 @@ object Scaling {
     Q("pagerank_personalized", 64), Q("attribution_position", 64),
     // round 12g: modularity — two |E|-linear label joins over the LPA
     // loop's output; expected to track graph_communities_lpa's class
-    Q("graph_modularity", 64))
+    Q("graph_modularity", 64),
+    // round 12h: KM session survival — sessionize agg + the
+    // duration-bounded death table; linear in events claim
+    Q("survival_km_sessions", 64))
 
   /** orders/lineitem-family study (base sf0.1 — 150k orders / 600k
     * lineitem ⇒ 9.6M / 38.4M at 64×): the two round-12e keys whose input
@@ -172,7 +179,13 @@ object Scaling {
     // round 12g: lift rides the same map-side pair expansion as
     // basket_brand_pairs (≤|brands|² keys after combine — linear in
     // lineitem); the ACF's lag pairing is calendar-bounded like CUSUM
-    Q("market_basket_lift", 64), Q("timeseries_autocorr", 64))
+    Q("market_basket_lift", 64), Q("timeseries_autocorr", 64),
+    // round 12h: both profiles are ONE map-side-combinable agg pass
+    // (corr: 15 exact sums; columns: the Expand-widened multi-distinct)
+    Q("profile_corr_matrix", 64), Q("profile_columns", 64),
+    // round 12i: the DQ ruleset is the profile_columns shape (one agg,
+    // 5-row explode) — flat claim
+    Q("etl_dq_ruleset", 64))
 
   case class Pt(query: String, mult: Int, inputRows: Long, outRows: Long,
       sec: Double)

@@ -429,7 +429,7 @@ object Similarity {
     * the codebook/training passes always see the whole corpus, exactly
     * like a FAISS index trained corpus-wide and queried per-cell). */
   private def pqAdcTop10(s: SparkSession, d: String,
-      members: Option[DataFrame] = None): DataFrame = {
+      members: Option[DataFrame] = None, k: Int = 10): DataFrame = {
     val M = 8; val SUB = 8
     val q = shiftedVectors(s, d)
     // (vec_id, sub, sv): the M subvectors of every vector
@@ -470,7 +470,7 @@ object Similarity {
       .select(col("sub"), col("code"), sqdCol(col("sv"), col("cv")).as("d2"))
     codes.join(broadcast(adcTable), Seq("sub", "code"))
       .groupBy("vec_id").agg(sum(col("d2")).as("adc_d2"))
-      .orderBy(asc("adc_d2"), asc("vec_id")).limit(10)
+      .orderBy(asc("adc_d2"), asc("vec_id")).limit(k)
       .withColumn("rn", row_number().over(
         Window.orderBy(asc("adc_d2"), asc("vec_id"))))
   }
@@ -1075,6 +1075,32 @@ object Similarity {
       pqAdcTop10(s, d, Some(members))
         .select("rn", "vec_id", "adc_d2").orderBy("rn")
     }),
+    // Retrieve-then-rerank (round 12i) — the two-stage serving pattern
+    // every production ANN deploy runs (FAISS/ScaNN docs both prescribe
+    // it; Guo et al., ICML 2020 §4 quantify the recall recovery): the
+    // COMPRESSED index proposes a candidate pool (PQ-ADC top-100 — cheap,
+    // lossy), the EXACT metric re-scores only that pool (100 full-width
+    // distances, not |corpus|) and ships the top-10. ADC's quantization
+    // error costs rank-ordering accuracy precisely AT the top — reranking
+    // buys exact top-k order for a constant extra cost. Both stages are
+    // the already-shipped deterministic pieces (pqAdcTop10 with k=100;
+    // the shiftedVectors exact-L2 kernel retrieval_eval_ndcg grades
+    // with), so the composition cannot drift. 100 TB shape: stage 1 is
+    // the PQ scan (32× smaller than raw vectors), stage 2 touches 100
+    // vectors fetched by a semi-join — the rerank never scans the corpus;
+    // the probe rides a 1-row broadcast.
+    "knn_pq_rerank" -> ((s, d) => {
+      val cand = pqAdcTop10(s, d, k = 100).select("vec_id")
+      val sv = shiftedVectors(s, d)
+      val probe = sv.filter(col("vec_id") === 0).select(col("sv0").as("pv"))
+      sv.join(cand, Seq("vec_id"), "left_semi")
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), sqdCol(col("sv0"), col("pv")).as("d2"))
+        .orderBy(asc("d2"), asc("vec_id")).limit(10)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(asc("d2"), asc("vec_id"))))
+        .select("rn", "vec_id", "d2").orderBy("rn")
+    }),
     // Ranking-quality evaluation (round 12): NDCG@10 of the two lossy
     // rankings this engine ships — PQ-ADC (the memory axis) and JL-16
     // (the dimensionality axis) — against the EXACT shifted-L2 top-10,
@@ -1405,6 +1431,25 @@ object Similarity {
         |SELECT row_number() OVER (ORDER BY adc_d2, vec_id) AS rn,
         |       vec_id, adc_d2
         |FROM (SELECT * FROM scored ORDER BY adc_d2, vec_id LIMIT 10) t
+        |ORDER BY rn""".stripMargin,
+    // the shared PQ CTE prefix proposes the top-100 pool; the exact
+    // shifted-L2 kernel (the retrieval_eval_ndcg `exd` spelling) reranks
+    // only the pool
+    "knn_pq_rerank" ->
+      s"""WITH $PqOracleCtes,
+        |cand AS (
+        |  SELECT vec_id FROM (SELECT * FROM scored
+        |                      ORDER BY adc_d2, vec_id LIMIT 100) t),
+        |exd AS (
+        |  SELECT a.vec_id,
+        |         CAST(list_aggregate(list_transform(range(1, 65),
+        |           i -> (a.sv0[CAST(i AS INT)] - p.sv0[CAST(i AS INT)])
+        |              * (a.sv0[CAST(i AS INT)] - p.sv0[CAST(i AS INT)])),
+        |           'sum') AS BIGINT) AS d2
+        |  FROM q a JOIN cand USING (vec_id),
+        |       (SELECT sv0 FROM q WHERE vec_id = 0) p)
+        |SELECT row_number() OVER (ORDER BY d2, vec_id) AS rn, vec_id, d2
+        |FROM (SELECT * FROM exd ORDER BY d2, vec_id LIMIT 10) t
         |ORDER BY rn""".stripMargin,
     // the shared PQ CTE prefix restricted to the probe's IVF cell — the
     // cell CTEs replay knn_ivf_coarse's assignment verbatim

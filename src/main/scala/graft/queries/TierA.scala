@@ -516,6 +516,48 @@ object TierA {
         min(col("o_orderdate")).as("min_date"),
         max(col("o_orderdate")).as("max_date"))
     }),
+    // A6c — declarative data-quality RULESET evaluation (round 12i): the
+    // Glue Data Quality / Deequ shape — a ruleset of named constraints
+    // (Completeness, Uniqueness, ColumnValues, RowCount) evaluated in ONE
+    // aggregation pass to (rule, metric, threshold, passed) rows, the
+    // artifact a DQ gate stores and alerts on. Where etl_data_quality is
+    // the raw counts, this key is the CONTRACT: each rule carries its
+    // threshold and verdict, metric and threshold share the rule's unit
+    // (q6 fraction for the four ratio rules, plain row count for
+    // RowCount). All integer: fractions are x·10⁶ DIV n. 100 TB shape:
+    // one map-side-combinable agg (the uniqueness COUNT(DISTINCT pk) is
+    // the one Expand-widened metric — the profile_columns
+    // approx_count_distinct caveat applies); the 5-row ruleset explodes
+    // from the single result row.
+    "etl_dq_ruleset" -> ((s, d) => {
+      val o = orders(s, d)
+      val m = o.agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("o_orderkey")).as("nd_pk"),
+        sum(when(col("o_custkey").isNotNull, 1L).otherwise(0L)).as("nn_cust"),
+        sum(when(col("o_totalprice") > 0, 1L).otherwise(0L)).as("pos_price"),
+        sum(when(col("o_orderstatus").isin("F", "O", "P"), 1L)
+          .otherwise(0L)).as("ok_status"))
+      m.select(explode(array(
+          struct(lit("completeness_o_custkey").as("rule"),
+            expr("nn_cust * 1000000L DIV n").as("metric_q6"),
+            lit(990000L).as("threshold_q6")),
+          struct(lit("uniqueness_o_orderkey").as("rule"),
+            expr("nd_pk * 1000000L DIV n").as("metric_q6"),
+            lit(999000L).as("threshold_q6")),
+          struct(lit("values_o_totalprice_positive").as("rule"),
+            expr("pos_price * 1000000L DIV n").as("metric_q6"),
+            lit(1000000L).as("threshold_q6")),
+          struct(lit("values_o_orderstatus_domain").as("rule"),
+            expr("ok_status * 1000000L DIV n").as("metric_q6"),
+            lit(1000000L).as("threshold_q6")),
+          struct(lit("rowcount_min").as("rule"),
+            col("n").as("metric_q6"), lit(100L).as("threshold_q6")))).as("r"))
+        .select(col("r.rule"), col("r.metric_q6"), col("r.threshold_q6"),
+          (col("r.metric_q6") >= col("r.threshold_q6")).cast("int")
+            .as("passed"))
+        .orderBy("rule")
+    }),
     // A12 — small-file compaction: the lake-maintenance job every file-based
     // pipeline needs (crawl output accumulates per-trigger small files; at
     // 100 TB unbounded file counts kill planning and listing). Rewrite many
@@ -757,6 +799,40 @@ object TierA {
         |       MIN(o_orderdate) AS min_date,
         |       MAX(o_orderdate) AS max_date
         |FROM orders""".stripMargin,
+    // same single-pass metrics, unpivoted to the 5-rule contract rows
+    "etl_dq_ruleset" ->
+      """WITH m AS (
+        |  SELECT COUNT(*) AS n,
+        |         COUNT(DISTINCT o_orderkey) AS nd_pk,
+        |         CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS nn_cust,
+        |         CAST(SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS pos_price,
+        |         CAST(SUM(CASE WHEN o_orderstatus IN ('F','O','P')
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS ok_status
+        |  FROM orders),
+        |rules AS (
+        |  SELECT 'completeness_o_custkey' AS rule,
+        |         CAST(nn_cust * 1000000 // n AS BIGINT) AS metric_q6,
+        |         CAST(990000 AS BIGINT) AS threshold_q6 FROM m
+        |  UNION ALL
+        |  SELECT 'uniqueness_o_orderkey',
+        |         CAST(nd_pk * 1000000 // n AS BIGINT),
+        |         CAST(999000 AS BIGINT) FROM m
+        |  UNION ALL
+        |  SELECT 'values_o_totalprice_positive',
+        |         CAST(pos_price * 1000000 // n AS BIGINT),
+        |         CAST(1000000 AS BIGINT) FROM m
+        |  UNION ALL
+        |  SELECT 'values_o_orderstatus_domain',
+        |         CAST(ok_status * 1000000 // n AS BIGINT),
+        |         CAST(1000000 AS BIGINT) FROM m
+        |  UNION ALL
+        |  SELECT 'rowcount_min', CAST(n AS BIGINT),
+        |         CAST(100 AS BIGINT) FROM m)
+        |SELECT rule, metric_q6, threshold_q6,
+        |       CAST(metric_q6 >= threshold_q6 AS INT) AS passed
+        |FROM rules ORDER BY rule""".stripMargin,
     "event_trigger_filtered" ->
       """SELECT * FROM region ORDER BY r_regionkey""",
     // floor(epoch(..)) truncates to whole seconds exactly like Spark's

@@ -323,9 +323,16 @@ object TierCJoins {
     // 1-row basket total rides a broadcast crossJoin — nothing after the
     // two fact-table shuffles exceeds |brands|² rows.
     "market_basket_lift" -> ((s, d) => {
+      // ib feeds THREE consumers (pair expansion, per-brand counts, the
+      // basket total); without the lineage cut each re-runs the
+      // join+distinct over the full fact table — the CommonNeighbors
+      // adjDeg lesson (measured in the 12h scaling study: 160.7 s at x64
+      // with 3 recomputes + spill, 1.19 tail slope; checkpointed the
+      // curve re-reads linear — see SCALING.md)
       val ib = lineitem(s, d)
         .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey"), col("p_brand")).distinct()
+        .localCheckpoint()
       val baskets = ib.groupBy("l_orderkey")
         .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
       val pairs = baskets
@@ -337,7 +344,9 @@ object TierCJoins {
         .groupBy(col("p.b1").as("b1"), col("p.b2").as("b2"))
         .agg(count(lit(1)).as("supp"))
       val brandN = ib.groupBy("p_brand").agg(count(lit(1)).as("nb"))
-      val tot = baskets.agg(count(lit(1)).as("n_baskets"))
+      // the basket total reads the checkpointed ib, not the collect_set
+      // aggregate (baskets' only remaining consumer is the pair expansion)
+      val tot = ib.agg(countDistinct(col("l_orderkey")).as("n_baskets"))
       pairs
         .join(broadcast(brandN.select(col("p_brand").as("b1"),
           col("nb").as("n1"))), Seq("b1"))
@@ -1035,6 +1044,61 @@ object TierCAgg {
         .agg(corr.as("corr_qty_disc"), n.as("n"))
         .orderBy("l_returnflag")
     }),
+    // Correlation matrix profile (round 12h) — all six pairwise Pearson r
+    // over the four lineitem measures in ONE aggregation pass: the
+    // feature-redundancy readout a profiler runs before modeling (two
+    // near-collinear measures carry one signal). Same float discipline
+    // as agg_corr: every sum is an exact decimal, the Pearson expression
+    // runs once in double per pair, identically spelled in both engines;
+    // round(., 6) is display-only. Catalyst dedups the shared sum
+    // children across pairs, so the plan is one map-side-combinable agg
+    // of 15 exact sums; the 6-row matrix explodes from the single result
+    // row. 100 TB: one scan, no shuffle wider than the partial-agg row.
+    "profile_corr_matrix" -> ((s, d) => {
+      val cs = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+      val pairs = for { i <- cs.indices; j <- i + 1 until cs.size }
+        yield (cs(i), cs(j))
+      val n = count(lit(1))
+      def co(a: String, b: String) = {
+        val x = dec(col(a)); val y = dec(col(b))
+        val sx = sum(x).cast("double"); val sy = sum(y).cast("double")
+        val sxx = sum(x * x).cast("double"); val syy = sum(y * y).cast("double")
+        val sxy = sum(x * y).cast("double")
+        (sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+      }
+      val aggCols = pairs.map { case (a, b) =>
+        round(co(a, b), 6).as(s"c_${a}_$b") } :+ n.as("n")
+      lineitem(s, d).agg(aggCols.head, aggCols.tail: _*)
+        .select(explode(array(pairs.map { case (a, b) =>
+          struct(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
+            col(s"c_${a}_$b").as("corr")) }: _*)).as("p"))
+        .select("p.*").orderBy("col_a", "col_b")
+    }),
+    // Per-column profile (round 12h) — the crawler/data-quality
+    // recommendation pass (the reference's crawler infers schema; a DQ
+    // ruleset starts from exactly this readout): for every orders column,
+    // null count, exact distinct count, and completeness in q6 fixed
+    // point, in ONE aggregation. The multi-column exact COUNT(DISTINCT)
+    // plans one Expand (×|cols|+1 row multiplication) feeding partial
+    // aggs — the standard exact plan; at 100 TB the declared scale path
+    // is approx_count_distinct per column (no Expand, fixed memory —
+    // the agg_approx_distinct pattern), with this exact form as the
+    // oracle-checkable reference. The 6-row profile explodes from the
+    // single result row.
+    "profile_columns" -> ((s, d) => {
+      val cs = Seq("o_custkey", "o_orderdate", "o_orderkey",
+        "o_orderpriority", "o_orderstatus", "o_totalprice")
+      val aggs = Seq(count(lit(1)).as("n_rows")) ++ cs.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c")))
+      orders(s, d).agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cs.map(c => struct(lit(c).as("col_name"),
+          col("n_rows"), col(s"nn_$c").as("n_null"),
+          col(s"nd_$c").as("n_distinct"),
+          expr(s"(n_rows - nn_$c) * 1000000L DIV n_rows")
+            .as("complete_q6"))): _*)).as("p"))
+        .select("p.*").orderBy("col_name")
+    }),
     // Grouped OLS trend (round 6) — per-status linear-regression slope of
     // monthly revenue vs month index, the drift/trend detector behind
     // metric monitoring. Where agg_corr needed the decimal→double
@@ -1287,6 +1351,48 @@ object TierCAgg {
         |       (sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qty_disc,
         |       n
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    // the agg_corr construction generated per pair over one shared sum CTE
+    "profile_corr_matrix" -> {
+      val cs = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+      val pairs = for { i <- cs.indices; j <- i + 1 until cs.size }
+        yield (cs(i), cs(j))
+      def d18(c: String) = s"CAST($c AS DECIMAL(18,2))"
+      val sums =
+        cs.map(c => s"CAST(SUM(${d18(c)}) AS DOUBLE) AS s_$c") ++
+          cs.map(c => s"CAST(SUM(${d18(c)} * ${d18(c)}) AS DOUBLE) AS ss_$c") ++
+          pairs.map { case (a, b) =>
+            s"CAST(SUM(${d18(a)} * ${d18(b)}) AS DOUBLE) AS sp_${a}_$b" }
+      val rows = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+           |       round((sp_${a}_$b - s_$a * s_$b / n)
+           |             / sqrt((ss_$a - s_$a * s_$a / n)
+           |                    * (ss_$b - s_$b * s_$b / n)), 6) AS corr
+           |FROM m""".stripMargin }
+      s"""WITH m AS (SELECT COUNT(*) AS n,
+         |  ${sums.mkString(",\n  ")}
+         |  FROM lineitem)
+         |${rows.mkString("\nUNION ALL\n")}
+         |ORDER BY col_a, col_b""".stripMargin
+    },
+    // one aggregate row of exact counts, unpivoted to the 6-row profile
+    "profile_columns" -> {
+      val cs = Seq("o_custkey", "o_orderdate", "o_orderkey",
+        "o_orderpriority", "o_orderstatus", "o_totalprice")
+      val aggs = cs.flatMap(c => Seq(
+        s"CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_$c",
+        s"COUNT(DISTINCT $c) AS nd_$c"))
+      val rows = cs.map(c =>
+        s"""SELECT '$c' AS col_name, n_rows, nn_$c AS n_null,
+           |       nd_$c AS n_distinct,
+           |       CAST((n_rows - nn_$c) * 1000000 // n_rows AS BIGINT)
+           |         AS complete_q6
+           |FROM m""".stripMargin)
+      s"""WITH m AS (SELECT COUNT(*) AS n_rows,
+         |  ${aggs.mkString(",\n  ")}
+         |  FROM orders)
+         |${rows.mkString("\nUNION ALL\n")}
+         |ORDER BY col_name""".stripMargin
+    },
     // integer-only closed form; DuckDB's HUGEINT sums make every product
     // exact — CAST back to BIGINT is the only needed discipline
     "regression_slope" ->
@@ -1465,6 +1571,50 @@ object TierCWindow {
   private def byCust = Window.partitionBy("o_custkey")
     .orderBy(asc("o_orderdate"), asc("o_orderkey"))
 
+  /** The ONE static-30-minute-gap session derivation, shared by
+    * `sessionize_batch` and `survival_km_sessions` (factored round 12h —
+    * the ClickGraph lesson: two inline copies of a break rule can desync
+    * silently while each still passes its own oracle). Per session:
+    * (user_id, sid, session_start, session_end, n_events, sum_value).
+    * The oracle-side twin is [[SessionOracleCtes]]. */
+  private def staticSessions(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val newS = when(lag(col("ts"), 1).over(byUser).isNull ||
+      col("ts") >= lag(col("ts"), 1).over(byUser) +
+        expr("INTERVAL 30 MINUTES"), 1).otherwise(0)
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("value"))
+      .withColumn("sid", sum(newS).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        decSum(col("value")).as("sum_value"))
+  }
+
+  /** `e`/`flagged`/`sessions`/`ses` CTEs — the SAME static-gap session
+    * derivation for the DuckDB oracles (one spelling, two consumers). */
+  private val SessionOracleCtes: String =
+    """e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sessions AS (
+      |  SELECT user_id, ts, value,
+      |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                          ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged),
+      |ses AS (
+      |  SELECT user_id, sid, MIN(ts) AS session_start,
+      |         MAX(ts) AS session_end, COUNT(*) AS n_events,
+      |         SUM(CAST(value AS DECIMAL(18,2))) AS sum_value_dec
+      |  FROM sessions GROUP BY user_id, sid)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C22 — ranking family. Window ordering carries a PK tiebreaker
     // (o_orderkey) so ranks are deterministic across engines.
@@ -1627,23 +1777,9 @@ object TierCWindow {
     // equal-timestamp tie order can't change the result. 100 TB shape: one
     // hash shuffle on user_id shared by both windows and the final
     // aggregation — Catalyst reuses the single sort.
-    "sessionize_batch" -> ((s, d) => {
-      val byUser = Window.partitionBy("user_id").orderBy("ts")
-      val newS = when(lag(col("ts"), 1).over(byUser).isNull ||
-        col("ts") >= lag(col("ts"), 1).over(byUser) +
-          expr("INTERVAL 30 MINUTES"), 1).otherwise(0)
-      events(s, d)
-        .select(col("user_id"), col("ts"), col("value"))
-        .withColumn("sid", sum(newS).over(
-          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("user_id", "sid")
-        .agg(min(col("ts")).as("session_start"),
-          max(col("ts")).as("session_end"),
-          count(lit(1)).as("n_events"),
-          decSum(col("value")).as("sum_value"))
-        .drop("sid")
-        .orderBy("user_id", "session_start")
-    }),
+    "sessionize_batch" -> ((s, d) =>
+      staticSessions(s, d).drop("sid")
+        .orderBy("user_id", "session_start")),
     // C23b' — DYNAMIC-gap sessionization (round 10): the gap depends on
     // the event (clicks cool off in 5 min, views in 15, everything else
     // 30) — the batch twin of session_window's dynamic-gap form, and a
@@ -1767,6 +1903,63 @@ object TierCWindow {
         .groupBy("cohort_week", "week_offset")
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_week", "week_offset")
+    }),
+    // Kaplan-Meier session survival (round 12h) — the product-limit
+    // estimator (Kaplan & Meier 1958) over session DURATION: S(t) is the
+    // probability a session lasts ≥ t whole minutes. A session whose gap
+    // window had not yet elapsed at the observation end (session_end +
+    // 30 min > max session_end) is CENSORED at its observed duration —
+    // the defining feature vs a naive duration histogram: censored
+    // sessions contribute at-risk time without being completions (the
+    // fixture yields ~1 censored tail session; at a live 100 TB snapshot
+    // every open session is censored, which is why the estimator, not
+    // the histogram, is the production readout). Sessions come from the
+    // SAME staticSessions derivation sessionize_batch ships (factored —
+    // cannot drift). S(t) folds as the INTEGER recurrence
+    // s' = s·(n_i−d_i) DIV n_i from s = 10⁶ (the timeseries_ewma
+    // all-non-negative form — truncating vs flooring division cannot
+    // diverge; s·n ≤ 10⁶·|sessions| under 2⁶³ to ~10¹² sessions), run in
+    // a SQL higher-order function over the sorted death-time list; the
+    // oracle replays it as a recursive CTE — an independent construction
+    // of the same recurrence. 100 TB shape: the session agg collapses
+    // events map-side; everything after — minute-bucketed time counts,
+    // the reverse-cumulative at-risk window, the O(T²) fold — lives on
+    // the DURATION-BOUNDED table (≤ max session minutes rows, a data
+    // property like the calendar bound); the observation end rides a
+    // 1-row broadcast.
+    "survival_km_sessions" -> ((s, d) => {
+      val ses = staticSessions(s, d)
+        .select(expr("(unix_micros(session_end) - unix_micros(session_start)) DIV 60000000").as("dur_min"),
+          col("session_end"))
+      val w = ses.agg(max(col("session_end")).as("wend"))
+      val marked = ses.crossJoin(broadcast(w))
+        .select(col("dur_min"),
+          (expr("unix_micros(session_end) + 1800000000")
+            <= expr("unix_micros(wend)")).cast("int").as("died"))
+      val deaths = marked.filter(col("died") === 1)
+        .groupBy(col("dur_min").as("t")).agg(count(lit(1)).as("d"))
+      val times = marked.groupBy(col("dur_min").as("t"))
+        .agg(count(lit(1)).as("c"))
+      val revCum = Window.orderBy(desc("rt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val axis = times.select(col("t").as("rt"), col("c"))
+        .withColumn("n_risk", sum(col("c")).over(revCum)).drop("c")
+      deaths.join(axis, deaths("t") === axis("rt"))
+        .agg(array_sort(collect_list(
+          struct(col("t"), col("d"), col("n_risk")))).as("sv"))
+        .select(
+          expr("transform(sv, p -> p.t)").as("ts_"),
+          expr("transform(sv, p -> p.d)").as("ds"),
+          expr("transform(sv, p -> p.n_risk)").as("ns"))
+        .withColumn("ss", expr(
+          """transform(sequence(1, size(ts_)),
+            |  i -> aggregate(sequence(1, i), 1000000L,
+            |    (acc, j) -> acc * (element_at(ns, j) - element_at(ds, j))
+            |                DIV element_at(ns, j)))""".stripMargin))
+        .select(explode(expr("arrays_zip(ts_, ds, ns, ss)")).as("z"))
+        .select(col("z.ts_").as("dur_min"), col("z.ds").as("n_deaths"),
+          col("z.ns").as("n_risk"), col("z.ss").as("surv_q6"))
+        .orderBy("dur_min")
     }),
     // Gaps-and-islands activity streaks (round 11): per user, maximal runs
     // of CONSECUTIVE active calendar days — the classic islands derivation
@@ -2567,24 +2760,50 @@ object TierCWindow {
          |WHERE rn <= 3
          |ORDER BY o_orderstatus, rn""".stripMargin,
     "sessionize_batch" ->
-      """WITH e AS (
-        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
-        |flagged AS (
-        |  SELECT user_id, ts, value,
-        |         CASE WHEN lag(ts) OVER w IS NULL
-        |                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
-        |              THEN 1 ELSE 0 END AS new_s
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |sessions AS (
-        |  SELECT user_id, ts, value,
-        |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-        |                          ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM flagged)
-        |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
-        |       COUNT(*) AS n_events,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM sessions GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin,
+      s"""WITH $SessionOracleCtes
+        |SELECT user_id, session_start, session_end, n_events,
+        |       CAST(sum_value_dec AS DOUBLE) AS sum_value
+        |FROM ses ORDER BY user_id, session_start""".stripMargin,
+    // independent replay of the KM integer recurrence as a recursive CTE
+    // over the duration-ordered death table (the stream_ewma_anomaly
+    // recipe); // ≡ DIV on the all-non-negative operands; sessions come
+    // from the SAME shared CTE derivation as sessionize_batch's oracle
+    "survival_km_sessions" ->
+      s"""WITH RECURSIVE $SessionOracleCtes,
+        |sd AS (
+        |  SELECT (epoch_us(session_end) - epoch_us(session_start))
+        |           // 60000000 AS dur_min,
+        |         epoch_us(session_end) AS en_us
+        |  FROM ses),
+        |w AS (SELECT MAX(en_us) AS wend_us FROM sd),
+        |mk AS (
+        |  SELECT dur_min,
+        |         CASE WHEN en_us + 1800000000 <= wend_us
+        |              THEN 1 ELSE 0 END AS died
+        |  FROM sd, w),
+        |deaths AS (SELECT dur_min AS t, COUNT(*) AS d
+        |           FROM mk WHERE died = 1 GROUP BY 1),
+        |tms AS (SELECT dur_min AS t, COUNT(*) AS c FROM mk GROUP BY 1),
+        |axis AS (
+        |  SELECT t, CAST(SUM(c) OVER (ORDER BY t DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_risk
+        |  FROM tms),
+        |km0 AS (
+        |  SELECT deaths.t, d, n_risk,
+        |         row_number() OVER (ORDER BY deaths.t) AS idx
+        |  FROM deaths JOIN axis ON deaths.t = axis.t),
+        |rec AS (
+        |  SELECT idx, t, d, n_risk,
+        |         1000000 * (n_risk - d) // n_risk AS s
+        |  FROM km0 WHERE idx = 1
+        |  UNION ALL
+        |  SELECT k.idx, k.t, k.d, k.n_risk,
+        |         r.s * (k.n_risk - k.d) // k.n_risk
+        |  FROM rec r JOIN km0 k ON k.idx = r.idx + 1)
+        |SELECT t AS dur_min, d AS n_deaths, n_risk,
+        |       CAST(s AS BIGINT) AS surv_q6
+        |FROM rec ORDER BY dur_min""".stripMargin,
     // floor(epoch(..)) truncates to whole seconds exactly like Spark's
     // timestamp→long cast (the workflow_scheduled recipe); the running-max
     // expiry and cumsum replay the same all-integer recurrence

@@ -600,7 +600,15 @@ class PlanSpec extends SparkSpec {
       // |communities|-sized table; text_chisq_terms crosses the 1-row
       // doc total onto the vocab-sized contingency table (the
       // vocab_coverage shape)
-      "market_basket_lift", "graph_modularity", "text_chisq_terms")
+      "market_basket_lift", "graph_modularity", "text_chisq_terms",
+      // r12h: survival_km_sessions crosses the 1-row observation-end
+      // aggregate onto the session table (the timeseries_cusum shape)
+      "survival_km_sessions",
+      // r12i: knn_pq_rerank contains the pq pipeline's broadcast scale
+      // plus the 1-row broadcast probe cross for the exact rerank of the
+      // 100-row candidate pool (the knn_pq_adc / retrieval_eval_ndcg
+      // shape)
+      "knn_pq_rerank")
     // ETL/streaming queries run real side effects — planning-only audit
     // covers the analytic surface (list shared with ContractSpec).
     val sideEffecting = QuerySets.sideEffecting

@@ -62,5 +62,11 @@ object QuerySets {
     // r12g: graph_modularity checkpoints the undirected edge list and
     // runs LabelPropagation.run (per-round label checkpoints) inside the
     // builder
-    "graph_modularity")
+    "graph_modularity",
+    // r12h: market_basket_lift checkpoints the (order, brand) incidence
+    // its three consumers share (the CommonNeighbors adjDeg lesson)
+    "market_basket_lift",
+    // r12i: knn_pq_rerank shares pqAdcTop10's shiftedVectors checkpoint
+    // (the knn_pq_adc / knn_ivf_pq pattern)
+    "knn_pq_rerank")
 }
