@@ -164,7 +164,10 @@ object Scaling {
     Q("graph_modularity", 64),
     // round 12h: KM session survival — sessionize agg + the
     // duration-bounded death table; linear in events claim
-    Q("survival_km_sessions", 64))
+    Q("survival_km_sessions", 64),
+    // round 12j: conversion latency — two user-partitioned windows +
+    // one |users|-row percentile agg; linear in events claim
+    Q("conversion_latency", 64))
 
   /** orders/lineitem-family study (base sf0.1 — 150k orders / 600k
     * lineitem ⇒ 9.6M / 38.4M at 64×): the two round-12e keys whose input
@@ -185,7 +188,10 @@ object Scaling {
     Q("profile_corr_matrix", 64), Q("profile_columns", 64),
     // round 12i: the DQ ruleset is the profile_columns shape (one agg,
     // 5-row explode) — flat claim
-    Q("etl_dq_ruleset", 64))
+    Q("etl_dq_ruleset", 64),
+    // round 12j: ABC tiers — per-customer agg + post-aggregation global
+    // ranking window over |customers| rows; linear claim
+    Q("abc_classification", 64))
 
   case class Pt(query: String, mult: Int, inputRows: Long, outRows: Long,
       sec: Double)

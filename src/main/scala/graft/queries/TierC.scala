@@ -1884,6 +1884,68 @@ object TierCWindow {
             .when(col("signup_ts").isNotNull, 1).otherwise(0))
         .orderBy("user_id")
     }),
+    // ABC / Pareto revenue classification (round 12j) — the 80/95 cut
+    // every inventory/account-tiering analysis runs: customers ranked by
+    // revenue, class A while the running share ≤ 80% of total, B to 95%,
+    // C after. All integer: the class test cross-multiplies (cum·100 ≤
+    // t·80 — no division), shares are q6 fixed point; cum·100 ≤ 2e14 at
+    // sf0.1; the tightest product is the share's rev·10⁶ ≈ 2.3e18 (~4×
+    // under 2⁶³ — beyond ~sf0.4 move the share numerator to
+    // DECIMAL(38,0) or drop the quantizer to q4). 100 TB shape: the per-customer agg is
+    // the only fact shuffle; the ranking window runs GLOBAL but
+    // post-aggregation over |customers| rows (the profile_histogram
+    // justification — at extreme cardinality a range-partitioned sort +
+    // per-partition offsets replaces the single window); the 1-row total
+    // rides a broadcast crossJoin.
+    "abc_classification" -> ((s, d) => {
+      val cust = orders(s, d).groupBy("o_custkey")
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("rev"))
+      val tot = cust.agg(sum(col("rev")).as("t"))
+      val wCum = Window.orderBy(desc("rev"), asc("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cust.crossJoin(broadcast(tot))
+        .withColumn("cum", sum(col("rev")).over(wCum))
+        .withColumn("cls",
+          when(col("cum") * 100 <= col("t") * 80, "A")
+            .when(col("cum") * 100 <= col("t") * 95, "B").otherwise("C"))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("rev")).as("rev_cents"),
+          expr("sum(rev) * 1000000L DIV max(t)").as("share_q6"))
+        .orderBy("cls")
+    }),
+    // View→purchase conversion latency distribution (round 12j) — the
+    // product-analytics staple funnel_steps doesn't give: HOW LONG the
+    // converting population takes. Per user, first view and the first
+    // purchase at-or-after it (the funnel_steps window construction, two
+    // stages); latency in exact whole seconds; then one global summary
+    // row — converters, min/max, and exact p25/p50/p75 via the
+    // agg_percentile_disc sortedPick (collect over |converters| values —
+    // post-aggregation, bounded by users, the sortedPick contract).
+    // 100 TB shape: two user-partitioned window passes + one |users|-row
+    // agg; raw events never reach the percentile stage.
+    "conversion_latency" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id")
+      events(s, d)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("ts"))).over(byUser))
+        .withColumn("t2",
+          min(when(col("event_type") === "purchase" && col("ts") >= col("t1"),
+            col("ts"))).over(byUser))
+        .groupBy("user_id")
+        .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"))
+        .filter(col("t2").isNotNull)
+        .select(expr("(unix_micros(t2) - unix_micros(t1)) DIV 1000000")
+          .as("lat_s"))
+        .agg(count(lit(1)).as("n_converted"),
+          min(col("lat_s")).as("min_s"),
+          sortedPick(col("lat_s"), 0.25).as("p25_s"),
+          sortedPick(col("lat_s"), 0.5).as("p50_s"),
+          sortedPick(col("lat_s"), 0.75).as("p75_s"),
+          max(col("lat_s")).as("max_s"))
+    }),
     // C23d — weekly cohort retention: cohort = ISO week of the user's first
     // event, and each (cohort, week-offset) cell counts the distinct users
     // from that cohort active that week. The classic warehouse retention
@@ -2878,6 +2940,52 @@ object TierCWindow {
         |            WHEN t2 IS NOT NULL THEN 2
         |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS funnel_stage
         |FROM s3 ORDER BY user_id""".stripMargin,
+    // cross-multiplied class cuts (no division), HUGEINT sums cast back
+    "abc_classification" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |                       AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(rev) AS BIGINT) AS t FROM cust),
+        |ranked AS (
+        |  SELECT o_custkey, rev, t,
+        |         CAST(SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cum
+        |  FROM cust, tot),
+        |classed AS (
+        |  SELECT *, CASE WHEN cum * 100 <= t * 80 THEN 'A'
+        |                 WHEN cum * 100 <= t * 95 THEN 'B'
+        |                 ELSE 'C' END AS cls
+        |  FROM ranked)
+        |SELECT cls, COUNT(*) AS n_customers,
+        |       CAST(SUM(rev) AS BIGINT) AS rev_cents,
+        |       CAST(SUM(rev) * 1000000 // MAX(t) AS BIGINT) AS share_q6
+        |FROM classed GROUP BY cls ORDER BY cls""".stripMargin,
+    // the funnel two-stage window construction, then the
+    // agg_percentile_disc sorted-list pick over the converter latencies
+    "conversion_latency" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |           FROM events),
+        |s1 AS (SELECT user_id,
+        |              MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        |       FROM e GROUP BY user_id),
+        |s2 AS (SELECT s1.user_id, s1.t1,
+        |              MIN(CASE WHEN e.event_type = 'purchase'
+        |                        AND e.ts >= s1.t1
+        |                       THEN e.ts END) AS t2
+        |       FROM s1 JOIN e ON e.user_id = s1.user_id
+        |       GROUP BY s1.user_id, s1.t1),
+        |lat AS (
+        |  SELECT (epoch_us(t2) - epoch_us(t1)) // 1000000 AS lat_s
+        |  FROM s2 WHERE t2 IS NOT NULL)
+        |SELECT COUNT(*) AS n_converted, MIN(lat_s) AS min_s,
+        |       list_sort(list(lat_s))[CAST(greatest(ceil(0.25 * COUNT(*)), 1) AS INT)] AS p25_s,
+        |       list_sort(list(lat_s))[CAST(greatest(ceil(0.5 * COUNT(*)), 1) AS INT)] AS p50_s,
+        |       list_sort(list(lat_s))[CAST(greatest(ceil(0.75 * COUNT(*)), 1) AS INT)] AS p75_s,
+        |       MAX(lat_s) AS max_s
+        |FROM lat""".stripMargin,
     "cohort_retention" ->
       """WITH w AS (
         |  SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS week

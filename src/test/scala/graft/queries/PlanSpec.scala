@@ -608,7 +608,11 @@ class PlanSpec extends SparkSpec {
       // plus the 1-row broadcast probe cross for the exact rerank of the
       // 100-row candidate pool (the knn_pq_adc / retrieval_eval_ndcg
       // shape)
-      "knn_pq_rerank")
+      "knn_pq_rerank",
+      // r12j: abc_classification crosses the 1-row revenue total onto
+      // the post-aggregation |customers| table (the timeseries_cusum
+      // shape)
+      "abc_classification")
     // ETL/streaming queries run real side effects — planning-only audit
     // covers the analytic surface (list shared with ContractSpec).
     val sideEffecting = QuerySets.sideEffecting
