@@ -53,6 +53,35 @@ class ScalingSpec extends SparkSpec {
     assert(c0 == c1, s"copy graphs differ: $c0 vs $c1 edges")
   }
 
+  test("staged orders/lineitem: key-offset copies, calendar span and key domains preserved") {
+    val dir = Scaling.stageFamily(spark, sf, 2,
+      inflateDocs = false, inflateEmbEvents = false, inflateTpch = true)
+    val bo = spark.read.parquet(s"$sf/orders.parquet")
+    val bl = spark.read.parquet(s"$sf/lineitem.parquet")
+    val so = spark.read.parquet(s"$dir/orders.parquet")
+    val sl = spark.read.parquet(s"$dir/lineitem.parquet")
+    assert(so.count() == 2 * bo.count() && sl.count() == 2 * bl.count(),
+      "fact rows must scale by the multiplier")
+    // the CUSUM design point: the calendar is NOT inflated — the staged
+    // daily table has exactly the base's day set
+    val days = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(to_date(col("o_orderdate")).as("d")).distinct().count()
+    assert(days(so) == days(bo), "calendar span must stay the base's")
+    // the Space-Saving design point: the (flag, suppkey) key domain is
+    // NOT inflated — eviction churn is preserved while n grows
+    val keys = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("l_returnflag", "l_suppkey").distinct().count()
+    assert(keys(sl) == keys(bl), "sketch key domain must stay the base's")
+    // copies are row-disjoint on order keys, and lineitem stays
+    // join-consistent with orders (both offset by the SAME span)
+    val span = bo.agg(max("o_orderkey")).head.getLong(0) + 1
+    assert(so.filter(col("o_orderkey") >= span).count() == bo.count(),
+      "copy-1 orders must sit one span above copy 0")
+    val orphans = sl.join(so, sl("l_orderkey") === so("o_orderkey"),
+      "left_anti").count()
+    assert(orphans == 0, s"$orphans staged lineitem rows lost their order")
+  }
+
   test("staged embeddings: rotation preserves norms, ids offset") {
     val dir = Scaling.stageFamily(spark, sf, 2,
       inflateDocs = false, inflateEmbEvents = true)
