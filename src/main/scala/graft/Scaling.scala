@@ -167,7 +167,10 @@ object Scaling {
     Q("survival_km_sessions", 64),
     // round 12j: conversion latency — two user-partitioned windows +
     // one |users|-row percentile agg; linear in events claim
-    Q("conversion_latency", 64))
+    Q("conversion_latency", 64),
+    // round 12k: assortativity — one degree agg + two |E|-linear joins +
+    // a one-row sum; linear claim (graph_modularity class)
+    Q("graph_assortativity", 64))
 
   /** orders/lineitem-family study (base sf0.1 — 150k orders / 600k
     * lineitem ⇒ 9.6M / 38.4M at 64×): the two round-12e keys whose input

@@ -2677,6 +2677,38 @@ object TierCWindow {
           min(col("node")).as("min_node"), max(col("node")).as("max_node"))
         .orderBy("d")
     }),
+    // Degree assortativity (round 12k) — Newman 2002's r: the Pearson
+    // correlation of endpoint degrees over the (symmetrized) edge list,
+    // the one-number answer to "do hubs link to hubs?" that decides
+    // whether the degree cap in CommonNeighbors/RA bites (disassortative
+    // graphs put hubs at wedge centers). agg_corr recipe on the edge
+    // list: degrees are exact longs, all five sums exact (deg ≤ |V|,
+    // products ≤ |V|²·2|E| — longs to ~10⁵ vertices × 10⁸ edges, beyond
+    // that DECIMAL(38,0)), one identically-spelled double expression;
+    // round(., 6) display-only. 100 TB shape: degree table = one
+    // map-side-combinable agg; the two degree lookups are |E|-linear
+    // id-equi joins (the graph_modularity shape); the sums combine
+    // map-side into one row.
+    "graph_assortativity" -> ((s, d) => {
+      val und = ClickGraph.und(s, d).localCheckpoint()
+      val deg = und.select(col("u").as("node"))
+        .unionAll(und.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("dg"))
+      val adj = und.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(und.select(col("v").as("a"), col("u").as("b")))
+      val pairs = adj
+        .join(deg.select(col("node").as("a"), col("dg").as("x")), Seq("a"))
+        .join(deg.select(col("node").as("b"), col("dg").as("y")), Seq("b"))
+      val n = count(lit(1))
+      val sx = sum(col("x")).cast("double")
+      val sy = sum(col("y")).cast("double")
+      val sxx = sum(col("x") * col("x")).cast("double")
+      val syy = sum(col("y") * col("y")).cast("double")
+      val sxy = sum(col("x") * col("y")).cast("double")
+      val r = (sxy - sx * sy / n) /
+        sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+      pairs.agg(n.as("n_endpoints"), round(r, 6).as("assortativity"))
+    }),
     // k-CORE peel profile (round 11): 3 fixed synchronous peel rounds —
     // each round drops every node whose degree in the SURVIVING subgraph
     // is below k, reporting per page the round it was peeled in (1-3;
@@ -3504,6 +3536,30 @@ object TierCWindow {
         |SELECT d, COUNT(*) AS n_nodes,
         |       MIN(node) AS min_node, MAX(node) AS max_node
         |FROM deg GROUP BY d ORDER BY d""".stripMargin,
+    // the agg_corr construction over the shared symmetric adjacency —
+    // HUGEINT-exact sums cast to double, one identical Pearson expression
+    "graph_assortativity" ->
+      s"""WITH ${ClickGraph.OracleEv},
+        |${ClickGraph.OracleUnd},
+        |${ClickGraph.OracleAdj},
+        |deg AS (SELECT w AS node, COUNT(*) AS dg FROM adj GROUP BY 1),
+        |pairs AS (
+        |  SELECT dx.dg AS x, dy.dg AS y
+        |  FROM adj JOIN deg dx ON adj.w = dx.node
+        |           JOIN deg dy ON adj.x = dy.node),
+        |m AS (
+        |  SELECT COUNT(*) AS n,
+        |         CAST(SUM(x) AS DOUBLE) AS sx,
+        |         CAST(SUM(y) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+        |         CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+        |         CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+        |  FROM pairs)
+        |SELECT n AS n_endpoints,
+        |       round((sxy - sx * sy / n)
+        |             / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+        |         AS assortativity
+        |FROM m""".stripMargin,
     // independent unrolled 3-round peel over the shared edge derivation;
     // k = 2|E| // |V| exact-integer, same scalar the Spark side broadcasts
     "graph_kcore_peel" ->

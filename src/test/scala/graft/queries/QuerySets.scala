@@ -68,5 +68,8 @@ object QuerySets {
     "market_basket_lift",
     // r12i: knn_pq_rerank shares pqAdcTop10's shiftedVectors checkpoint
     // (the knn_pq_adc / knn_ivf_pq pattern)
-    "knn_pq_rerank")
+    "knn_pq_rerank",
+    // r12k: graph_assortativity checkpoints the undirected edge list its
+    // degree table and adjacency both consume (the graph_modularity shape)
+    "graph_assortativity")
 }
