@@ -625,6 +625,22 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unintended cartesian plans: $offenders")
   }
 
+  test("r12: market_basket_lift reads its incidence from checkpointed blocks, never re-scanning the fact table") {
+    // the round-12 re-learned lesson, pinned mechanically: the (order,
+    // brand) incidence feeds THREE consumers (pair expansion, brand
+    // counts, basket total); without the localCheckpoint each re-ran the
+    // lineitem join+distinct — measured 160.7 s / 1.19 tail slope at x64
+    // vs 116.6 s / 0.66 checkpointed (SCALING.md). The executed plan of
+    // the final frame must therefore contain NO lineitem parquet scan
+    // (every branch reads the materialized ExistingRDD) — a regression
+    // that drops the checkpoint re-introduces the scans and fails here.
+    val plan = executedPlan("market_basket_lift")
+    assert(!plan.contains("lineitem"),
+      s"a consumer re-scans the fact table past the checkpoint:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"no checkpointed incidence in the plan:\n$plan")
+  }
+
   test("r10: containment dedup — no array rides a candidate join, id-pairs distinct, prefix precedes postings") {
     // the scale contract of the AllPairs prefix-filter plan (Dedup.scala):
     // (1) no gram ARRAY crosses any gh-keyed candidate-generation join —
