@@ -121,10 +121,11 @@ object Scaling {
     // sibling) and the NDCG eval (two scan rankings)
     Q("dedup_semantic_ann", 64), Q("retrieval_eval_ndcg", 64),
     // round 12d: NN-Descent — per-round candidate work is N·cap²/2 pair
-    // scores (linear-in-N claim), but the constant is ~20 corpus scans'
-    // worth of dot products, so cap the study at 16× to stay inside the
-    // local-run budget (the 4→16 top half still fits the slope)
-    Q("knn_nndescent", 16),
+    // scores (linear-in-N claim), with a ~20-corpus-scans constant.
+    // Round 13 (r12 verdict #4): cap raised 16 → 64 — this family is
+    // where the 354 s fixed-r surprise hid, so the tail gets measured
+    // like everyone else's even though the point costs minutes
+    Q("knn_nndescent", 64),
     // round 12e: IVF-PQ composition — cell assignment + PQ training are
     // corpus-wide scans, ADC scoring is |cell| ≈ corpus/8 rows; claims
     // the scan-bound linear class like its two halves
@@ -192,6 +193,10 @@ object Scaling {
     // round 12i: the DQ ruleset is the profile_columns shape (one agg,
     // 5-row explode) — flat claim
     Q("etl_dq_ruleset", 64),
+    // round 13: the no-Expand HLL siblings — the claim under test is that
+    // the approx curves stay flat-in-seconds where the exact plans' Expand
+    // grows the shuffled row count ×(|cols|+1)
+    Q("profile_columns_approx", 64), Q("etl_dq_ruleset_approx", 64),
     // round 12j: ABC tiers — per-customer agg + post-aggregation global
     // ranking window over |customers| rows; linear claim
     Q("abc_classification", 64))

@@ -558,6 +558,51 @@ object TierA {
             .as("passed"))
         .orderBy("rule")
     }),
+    // The declared 100 TB form of the ruleset (round 13 — r12 verdict #2):
+    // identical rules, but the uniqueness metric's exact COUNT(DISTINCT pk)
+    // is replaced by approx_count_distinct (HLL++, rsd 2%). The exact
+    // single-distinct plans Catalyst's two-level rewrite — the FULL PK
+    // domain crosses a hashpartitioning(o_orderkey) exchange before the
+    // final agg (with a second distinct it would widen further into an
+    // Expand, the profile_columns shape) — while the HLL form is ONE
+    // partial+final pass whose only exchange is the SinglePartition merge
+    // of fixed-memory sketch buffers. The uniqueness threshold keeps
+    // headroom for the HLL error (0.999 target − 2% rsd ⇒ gate at 0.97):
+    // a DQ gate tuned for the approx path budgets the sketch error INTO
+    // the threshold, which is why the rule is named distinctly.
+    // Unit-tier: PlanSpec asserts the no-PK-shuffle/no-Expand plan shape,
+    // brackets the approx uniqueness metric within ±5% of the exact key's,
+    // and checks the four non-sketch rows are byte-identical to the exact
+    // ruleset's.
+    "etl_dq_ruleset_approx" -> ((s, d) => {
+      val o = orders(s, d)
+      val m = o.agg(
+        count(lit(1)).as("n"),
+        approx_count_distinct(col("o_orderkey"), 0.02).as("nd_pk"),
+        sum(when(col("o_custkey").isNotNull, 1L).otherwise(0L)).as("nn_cust"),
+        sum(when(col("o_totalprice") > 0, 1L).otherwise(0L)).as("pos_price"),
+        sum(when(col("o_orderstatus").isin("F", "O", "P"), 1L)
+          .otherwise(0L)).as("ok_status"))
+      m.select(explode(array(
+          struct(lit("completeness_o_custkey").as("rule"),
+            expr("nn_cust * 1000000L DIV n").as("metric_q6"),
+            lit(990000L).as("threshold_q6")),
+          struct(lit("uniqueness_o_orderkey_approx").as("rule"),
+            expr("nd_pk * 1000000L DIV n").as("metric_q6"),
+            lit(970000L).as("threshold_q6")),
+          struct(lit("values_o_totalprice_positive").as("rule"),
+            expr("pos_price * 1000000L DIV n").as("metric_q6"),
+            lit(1000000L).as("threshold_q6")),
+          struct(lit("values_o_orderstatus_domain").as("rule"),
+            expr("ok_status * 1000000L DIV n").as("metric_q6"),
+            lit(1000000L).as("threshold_q6")),
+          struct(lit("rowcount_min").as("rule"),
+            col("n").as("metric_q6"), lit(100L).as("threshold_q6")))).as("r"))
+        .select(col("r.rule"), col("r.metric_q6"), col("r.threshold_q6"),
+          (col("r.metric_q6") >= col("r.threshold_q6")).cast("int")
+            .as("passed"))
+        .orderBy("rule")
+    }),
     // A12 — small-file compaction: the lake-maintenance job every file-based
     // pipeline needs (crawl output accumulates per-trigger small files; at
     // 100 TB unbounded file counts kill planning and listing). Rewrite many

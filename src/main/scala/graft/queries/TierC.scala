@@ -1099,6 +1099,32 @@ object TierCAgg {
             .as("complete_q6"))): _*)).as("p"))
         .select("p.*").orderBy("col_name")
     }),
+    // The declared 100 TB sibling (round 13 — r12 verdict #2): the SAME
+    // per-column profile with approx_count_distinct (HLL++, rsd 2%)
+    // replacing the multi-column exact COUNT(DISTINCT). The exact form
+    // plans one Expand that multiplies every input row ×(|cols|+1) before
+    // the partial aggregates — the one profiling shape whose shuffle grows
+    // with column count; the HLL form keeps ONE pass with |cols| fixed-
+    // memory sketches riding partial aggregation, no Expand anywhere
+    // (PlanSpec asserts the node's absence here and its presence in the
+    // exact plan). Unit-tier: sketch estimates are engine-local — PlanSpec
+    // brackets every per-column estimate within ±5% of the exact sibling's
+    // n_distinct (the agg_approx_distinct discipline). Null/completeness
+    // metrics are byte-identical to the exact key by construction.
+    "profile_columns_approx" -> ((s, d) => {
+      val cs = Seq("o_custkey", "o_orderdate", "o_orderkey",
+        "o_orderpriority", "o_orderstatus", "o_totalprice")
+      val aggs = Seq(count(lit(1)).as("n_rows")) ++ cs.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        approx_count_distinct(col(c), 0.02).as(s"nd_$c")))
+      orders(s, d).agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cs.map(c => struct(lit(c).as("col_name"),
+          col("n_rows"), col(s"nn_$c").as("n_null"),
+          col(s"nd_$c").as("n_distinct"),
+          expr(s"(n_rows - nn_$c) * 1000000L DIV n_rows")
+            .as("complete_q6"))): _*)).as("p"))
+        .select("p.*").orderBy("col_name")
+    }),
     // Grouped OLS trend (round 6) — per-status linear-regression slope of
     // monthly revenue vs month index, the drift/trend detector behind
     // metric monitoring. Where agg_corr needed the decimal→double

@@ -289,6 +289,38 @@ object TierD {
         .filter(col("n_so_far") === col("n_max")).drop("n_max")
         .orderBy("event_type", "rank")
     }),
+    // D7c — GLOBAL streaming heavy hitters with per-partition pre-merge
+    // (round 13 — r12 verdict #5, the scale path stream_spacesaving_topk's
+    // scaladoc declared): one logical key over the WHOLE stream, so raw
+    // items must never funnel through the single state instance — each
+    // partition folds its slice into a k-bounded sketch (mapPartitions +
+    // the batch aggregator's reduce) and only sketch ROWS reach the state,
+    // which merges them via the PODS-2012 merge (StreamTopK.topkGlobal).
+    // Gated over 3 real micro-batches like its per-key sibling; the final
+    // post-backlog snapshot is the result. Unit-tier: counter values are
+    // merge-order-dependent by construction — StreamTopKSpec asserts the
+    // order-independent ICDT bounds, the n carry across batches and the
+    // n/k heavy-hitter presence under the merge tree.
+    "stream_spacesaving_global" -> ((s, d) => withFewStatePartitions(s) {
+      val name = s"ssg_out_${java.lang.Long.toHexString(System.nanoTime)}"
+      val q = graft.streaming.StreamTopK
+        .topkGlobal(graft.core.Tables.eventsStreamChunked(s, d, chunks = 3))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", scratchDir("graft_ssg_ckpt"))
+        .start()
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 2,
+        s"multi-batch contract violated: $batches data batch(es) ran — " +
+          "the cross-batch sketch-merge carry was not exercised")
+      val t = s.table(name)
+      val wMax = Window.partitionBy("event_type")
+      t.withColumn("n_max", max("n_so_far").over(wMax))
+        .filter(col("n_so_far") === col("n_max")).drop("n_max")
+        .orderBy("rank")
+    }),
     // D6 — bookmark semantics end-to-end (reference README.md:145): a file
     // source with checkpoint processes each file exactly once; the second
     // AvailableNow run emits only newly-landed files. EtlSpec asserts the

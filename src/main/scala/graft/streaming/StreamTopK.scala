@@ -72,4 +72,67 @@ object StreamTopK {
       .flatMapGroupsWithState[SsState, SsOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(fold)
   }
+
+  /** One pre-merged per-partition sketch row: (n folded, counters). */
+  case class SkRow(n: Long, counters: Seq[(String, Long, Long)])
+
+  /** Merge the batch's pre-merged partition sketches into the carried
+    * global state via the batch aggregator's PODS-2012 merge — the state
+    * instance never sees a raw item. Incoming sketches are merged in a
+    * deterministic (n, first-item) order so a given partitioning replays
+    * identically; counter VALUES still depend on the partitioning (the
+    * merge-tree caveat the batch sketch documents), which is why the spec
+    * asserts the order-independent ICDT bounds, not value parity. */
+  def foldGlobal(key: Int, sks: Iterator[SkRow],
+      state: GroupState[SsState]): Iterator[SsOut] = {
+    val agg = new graft.operators.SpaceSavingAggregator(K)
+    val sorted = sks.toArray.sortBy(sk =>
+      (sk.n, sk.counters.headOption.map(_._1).getOrElse("")))
+    if (sorted.isEmpty) return Iterator.empty
+    var buf = state.getOption
+      .map(s => (s.n, s.counters)).getOrElse(agg.zero)
+    sorted.foreach { sk => buf = agg.merge(buf, (sk.n, sk.counters)) }
+    state.update(SsState(buf._1, buf._2))
+    buf._2.sortBy { case (item, c, _) => (-c, item) }.zipWithIndex.map {
+      case ((item, c, err), i) =>
+        SsOut("all", buf._1, i + 1, item, c, err)
+    }.iterator
+  }
+
+  /** GLOBAL (single-key) streaming heavy hitters with per-partition
+    * pre-merge — the scale shape the per-key variant's scaladoc names:
+    * with ONE logical key, routing raw items to a single state instance
+    * serializes the whole stream through it. Instead each input partition
+    * folds its micro-batch slice into a k-bounded sketch locally
+    * (`mapPartitions` + the batch aggregator's `reduce`, items in
+    * (tus, event_id) order within the partition), and only ≤1 sketch ROW
+    * per partition per batch crosses the shuffle to the state instance,
+    * which merges them with the PODS merge (`foldGlobal`). Parallelism is
+    * restored to the partition count and state traffic is k·partitions
+    * counters per batch regardless of stream volume. The price is
+    * merge-order-dependent counter values (any merge tree keeps the
+    * ICDT bounds — StreamTopKSpec asserts them over 3 real batches). */
+  def topkGlobal(events: DataFrame): Dataset[SsOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val sketches = events
+      .selectExpr("event_type", "unix_micros(ts) AS tus", "event_id",
+        "get_json_object(props, '$.k') AS item")
+      .filter("item IS NOT NULL")
+      .as[TEv]
+      .mapPartitions { it =>
+        val agg = new graft.operators.SpaceSavingAggregator(K)
+        val sorted = it.toArray.sortBy(e => (e.tus, e.event_id))
+        if (sorted.isEmpty) Iterator.empty
+        else {
+          var buf = agg.zero
+          sorted.foreach { e => buf = agg.reduce(buf, e.item) }
+          Iterator(SkRow(buf._1, buf._2))
+        }
+      }
+    sketches
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[SsState, SsOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(foldGlobal)
+  }
 }

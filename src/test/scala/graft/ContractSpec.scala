@@ -94,6 +94,9 @@ class ContractSpec extends SparkSpec {
       "agg_cms_freq",         // Count-Min sketch (PlanSpec: bounds + merge≡single-pass)
       "agg_spacesaving_topk", // Space-Saving counters (SpaceSavingSpec: bounds + planted HH + merge trees)
       "stream_spacesaving_topk", // streaming Space-Saving (StreamTopKSpec: sequential-fold parity + bounds + carry; a k-vector eviction recurrence has no tractable SQL replay)
+      "stream_spacesaving_global", // pre-merged partition sketches (StreamTopKSpec: ICDT bounds under the merge tree — counter values are merge-order-dependent by design)
+      "profile_columns_approx", // per-column HLL sketches (PlanSpec: no Expand + ±5% bracket vs the exact profile)
+      "etl_dq_ruleset_approx", // HLL uniqueness metric (PlanSpec: no Expand + ±5% bracket + non-sketch rows identical)
       "sketch_kmv_intersect", // KMV xxhash64 sketch (KmvSketchSpec: set-function determinism + bounds)
       "minhash_signature",    // xxhash64 signatures (LlmSpec: aggregator parity)
       "dedup_minhash_lsh",    // xxhash64 banding (LlmSpec: collision behavior)

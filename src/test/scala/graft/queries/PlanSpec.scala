@@ -384,6 +384,75 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("r13: profile_columns_approx plans no Expand and brackets the exact profile") {
+    // the exact multi-column COUNT(DISTINCT) widens every input row
+    // ×(|cols|+1) through an Expand before the partial aggs — the declared
+    // 100 TB path replaces it with per-column HLL sketches and must plan
+    // ONE pass with no Expand node at all
+    val exactPlan = executedPlan("profile_columns")
+    assert(exactPlan.contains("Expand"),
+      s"exact profile no longer plans an Expand — update this contrast:\n$exactPlan")
+    val approxPlan = executedPlan("profile_columns_approx")
+    assert(!approxPlan.contains("Expand"),
+      s"approx profile must not plan an Expand:\n$approxPlan")
+    assert(approxPlan.contains("partial_"),
+      s"approx profile lost map-side combine:\n$approxPlan")
+    // estimates bracket the exact distinct counts (the C17 ±5% discipline);
+    // the null/completeness metrics must be byte-identical
+    def byCol(name: String) = SparkEntryPlan(name).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = byCol("profile_columns")
+    val approx = byCol("profile_columns_approx")
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (c, e) =>
+      val a = approx(c)
+      val (de, da) = (e.getLong(3), a.getLong(3))
+      assert(math.abs(da - de).toDouble / de <= 0.05,
+        s"col $c: approx distinct $da vs exact $de")
+      assert(a.getLong(1) == e.getLong(1) && a.getLong(2) == e.getLong(2) &&
+        a.getLong(4) == e.getLong(4),
+        s"col $c: non-sketch metrics diverged: $a vs $e")
+    }
+  }
+
+  test("r13: etl_dq_ruleset_approx drops the PK-domain shuffle; non-sketch rules match the exact ruleset") {
+    // a SINGLE count(distinct) doesn't plan an Expand (that needs ≥2
+    // distincts, as in profile_columns) — Catalyst's single-distinct
+    // rewrite instead shuffles the FULL PK domain through a
+    // hashpartitioning(o_orderkey) exchange before the final agg. That
+    // per-key exchange is the cost the HLL form removes: the approx plan
+    // must be one partial+final pass whose only exchange is the
+    // SinglePartition merge of sketch buffers.
+    val exactPlan = executedPlan("etl_dq_ruleset")
+    assert(exactPlan.contains("hashpartitioning(o_orderkey"),
+      s"exact ruleset no longer shuffles the PK domain — update this contrast:\n$exactPlan")
+    val approxPlan = executedPlan("etl_dq_ruleset_approx")
+    assert(!approxPlan.contains("Expand") &&
+      !approxPlan.contains("hashpartitioning(o_orderkey"),
+      s"approx ruleset must not widen or shuffle the PK domain:\n$approxPlan")
+    assert(approxPlan.contains("partial_"),
+      s"approx ruleset lost map-side combine:\n$approxPlan")
+    def rows(name: String) = SparkEntryPlan(name).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toMap
+    val exact = rows("etl_dq_ruleset")
+    val approx = rows("etl_dq_ruleset_approx")
+    // the four non-sketch rules are byte-identical to the exact ruleset's
+    Seq("completeness_o_custkey", "values_o_totalprice_positive",
+        "values_o_orderstatus_domain", "rowcount_min").foreach { r =>
+      assert(approx(r) == exact(r), s"rule $r diverged: " +
+        s"${approx(r)} vs ${exact(r)}")
+    }
+    // the approx uniqueness metric brackets the exact one within ±5%
+    // (rsd 2% sketch), and its error-budgeted threshold still passes on
+    // the unique-PK fixture
+    val (mExact, _, _) = exact("uniqueness_o_orderkey")
+    val (mApprox, _, passed) = approx("uniqueness_o_orderkey_approx")
+    assert(math.abs(mApprox - mExact).toDouble / mExact <= 0.05,
+      s"approx uniqueness q6 $mApprox vs exact $mExact")
+    assert(passed == 1, "unique PK fixture must pass the error-budgeted gate")
+  }
+
   test("C17c: merged HLL sketches equal the single-pass sketch, within 5% of exact") {
     val merged = SparkEntryPlan("agg_hll_merge")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

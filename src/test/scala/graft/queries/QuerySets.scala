@@ -17,7 +17,10 @@ object QuerySets {
     "scan_json", "scan_orc", "scan_text_logs",
     "multimodal_meta", "multimodal_frames",
     "etl_compact_files", "etl_upsert_scd1", "etl_snapshot_diff",
-    "scan_csv_corrupt", "etl_backfill_partition", "workflow_fanin")
+    "scan_csv_corrupt", "etl_backfill_partition", "workflow_fanin",
+    // r13: the global pre-merge streaming sketch runs its 3-batch
+    // AvailableNow pipeline in the builder like its per-key sibling
+    "stream_spacesaving_global")
 
   /** Builders that call an EAGER localCheckpoint() while constructing
     * their DataFrame (iterative operators: the checkpoint is the lineage

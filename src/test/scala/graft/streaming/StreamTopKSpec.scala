@@ -68,4 +68,65 @@ class StreamTopKSpec extends SparkSpec {
         s"heavy hitter (12 > 36/16) evicted: $fin")
     } finally q.stop()
   }
+
+  test("global pre-merge variant: ICDT bounds hold under the merge tree across 3 batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 120 items over a 30-id vocabulary (eviction regime for k=16) with a
+    // planted heavy hitter at frequency 40 > n/k = 120/16; delivered over
+    // THREE micro-batches and folded through multi-partition pre-merged
+    // sketches — counter values are merge-order-dependent here, so the
+    // assertions are exactly the order-independent ICDT/PODS guarantees.
+    val mkItem = (i: Int) => if (i % 3 == 0) "hh" else s"it${i % 30}"
+    val all = (1 to 120).map(i => ("click", i.toLong, i.toLong, mkItem(i)))
+    val input = MemoryStream[(String, Long, Long, String)]
+    // repartition(4) forces ≥2 non-empty partitions per batch, so the
+    // state instance genuinely merges multiple pre-merged sketch rows
+    val events = input.toDS()
+      .toDF("event_type", "tus", "event_id", "item")
+      .repartition(4)
+      .as[StreamTopK.TEv]
+      .mapPartitions { it =>
+        val agg = new graft.operators.SpaceSavingAggregator(16)
+        val sorted = it.toArray.sortBy(e => (e.tus, e.event_id))
+        if (sorted.isEmpty) Iterator.empty
+        else Iterator({
+          var buf = agg.zero
+          sorted.foreach(e => buf = agg.reduce(buf, e.item))
+          StreamTopK.SkRow(buf._1, buf._2)
+        })
+      }
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[StreamTopK.SsState, StreamTopK.SsOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(
+        StreamTopK.foldGlobal)
+    val q = events.writeStream.format("memory").queryName("ssg_spec")
+      .outputMode("append").start()
+    def rows() = spark.table("ssg_spec").as[StreamTopK.SsOut].collect().toSeq
+    try {
+      input.addData(all.take(40)); q.processAllAvailable()
+      assert(rows().exists(_.n_so_far == 40L),
+        s"batch-1 pre-merged n wrong: ${rows().map(_.n_so_far).distinct}")
+      input.addData(all.slice(40, 80)); q.processAllAvailable()
+      input.addData(all.drop(80)); q.processAllAvailable()
+      val fin = rows().filter(_.n_so_far == 120L)
+      // n carries exactly across batches: sketch-row n values are summed
+      // by the PODS merge, so the final snapshot reads the true total
+      assert(fin.nonEmpty, s"cross-batch sketch-merge carry broken: " +
+        s"${rows().map(_.n_so_far).distinct}")
+      assert(fin.size <= 16, s"snapshot wider than k: ${fin.size}")
+      // ICDT bounds vs exact counts under an arbitrary merge tree
+      val exact = all.groupBy(_._4).view.mapValues(_.size.toLong).toMap
+      fin.foreach { o =>
+        val t = exact.getOrElse(o.item, 0L)
+        assert(o.est_count >= t && t >= o.est_count - o.err_bound,
+          s"merge-tree bounds violated for ${o.item}: est=${o.est_count} " +
+            s"err=${o.err_bound} true=$t")
+      }
+      // n/k heavy-hitter presence survives the merge tree (PODS 2012)
+      assert(fin.exists(_.item == "hh"),
+        s"heavy hitter (40 > 120/16) evicted by the merge tree: $fin")
+    } finally q.stop()
+  }
 }
