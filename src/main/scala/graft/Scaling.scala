@@ -92,7 +92,13 @@ object Scaling {
     Q("sketch_kmv_intersect", 64),
     // round 12g: χ² feature selection — the presence explode+distinct is
     // the only corpus-sized shuffle, everything after vocab-sized; linear
-    Q("text_chisq_terms", 64))
+    Q("text_chisq_terms", 64),
+    // round 13: gopher rules are a pure projection (zero-shuffle map
+    // claim); the epoch schedule is one vocab-sized agg + broadcast
+    // (linear); the packing report aggregates the pack window's layout
+    // (the pack_sequences per-shard-window class)
+    Q("quality_gopher_rules", 64), Q("mix_epochs_schedule", 64),
+    Q("pack_efficiency_report", 64))
 
   /** embeddings+events-family study (base sf0.1 — 2000 vecs / 100k events
     * ⇒ 128000 / 6.4M at 64×). The exact per-label pair operator is capped
@@ -133,7 +139,10 @@ object Scaling {
     // round 12i: retrieve-then-rerank — the PQ scan proposes 100
     // candidates, the exact rerank touches only those; expected to track
     // knn_pq_adc's linear curve plus a constant
-    Q("knn_pq_rerank", 64))
+    Q("knn_pq_rerank", 64),
+    // round 13: probe-set MRR/recall eval — two broadcast-probed scans +
+    // probe-partitioned top-10 windows; claims the scan-bound class
+    Q("retrieval_eval_mrr", 64))
 
   private val GraphQueries = Seq(
     // round 11: bounded-round peel — per-round O(|E|) like LPA
@@ -171,7 +180,10 @@ object Scaling {
     Q("conversion_latency", 64),
     // round 12k: assortativity — one degree agg + two |E|-linear joins +
     // a one-row sum; linear claim (graph_modularity class)
-    Q("graph_assortativity", 64))
+    Q("graph_assortativity", 64),
+    // round 13: preferential attachment — the same cap·|E| wedge bound
+    // as CN/RA (shared enumeration), expected to track their curves
+    Q("graph_pref_attachment", 64))
 
   /** orders/lineitem-family study (base sf0.1 — 150k orders / 600k
     * lineitem ⇒ 9.6M / 38.4M at 64×): the two round-12e keys whose input
@@ -199,7 +211,11 @@ object Scaling {
     Q("profile_columns_approx", 64), Q("etl_dq_ruleset_approx", 64),
     // round 12j: ABC tiers — per-customer agg + post-aggregation global
     // ranking window over |customers| rows; linear claim
-    Q("abc_classification", 64))
+    Q("abc_classification", 64),
+    // round 13: seasonal z-score — the CUSUM shape (one daily map-side
+    // agg, calendar-bounded tail); partition-skew profile — one
+    // 33-group map-side agg, flat claim
+    Q("timeseries_zscore_seasonal", 64), Q("profile_partition_skew", 64))
 
   case class Pt(query: String, mult: Int, inputRows: Long, outRows: Long,
       sec: Double)

@@ -18,6 +18,34 @@ object TextStats {
 
   private def tokens(c: Column): Column = split(c, " ")
 
+  /** The concat-and-chunk packing layout — the shared body of
+    * `pack_sequences` (which ships it per-doc) and
+    * `pack_efficiency_report` (which aggregates it per shard): docs are
+    * dealt to 8 shards by md5 digit, each shard's token stream is laid
+    * out contiguously in doc_id order, and every doc records its offset
+    * and first/last 512-token block. One per-shard window; factored so
+    * the report can never describe a different packing than the one the
+    * layout key ships. */
+  private def packedLayout(s: SparkSession, d: String): DataFrame = {
+    val blockLen = 512
+    val nTok = graft.functions.TokenStats.token_stats(
+      tokens(col("text")), Seq.empty).getField("n_tok").cast("long")
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select(col("doc_id"),
+        (md5Fold(col("doc_id"), 1) % 8).cast("int").as("shard"),
+        nTok.as("n_tok"))
+      .withColumn("stream_end", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tok"),
+        (col("stream_end") - col("n_tok")).as("offset"),
+        // exact floor division: offsets ≪ 2^53, so the double detour is safe
+        floor((col("stream_end") - col("n_tok")) / blockLen).cast("long")
+          .as("block_first"),
+        floor((col("stream_end") - 1) / blockLen).cast("long")
+          .as("block_last"))
+  }
+
   /** Okapi BM25 top-20 for the fixed 3-term query — the body of
     * `retrieval_bm25`, factored so `retrieval_rrf` fuses the identical
     * ranking (float discipline and determinism notes at the query entry). */
@@ -414,26 +442,32 @@ object TextStats {
     // 1-4 folded % 8 here; thousands in production), never a global orderBy — the
     // packing of each shard is independent, so parallelism scales with the
     // shard count while the layout stays a pure function of doc ids.
-    "pack_sequences" -> ((s, d) => {
-      val blockLen = 512
-      val nTok = graft.functions.TokenStats.token_stats(
-        tokens(col("text")), Seq.empty).getField("n_tok").cast("long")
-      val w = Window.partitionBy("shard").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      documents(s, d)
-        .select(col("doc_id"),
-          (md5Fold(col("doc_id"), 1) % 8).cast("int").as("shard"),
-          nTok.as("n_tok"))
-        .withColumn("stream_end", sum(col("n_tok")).over(w))
-        .select(col("doc_id"), col("shard"), col("n_tok"),
-          (col("stream_end") - col("n_tok")).as("offset"),
-          // exact floor division: offsets ≪ 2^53, so the double detour is safe
-          floor((col("stream_end") - col("n_tok")) / blockLen).cast("long")
-            .as("block_first"),
-          floor((col("stream_end") - 1) / blockLen).cast("long")
-            .as("block_last"))
-        .orderBy("doc_id")
-    }),
+    "pack_sequences" -> ((s, d) => packedLayout(s, d).orderBy("doc_id")),
+    // Packing-efficiency report (round 13) — the QA readout run after
+    // `pack_sequences` decides the layout (one shared packedLayout
+    // derivation, so the report can never describe a different packing
+    // than the one shipped): per shard, the doc/token volume, the block
+    // count the concat-and-chunk layout produces, the fill rate
+    // tokens/(blocks·512) in q6 (how much of the context-window budget
+    // is paid to the final ragged block) and the number of documents
+    // straddling a block boundary (the fragmentation a sequence-aware
+    // loader masks out). All integers from the layout's own columns.
+    // 100 TB shape: one shard-keyed map-side-combinable agg over the
+    // layout — 8 result rows; the layout itself is the pack_sequences
+    // per-shard window.
+    "pack_efficiency_report" -> ((s, d) =>
+      packedLayout(s, d)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          (max(col("block_last")) + 1).as("n_blocks"),
+          sum((col("block_first") =!= col("block_last")).cast("long"))
+            .as("n_straddle"))
+        .select(col("shard"), col("n_docs"), col("n_tokens"),
+          col("n_blocks"), (col("n_blocks") * 512).as("capacity"),
+          expr("n_tokens * 1000000L DIV (n_blocks * 512)").as("fill_q6"),
+          col("n_straddle"))
+        .orderBy("shard")),
     // Data-mix rebalancing (the "sampling weights" step of training-data
     // assembly): given the per-language corpus histogram and a uniform
     // target mix, derive each language's keep rate and expected post-
@@ -482,6 +516,78 @@ object TextStats {
           expr("(total_docs DIV 2) * w_q6 DIV w_sum").as("quota"),
           expr("((total_docs DIV 2) * w_q6 DIV w_sum) * 1000000 DIV n_docs")
             .as("factor_q6"))
+        .orderBy("lang")
+    }),
+    // Gopher-style per-document quality rules (round 13; Rae et al. 2021
+    // §A1.1) — the RULE-SET form of quality filtering next to
+    // text_quality's raw ratios and text_quality_filter's composite
+    // score: each document gets a verdict per named rule at the paper's
+    // own thresholds (50 ≤ words ≤ 100k; mean word length in [3, 10];
+    // ≥ 2 stopword instances; ≥ 80% alphabetic tokens — the symbol-ratio
+    // rules need symbols the whitespace-token fixture cannot carry and
+    // are the pre-tokenizer's job). ALL integers: the length bound
+    // cross-multiplies (3·n ≤ chars ≤ 10·n), the alpha bound likewise
+    // (5·alpha ≥ 4·n) — no ratio is ever materialized. n_tok/char_sum/
+    // stopword hits come from ONE fused TokenStats pass; the alpha count
+    // is the one per-token regex (array filter — bounded by tokens per
+    // doc, map-only). 100 TB shape: zero shuffles before the final sort —
+    // the whole rule set is a projection.
+    "quality_gopher_rules" -> ((s, d) => {
+      val stopLex = Seq("the", "and", "of", "to", "in",
+        "is", "on", "for", "with", "a")
+      val st = graft.functions.TokenStats.token_stats(
+        tokens(col("text")), Seq(stopLex))
+      documents(s, d)
+        .select(col("doc_id"),
+          st.getField("n_tok").cast("long").as("n_tok"),
+          st.getField("char_sum").as("char_sum"),
+          element_at(st.getField("hits"), 1).cast("long").as("stop_hits"),
+          size(filter(tokens(col("text")), t => t.rlike("^[a-z]+$")))
+            .cast("long").as("n_alpha"))
+        .select(col("doc_id"), col("n_tok"), col("char_sum"),
+          col("stop_hits"), col("n_alpha"),
+          (col("n_tok") >= 50 && col("n_tok") <= 100000).cast("int")
+            .as("wc_ok"),
+          (lit(3) * col("n_tok") <= col("char_sum") &&
+            col("char_sum") <= lit(10) * col("n_tok")).cast("int")
+            .as("mwl_ok"),
+          (col("stop_hits") >= 2).cast("int").as("stop_ok"),
+          (lit(5) * col("n_alpha") >= lit(4) * col("n_tok")).cast("int")
+            .as("alpha_ok"))
+        .withColumn("gopher_pass",
+          col("wc_ok") * col("mwl_ok") * col("stop_ok") * col("alpha_ok"))
+        .orderBy("doc_id")
+    }),
+    // Per-source epoch schedule under a token budget (round 13) — the
+    // step AFTER sample_temperature's weights: production mixes don't
+    // just weight sources, they decide how many EPOCHS of each source a
+    // run consumes under a fixed total budget, with a max-epoch cap so a
+    // tiny high-weight source isn't repeated into memorization (the
+    // ~4-epoch rule of thumb multilingual/code mixes use). Budget = one
+    // pass over the corpus (total_chars); weights are the α = 1/2
+    // temperature family on CHARS (w = ⌊√n_chars·10⁶⌋ — sqrt is IEEE
+    // correctly rounded, the sample_temperature discipline); everything
+    // after is integer fixed point: share_q6, quota_chars = B·w DIV Σw,
+    // epochs_q6 = min(4·10⁶, quota·10⁶ DIV n_chars), effective_chars.
+    // Magnitude: B·w ≤ 10¹⁵ at sf0.1; beyond ~10¹² corpus chars move the
+    // products to DECIMAL(38,0). 100 TB shape: one vocabulary-sized agg +
+    // a 1-row totals broadcast — the corpus is scanned once.
+    "mix_epochs_schedule" -> ((s, d) => {
+      val counts = documents(s, d).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .withColumn("w_q6",
+          floor(sqrt(col("n_chars").cast("double")) * lit(1.0e6))
+            .cast("long"))
+      val totals = counts.agg(sum(col("w_q6")).as("w_sum"),
+        sum(col("n_chars")).as("total_chars"))
+      counts.crossJoin(broadcast(totals))
+        .select(col("lang"), col("n_docs"), col("n_chars"),
+          expr("w_q6 * 1000000 DIV w_sum").as("share_q6"),
+          expr("total_chars * w_q6 DIV w_sum").as("quota_chars"))
+        .withColumn("epochs_q6",
+          expr("least(4000000L, quota_chars * 1000000 DIV n_chars)"))
+        .withColumn("effective_chars",
+          expr("n_chars * epochs_q6 DIV 1000000"))
         .orderBy("lang")
     }),
     // Per-document bigram log-likelihood (round 12): the CCNet filter
@@ -1812,6 +1918,35 @@ object TextStats {
         |       CAST((stream_end - n_tok) // 512 AS BIGINT) AS block_first,
         |       CAST((stream_end - 1) // 512 AS BIGINT) AS block_last
         |FROM w ORDER BY doc_id""".stripMargin,
+    // same shard/stream CTEs as pack_sequences, aggregated per shard
+    "pack_efficiency_report" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(((((CASE WHEN ord(hx[1:1]) >= 97 THEN ord(hx[1:1]) - 87 ELSE ord(hx[1:1]) - 48 END) * 16
+        |      + (CASE WHEN ord(hx[2:2]) >= 97 THEN ord(hx[2:2]) - 87 ELSE ord(hx[2:2]) - 48 END)) * 16
+        |      + (CASE WHEN ord(hx[3:3]) >= 97 THEN ord(hx[3:3]) - 87 ELSE ord(hx[3:3]) - 48 END)) * 16
+        |      + (CASE WHEN ord(hx[4:4]) >= 97 THEN ord(hx[4:4]) - 87 ELSE ord(hx[4:4]) - 48 END)) % 8 AS INT) AS shard,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents)),
+        |w AS (
+        |  SELECT doc_id, shard, n_tok,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS stream_end
+        |  FROM t),
+        |lay AS (
+        |  SELECT shard, n_tok,
+        |         CAST((stream_end - n_tok) // 512 AS BIGINT) AS block_first,
+        |         CAST((stream_end - 1) // 512 AS BIGINT) AS block_last
+        |  FROM w)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |       CAST(MAX(block_last) + 1 AS BIGINT) AS n_blocks,
+        |       CAST((MAX(block_last) + 1) * 512 AS BIGINT) AS capacity,
+        |       CAST(SUM(n_tok) * 1000000 // ((MAX(block_last) + 1) * 512)
+        |         AS BIGINT) AS fill_q6,
+        |       CAST(SUM(CASE WHEN block_first <> block_last THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_straddle
+        |FROM lay GROUP BY shard ORDER BY shard""".stripMargin,
     "corpus_mix_rebalance" ->
       """WITH c AS (
         |  SELECT lang, COUNT(*) AS n_docs,
@@ -2308,6 +2443,62 @@ object TextStats {
         |       CAST(((total_docs // 2) * w_q6 // w_sum) * 1000000 // n_docs
         |            AS BIGINT) AS factor_q6
         |FROM c, t ORDER BY lang""".stripMargin,
+    // one fused token pass per doc; every rule is an integer
+    // cross-multiplication — no ratio is materialized in either engine
+    "quality_gopher_rules" ->
+      """WITH s AS (
+        |  SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |         CAST(len(toks) AS BIGINT) AS n_tok,
+        |         CAST(list_aggregate(list_transform(toks, x -> length(x)),
+        |           'sum') AS BIGINT) AS char_sum,
+        |         CAST(len(list_filter(toks, x -> list_contains(
+        |           ['the','and','of','to','in','is','on','for','with','a'],
+        |           x))) AS BIGINT) AS stop_hits,
+        |         CAST(len(list_filter(toks,
+        |           x -> regexp_matches(x, '^[a-z]+$'))) AS BIGINT) AS n_alpha
+        |  FROM s)
+        |SELECT doc_id, n_tok, char_sum, stop_hits, n_alpha,
+        |       CAST(CASE WHEN n_tok BETWEEN 50 AND 100000
+        |            THEN 1 ELSE 0 END AS INT) AS wc_ok,
+        |       CAST(CASE WHEN 3 * n_tok <= char_sum
+        |                  AND char_sum <= 10 * n_tok
+        |            THEN 1 ELSE 0 END AS INT) AS mwl_ok,
+        |       CAST(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS INT)
+        |         AS stop_ok,
+        |       CAST(CASE WHEN 5 * n_alpha >= 4 * n_tok
+        |            THEN 1 ELSE 0 END AS INT) AS alpha_ok,
+        |       CAST((CASE WHEN n_tok BETWEEN 50 AND 100000 THEN 1 ELSE 0 END)
+        |          * (CASE WHEN 3 * n_tok <= char_sum
+        |                   AND char_sum <= 10 * n_tok THEN 1 ELSE 0 END)
+        |          * (CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END)
+        |          * (CASE WHEN 5 * n_alpha >= 4 * n_tok THEN 1 ELSE 0 END)
+        |         AS INT) AS gopher_pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // the sample_temperature sqrt discipline on CHARS + integer fixed
+    // point for quota/epochs/effective
+    "mix_epochs_schedule" ->
+      """WITH c AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |         CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |  FROM documents GROUP BY lang),
+        |w AS (
+        |  SELECT lang, n_docs, n_chars,
+        |         CAST(floor(sqrt(CAST(n_chars AS DOUBLE)) * 1e6) AS BIGINT)
+        |           AS w_q6
+        |  FROM c),
+        |t AS (SELECT CAST(SUM(w_q6) AS BIGINT) AS w_sum,
+        |             CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM w)
+        |SELECT lang, n_docs, n_chars,
+        |       CAST(w_q6 * 1000000 // w_sum AS BIGINT) AS share_q6,
+        |       CAST(total_chars * w_q6 // w_sum AS BIGINT) AS quota_chars,
+        |       CAST(least(4000000, (total_chars * w_q6 // w_sum) * 1000000
+        |              // n_chars) AS BIGINT) AS epochs_q6,
+        |       CAST(n_chars * least(4000000, (total_chars * w_q6 // w_sum)
+        |              * 1000000 // n_chars) // 1000000 AS BIGINT)
+        |         AS effective_chars
+        |FROM w, t ORDER BY lang""".stripMargin,
     // per-TYPE ln of an exact rational, q6 half-up (floor(x·1e6+0.5)),
     // then an integer sum over the doc's bigram instances
     "perplexity_bigram_doc" ->

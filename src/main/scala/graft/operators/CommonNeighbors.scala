@@ -139,4 +139,34 @@ object CommonNeighbors {
           "DIV (da + db - cn)").as("jac_q6"))
       .orderBy(desc("jac_q6"), asc("a"), asc("b")).limit(topK)
   }
+
+  /** Top-k unlinked wedge pairs by preferential attachment deg(a)·deg(b)
+    * (Barabási & Albert 1999's growth rule read as a link predictor;
+    * Liben-Nowell & Kleinberg CIKM 2003 establish it as the degree-only
+    * baseline CN/Jaccard/RA are judged against). Candidates are the SAME
+    * capped wedge enumeration as `run` — PA is defined on any non-adjacent
+    * pair, but ranking the full |V|² non-edge space is neither tractable
+    // nor useful; production candidate generation restricts to pairs with
+    * ≥1 common neighbor exactly as here, and the shared candidate set is
+    * what makes the three scores comparable row-for-row. Score is an
+    * exact long (d ≤ |V| ⇒ da·db ≤ |V|² stays under 2⁶³ to |V| ≈ 3·10⁹).
+    *
+    * @param und distinct undirected edges as (u, v) with u < v
+    * @return (a, b, cn, pa) ordered by pa desc, a, b
+    */
+  def preferentialAttachment(und: DataFrame, maxDegree: Long,
+      topK: Int): DataFrame = {
+    val u = und.localCheckpoint()
+    val (adj, deg) = adjDeg(u)
+    val cn = wedgePairsFrom(adj, deg, maxDegree)
+      .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+    val cand = cn.join(u,
+      cn("a") === u("u") && cn("b") === u("v"), "left_anti")
+    cand
+      .join(deg.select(col("w").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("w").as("b"), col("d").as("db")), "b")
+      .select(col("a"), col("b"), col("cn"),
+        (col("da") * col("db")).as("pa"))
+      .orderBy(desc("pa"), asc("a"), asc("b")).limit(topK)
+  }
 }

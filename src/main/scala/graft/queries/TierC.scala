@@ -876,6 +876,59 @@ object TierCAgg {
           col("s").cast("double").as("spend"), round(z, 4).as("z"))
         .orderBy("o_custkey")
     }),
+    // Seasonal (same-weekday) z-score anomalies (round 13) — the
+    // calendar-aware sibling of zscore_outliers: each day's revenue is
+    // compared against ITS WEEKDAY's distribution, so a naturally-quiet
+    // Sunday isn't flagged merely for being a Sunday — the
+    // seasonality-adjusted monitor timeseries_autocorr's weekly ACF peak
+    // says this series needs. Float discipline (the zscore recipe):
+    // daily cents are exact longs (one map-side-combinable daily agg);
+    // per-weekday Σv is an exact long cast to double, Σv² rides
+    // DECIMAL(38,0) (cents² ≈ 10¹⁷ × 350 days overflows a long) — both
+    // order-independent — and z is ONE identically-spelled double
+    // expression; round(.,4) display-only. Threshold 2.5 sits ≥ 1.6e-3
+    // from every |z| at sf0.001/0.01/0.1 (measured; ~10⁶× the
+    // identical-expression float noise), so the verdict set is
+    // hash-stable. 100 TB: the daily agg is the only corpus-sized
+    // shuffle; the 7-row weekday stats broadcast back onto the
+    // CALENDAR-BOUNDED daily table.
+    "timeseries_zscore_seasonal" -> ((s, d) => {
+      val daily = orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("cents"))
+        .withColumn("w", expr("weekday(day)"))
+      val m = daily.groupBy("w").agg(count(lit(1)).as("n"),
+        sum(col("cents")).cast("double").as("s1"),
+        sum(col("cents").cast("decimal(38,0)") * col("cents"))
+          .cast("double").as("s2"))
+      val z = (col("cents").cast("double") - col("s1") / col("n")) /
+        sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+          (col("n") - 1))
+      daily.join(broadcast(m), Seq("w"))
+        .filter(abs(z) > 2.5)
+        .select(col("day"), col("w"), col("cents"), round(z, 4).as("z"))
+        .orderBy("day")
+    }),
+    // Partition-skew profile (round 13) — the pre-shuffle planning
+    // readout behind the salting decision (join_salted_skew APPLIES the
+    // fix; this key MEASURES the imbalance a planner would react to):
+    // rows are bucketed by the shuffle-key expression pmod(o_custkey, 32)
+    // and the report is the bucket histogram's shape — bucket count,
+    // min/max/total rows and skew_q6 = max·buckets·10⁶ DIV total (10⁶ =
+    // perfectly even; AQE's skew-join trigger is the same max-vs-mean
+    // read at 5×). All integer; ONE map-side-combinable bucket agg
+    // (≤33 groups survive the combine) + a constant-size final agg.
+    "profile_partition_skew" -> ((s, d) => {
+      val b = orders(s, d)
+        .groupBy(pmod(col("o_custkey"), lit(32L)).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"))
+      b.agg(count(lit(1)).as("n_buckets"), sum(col("n_rows")).as("total"),
+          min(col("n_rows")).as("min_rows"), max(col("n_rows")).as("max_rows"))
+        .select(col("n_buckets"), col("total"), col("min_rows"),
+          col("max_rows"),
+          expr("max_rows * n_buckets * 1000000L DIV total").as("skew_q6"))
+    }),
     // C14e' — robust outliers by median absolute deviation, the companion
     // to zscore_outliers for skewed metrics where mean/stddev are dragged
     // by the tail. ENTIRELY in exact decimals: the median is an actual data
@@ -1570,6 +1623,39 @@ object TierCAgg {
         |  FROM spend, m)
         |SELECT o_custkey, n_orders, spend, round(z, 4) AS z
         |FROM calc WHERE abs(z) > 2.5 ORDER BY o_custkey""".stripMargin,
+    // weekday normalized to 0=Monday in both engines (Spark weekday();
+    // DuckDB dayofweek() has 0=Sunday); sums exact, z identically spelled
+    "timeseries_zscore_seasonal" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |           AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |wd AS (SELECT day, cents,
+        |              CAST((dayofweek(day) + 6) % 7 AS INT) AS w FROM daily),
+        |m AS (
+        |  SELECT w, COUNT(*) AS n, CAST(SUM(cents) AS DOUBLE) AS s1,
+        |         CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS DOUBLE)
+        |           AS s2
+        |  FROM wd GROUP BY w),
+        |calc AS (
+        |  SELECT wd.day, wd.w, wd.cents,
+        |         (CAST(wd.cents AS DOUBLE) - s1 / n)
+        |           / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS z
+        |  FROM wd JOIN m USING (w))
+        |SELECT day, w, cents, round(z, 4) AS z
+        |FROM calc WHERE abs(z) > 2.5 ORDER BY day""".stripMargin,
+    // o_custkey is positive, so % equals pmod
+    "profile_partition_skew" ->
+      """WITH b AS (
+        |  SELECT o_custkey % 32 AS bucket, COUNT(*) AS n_rows
+        |  FROM orders GROUP BY 1)
+        |SELECT COUNT(*) AS n_buckets, CAST(SUM(n_rows) AS BIGINT) AS total,
+        |       CAST(MIN(n_rows) AS BIGINT) AS min_rows,
+        |       CAST(MAX(n_rows) AS BIGINT) AS max_rows,
+        |       CAST(MAX(n_rows) * COUNT(*) * 1000000 // SUM(n_rows)
+        |         AS BIGINT) AS skew_q6
+        |FROM b""".stripMargin,
     "pivot_wide" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
         |       CAST(SUM(CASE WHEN o_orderstatus = 'F'
@@ -2619,6 +2705,20 @@ object TierCWindow {
     "graph_resource_alloc" -> ((s, d) =>
       graft.operators.CommonNeighbors.resourceAllocation(ClickGraph.und(s, d),
         maxDegree = 1000L, topK = 20)),
+    // Preferential-attachment link prediction (round 13) — the third
+    // classic predictor next to CN/Jaccard and RA (Liben-Nowell &
+    // Kleinberg CIKM 2003's degree-only baseline): score(a,b) =
+    // deg(a)·deg(b), an exact long with zero per-wedge work beyond the
+    // shared candidate enumeration. Same capped wedges and left-anti
+    // existing-edge filter as its two siblings (one shared
+    // operators.CommonNeighbors pipeline — the three rankings are
+    // comparable row-for-row on an identical candidate set), so the
+    // 100 TB story is unchanged: cap·|E| wedge work, map-side-combined
+    // candidate counts, two broadcast-sized degree joins, TakeOrdered
+    // top-k. Oracle replays the identical wedge/degree derivation.
+    "graph_pref_attachment" -> ((s, d) =>
+      graft.operators.CommonNeighbors.preferentialAttachment(
+        ClickGraph.und(s, d), maxDegree = 1000L, topK = 20)),
     // Bounded-hop reachability over the click graph (round 10): "pages
     // within 3 clicks of the seed set" via operators.Bfs — the frontier
     // loop whose per-round cost tracks the frontier's edges, never the
@@ -3481,6 +3581,21 @@ object TierCWindow {
         |FROM scored s WHERE NOT EXISTS (
         |  SELECT 1 FROM und WHERE u = s.a AND v = s.b)
         |ORDER BY ra_q6 DESC, a, b LIMIT 20""".stripMargin,
+    // same wedge/degree derivation, PA score = deg(a)·deg(b) exact
+    "graph_pref_attachment" ->
+      s"""WITH ${ClickGraph.OracleEv},
+        |${ClickGraph.OracleUnd},
+        |${ClickGraph.OracleAdj},
+        |deg AS (SELECT w, COUNT(*) AS d FROM adj GROUP BY w),
+        |wedges AS (
+        |  SELECT e1.x AS a, e2.x AS b
+        |  FROM adj e1 JOIN adj e2 USING (w) JOIN deg USING (w)
+        |  WHERE e1.x < e2.x AND deg.d <= 1000),
+        |cand AS (SELECT a, b, COUNT(*) AS cn FROM wedges GROUP BY 1, 2)
+        |SELECT a, b, cn, CAST(da.d * db.d AS BIGINT) AS pa
+        |FROM cand s JOIN deg da ON da.w = s.a JOIN deg db ON db.w = s.b
+        |WHERE NOT EXISTS (SELECT 1 FROM und WHERE u = s.a AND v = s.b)
+        |ORDER BY pa DESC, a, b LIMIT 20""".stripMargin,
     // UNROLLED per-hop derivation: hop h = neighbors of hop h-1 minus
     // everything settled earlier — an independent construction of the BFS
     // fixpoint (unit weights make first-reach distance unique, so no

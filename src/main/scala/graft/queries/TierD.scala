@@ -60,6 +60,35 @@ object TierD {
         .select(col("window.start").as("wstart"), col("event_type"), col("cnt"))
         .orderBy("wstart", "event_type")
     }),
+    // D4b — streaming windowed TOP-N (round 13): the "trending pages per
+    // hour" dashboard feed — a watermarked tumbling-hour count per page
+    // run through the STREAMING engine over 3 real micro-batches
+    // (eventsStreamChunked, event-time-ordered chunks, so late data never
+    // crosses the 10-minute watermark), then the top-3 pages per emitted
+    // window ranked on the append-mode output. Windowed-agg state is
+    // (windows × pages)-bounded and evicted as the watermark passes —
+    // the unbounded-key-space companion to stream_spacesaving_topk's
+    // k-bounded sketch (exact within the watermark horizon vs approximate
+    // forever). The oracle replays the append contract in SQL: exactly
+    // the windows whose end ≤ final watermark (max event time − 10 min)
+    // surface, with complete counts (the stream_watermark_late
+    // differential check, composed with the rank). 100 TB shape:
+    // (window, page) rows are the only shuffle; the rank runs on the
+    // emitted aggregate, never the raw stream.
+    "stream_window_topn" -> ((s, d) => {
+      val stream = graft.core.Tables.eventsStreamChunked(s, d, chunks = 3)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"),
+          get_json_object(col("props"), "$.k").cast("long").as("page"))
+        .agg(count(lit(1)).as("cnt"))
+      val t = runToMemory(s, stream, "wtopn_out")
+      val byW = Window.partitionBy("wstart")
+        .orderBy(desc("cnt"), asc("page"))
+      t.select(col("w.start").as("wstart"), col("page"), col("cnt"))
+        .withColumn("rank", row_number().over(byW))
+        .filter(col("rank") <= 3)
+        .orderBy("wstart", "rank")
+    }),
     // D5 — stateful streaming dedup by event_id within the watermark.
     "stream_dedup_stateful" -> ((s, d) => {
       val stream = eventsStream(s, d)
@@ -393,6 +422,29 @@ object TierD {
         |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
         |        <= (SELECT mx - INTERVAL 10 MINUTE FROM m)
         |GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+    // the watermark-finalized window contract composed with the top-3
+    // rank: exactly the windows whose end <= final watermark surface,
+    // counts complete, ties broken (cnt DESC, page)
+    "stream_window_topn" ->
+      """WITH e AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS ts,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS page
+        |  FROM events),
+        |m AS (SELECT max(ts) AS mx FROM e),
+        |wc AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS wstart,
+        |         page, COUNT(*) AS cnt
+        |  FROM e
+        |  WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+        |          <= (SELECT mx - INTERVAL 10 MINUTE FROM m)
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT wstart, page, cnt,
+        |         row_number() OVER (PARTITION BY wstart
+        |                            ORDER BY cnt DESC, page) AS rank
+        |  FROM wc)
+        |SELECT wstart, page, cnt, rank FROM r
+        |WHERE rank <= 3 ORDER BY wstart, rank""".stripMargin,
     // D5/D6: event_id is the PK, so the stateful dedup must drop nothing and
     // the foreachBatch pipeline must neither lose nor duplicate rows — both
     // reduce to the plain per-type counts.

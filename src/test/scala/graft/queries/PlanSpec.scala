@@ -626,6 +626,10 @@ class PlanSpec extends SparkSpec {
       // perplexity_bigram_doc crosses the 1-row vocabulary size onto the
       // vocab²-bounded bigram-type table (the text_bigram_lm shape)
       "sample_temperature", "perplexity_bigram_doc",
+      // r13: mix_epochs_schedule crosses the 1-row (Σw, total_chars)
+      // totals onto the |langs|-sized weight table (the
+      // sample_temperature shape)
+      "mix_epochs_schedule",
       // r12b: knn_pq_adc reads quantizedVectors (1-row broadcast scale);
       // its codebook/ADC tables join by (sub, code) equi-keys, broadcast
       // hash joins, not cartesians

@@ -19,8 +19,9 @@ object QuerySets {
     "etl_compact_files", "etl_upsert_scd1", "etl_snapshot_diff",
     "scan_csv_corrupt", "etl_backfill_partition", "workflow_fanin",
     // r13: the global pre-merge streaming sketch runs its 3-batch
-    // AvailableNow pipeline in the builder like its per-key sibling
-    "stream_spacesaving_global")
+    // AvailableNow pipeline in the builder like its per-key sibling;
+    // the windowed top-n likewise runs its watermarked 3-batch stream
+    "stream_spacesaving_global", "stream_window_topn")
 
   /** Builders that call an EAGER localCheckpoint() while constructing
     * their DataFrame (iterative operators: the checkpoint is the lineage
@@ -74,5 +75,9 @@ object QuerySets {
     "knn_pq_rerank",
     // r12k: graph_assortativity checkpoints the undirected edge list its
     // degree table and adjacency both consume (the graph_modularity shape)
-    "graph_assortativity")
+    "graph_assortativity",
+    // r13: retrieval_eval_mrr checkpoints the truth/system top-10 tables
+    // (plus shiftedVectors' own checkpoint); graph_pref_attachment shares
+    // CommonNeighbors' eager adjacency/degree checkpoints
+    "retrieval_eval_mrr", "graph_pref_attachment")
 }
