@@ -183,7 +183,12 @@ object Scaling {
     Q("graph_assortativity", 64),
     // round 13: preferential attachment — the same cap·|E| wedge bound
     // as CN/RA (shared enumeration), expected to track their curves
-    Q("graph_pref_attachment", 64))
+    Q("graph_pref_attachment", 64),
+    // round 13b: entry/exit sessions (the sessionize_batch window class),
+    // the time-capped funnel (three user windows), and the CC size
+    // histogram (the graph_components loop + two vocab-sized aggs)
+    Q("sessionize_entry_exit", 64), Q("funnel_conversion_window", 64),
+    Q("graph_component_sizes", 64))
 
   /** orders/lineitem-family study (base sf0.1 — 150k orders / 600k
     * lineitem ⇒ 9.6M / 38.4M at 64×): the two round-12e keys whose input
@@ -215,7 +220,10 @@ object Scaling {
     // round 13: seasonal z-score — the CUSUM shape (one daily map-side
     // agg, calendar-bounded tail); partition-skew profile — one
     // 33-group map-side agg, flat claim
-    Q("timeseries_zscore_seasonal", 64), Q("profile_partition_skew", 64))
+    Q("timeseries_zscore_seasonal", 64), Q("profile_partition_skew", 64),
+    // round 13b: MoM growth (monthly map-side agg + calendar-bounded lag)
+    // and cohort LTV (one customer window + calendar²-bounded matrix)
+    Q("timeseries_mom_growth", 64), Q("cohort_ltv", 64))
 
   case class Pt(query: String, mult: Int, inputRows: Long, outRows: Long,
       sec: Double)

@@ -960,6 +960,30 @@ object TierCAgg {
     // with no fractional value ever materialized. Zero floats end to end,
     // no threshold-gap analysis needed. Quartiles buffer the value list
     // (agg_percentile_disc shape); the 100 TB path swaps in the GK sketch.
+    // Month-over-month growth (round 13) — the period-over-period readout
+    // every revenue dashboard heads with, as exact integers: monthly cents
+    // (one map-side daily→monthly agg), previous month via lag over the
+    // CALENDAR-BOUNDED monthly table, and growth_q6 = cents·10⁶ DIV prev
+    // − 10⁶ — spelled so the integer division's operands are NON-NEGATIVE
+    // (Spark DIV truncates toward zero, DuckDB // floors; they agree only
+    // on non-negative operands, and a shrinking month would otherwise hit
+    // the divergence). delta_cents is plain subtraction (sign-safe).
+    // 100 TB: the monthly agg is the only fact shuffle; the lag window
+    // runs on ~tens of calendar rows.
+    "timeseries_mom_growth" -> ((s, d) => {
+      val monthly = orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("cents"))
+      val w = Window.orderBy("month")
+      monthly.withColumn("prev_cents", lag(col("cents"), 1).over(w))
+        .filter(col("prev_cents").isNotNull)
+        .select(col("month").cast("date").as("month"), col("cents"),
+          col("prev_cents"),
+          (col("cents") - col("prev_cents")).as("delta_cents"),
+          expr("cents * 1000000 DIV prev_cents - 1000000").as("growth_q6"))
+        .orderBy("month")
+    }),
     "anomaly_iqr_fence" -> ((s, d) => {
       val spend = orders(s, d).groupBy("o_custkey")
         .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
@@ -1398,6 +1422,23 @@ object TierCAgg {
         |GROUP BY GROUPING SETS ((year(o_orderdate), month(o_orderdate)),
         |                        (year(o_orderdate)), ())
         |ORDER BY g_yr, g_mon, yr ASC NULLS FIRST, mon ASC NULLS FIRST""".stripMargin,
+    // growth spelled as ratio − 1e6 so the integer division's operands
+    // stay non-negative (// vs DIV agree only there)
+    "timeseries_mom_growth" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+        |           AS month,
+        |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |           AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT month, cents,
+        |             lag(cents) OVER (ORDER BY month) AS prev_cents
+        |      FROM m)
+        |SELECT CAST(month AS DATE) AS month, cents, prev_cents,
+        |       cents - prev_cents AS delta_cents,
+        |       CAST(cents * 1000000 // prev_cents - 1000000 AS BIGINT)
+        |         AS growth_q6
+        |FROM l WHERE prev_cents IS NOT NULL ORDER BY month""".stripMargin,
     "agg_skewness" ->
       """WITH p AS (
         |  SELECT l_returnflag, COUNT(*) AS n,
@@ -1689,21 +1730,30 @@ object TierCWindow {
     * silently while each still passes its own oracle). Per session:
     * (user_id, sid, session_start, session_end, n_events, sum_value).
     * The oracle-side twin is [[SessionOracleCtes]]. */
-  private def staticSessions(s: SparkSession, d: String): DataFrame = {
+  /** Event-level rows with their 30-minute-gap session id — the one
+    * sessionization recurrence, factored below the session-level
+    * aggregate so row-level consumers (`sessionize_entry_exit`) share the
+    * EXACT sid derivation with the session-level ones (`sessionize_batch`,
+    * `survival_km_sessions`). Unused columns prune out of the scan. */
+  private def sessionizedEvents(s: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts")
     val newS = when(lag(col("ts"), 1).over(byUser).isNull ||
       col("ts") >= lag(col("ts"), 1).over(byUser) +
         expr("INTERVAL 30 MINUTES"), 1).otherwise(0)
     events(s, d)
-      .select(col("user_id"), col("ts"), col("value"))
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("page"))
       .withColumn("sid", sum(newS).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  private def staticSessions(s: SparkSession, d: String): DataFrame =
+    sessionizedEvents(s, d)
       .groupBy("user_id", "sid")
       .agg(min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
         decSum(col("value")).as("sum_value"))
-  }
 
   /** `e`/`flagged`/`sessions`/`ses` CTEs — the SAME static-gap session
     * derivation for the DuckDB oracles (one spelling, two consumers). */
@@ -1892,6 +1942,27 @@ object TierCWindow {
     "sessionize_batch" -> ((s, d) =>
       staticSessions(s, d).drop("sid")
         .orderBy("user_id", "session_start")),
+    // Per-session entry/exit readout (round 13) — the landing/exit-page
+    // table funnels and UX dashboards consume: each session's first and
+    // last page plus whole-second duration, over the SAME sessionizedEvents
+    // sid recurrence sessionize_batch aggregates (factored — the two keys
+    // cannot segment differently). Entry/exit resolve by min_by/max_by on
+    // the (ts, event_id) struct, so tied timestamps break on the PK in
+    // both engines (the agg_argminmax tie discipline; the oracle replays
+    // the pick as row_number windows — an independent construction).
+    // 100 TB: one user window + one map-side-combinable session agg —
+    // the sessionize_batch shape plus two argmax columns.
+    "sessionize_entry_exit" -> ((s, d) =>
+      sessionizedEvents(s, d)
+        .groupBy("user_id", "sid")
+        .agg(min(col("ts")).as("session_start"),
+          count(lit(1)).as("n_events"),
+          expr("(max(unix_micros(ts)) - min(unix_micros(ts))) DIV 1000000")
+            .as("duration_s"),
+          expr("min_by(page, struct(ts, event_id))").as("entry_page"),
+          expr("max_by(page, struct(ts, event_id))").as("exit_page"))
+        .drop("sid")
+        .orderBy("user_id", "session_start")),
     // C23b' — DYNAMIC-gap sessionization (round 10): the gap depends on
     // the event (clicks cool off in 5 min, views in 15, everything else
     // 30) — the batch twin of session_window's dynamic-gap form, and a
@@ -1996,6 +2067,38 @@ object TierCWindow {
             .when(col("signup_ts").isNotNull, 1).otherwise(0))
         .orderBy("user_id")
     }),
+    // TIME-CONSTRAINED funnel (round 13) — funnel_steps with a conversion
+    // window: a step only counts if it happens within 1 HOUR of the
+    // previous step (the attribution-window form real funnel products
+    // default to; the unconstrained key credits a purchase weeks after
+    // the view). Same ordered min-over-window construction, each step's
+    // window anchored at the previous step's timestamp and capped at
+    // +1 hour; output is the per-stage user count summary — the numbers
+    // a conversion dashboard heads with. All timestamp/long comparisons,
+    // zero floats. 100 TB: three user-partitioned window passes over one
+    // event scan + a 1-row count agg; the CASE/aggregate structure
+    // combines map-side.
+    "funnel_conversion_window" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id")
+      events(s, d)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("ts"))).over(byUser))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("ts") >= col("t1") &&
+            col("ts") <= col("t1") + expr("INTERVAL 1 HOUR"),
+            col("ts"))).over(byUser))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("ts") >= col("t2") &&
+            col("ts") <= col("t2") + expr("INTERVAL 1 HOUR"),
+            col("ts"))).over(byUser))
+        .groupBy("user_id")
+        .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+          max(col("t3")).as("t3"))
+        .agg(count(when(col("t1").isNotNull, 1)).as("n_view"),
+          count(when(col("t2").isNotNull, 1)).as("n_click_1h"),
+          count(when(col("t3").isNotNull, 1)).as("n_purchase_1h"))
+    }),
     // ABC / Pareto revenue classification (round 12j) — the 80/95 cut
     // every inventory/account-tiering analysis runs: customers ranked by
     // revenue, class A while the running share ≤ 80% of total, B to 95%,
@@ -2077,6 +2180,37 @@ object TierCWindow {
         .groupBy("cohort_week", "week_offset")
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_week", "week_offset")
+    }),
+    // Cohort lifetime value (round 13) — the revenue companion of
+    // cohort_retention's user counts: customers cohorted by FIRST-order
+    // month, each cohort's per-month revenue accumulated over cohort age
+    // and averaged per member in exact cents (cum·100 DIV size — integer
+    // q2, zero floats; cum ≤ 10¹³ cents at sf0.1, ~10⁶× headroom). The
+    // LTV curve is what turns retention into money: "a month-0 customer
+    // is worth X cents by month k". 100 TB: one customer window (first
+    // order month), one (cohort, age) map-side-combinable agg — the
+    // running sum and the size join live on the CALENDAR²-bounded cohort
+    // matrix, never the fact table.
+    "cohort_ltv" -> ((s, d) => {
+      val byCust = Window.partitionBy("o_custkey")
+      val om = orders(s, d).select(col("o_custkey"),
+          date_trunc("month", col("o_orderdate")).as("month"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        .withColumn("cohort", min(col("month")).over(byCust))
+      val size = om.select(col("o_custkey"), col("cohort")).distinct()
+        .groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+      val rev = om.groupBy(col("cohort"),
+          (months_between(col("month"), col("cohort"))).cast("int").as("age"))
+        .agg(sum(col("cents")).as("rev_cents"))
+      val cum = Window.partitionBy("cohort").orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.withColumn("cum_cents", sum(col("rev_cents")).over(cum))
+        .join(broadcast(size), "cohort")
+        .select(col("cohort").cast("date").as("cohort_month"), col("age"),
+          col("rev_cents"), col("cum_cents"), col("cohort_size"),
+          expr("cum_cents DIV cohort_size").as("ltv_cents"))
+        .orderBy("cohort_month", "age")
     }),
     // Kaplan-Meier session survival (round 12h) — the product-limit
     // estimator (Kaplan & Meier 1958) over session DURATION: S(t) is the
@@ -2649,6 +2783,19 @@ object TierCWindow {
         .run(ClickGraph.und(s, d), "u", "v", ClickGraph.pages(s, d), "page")
         .select(col("page"), col("comp").as("component"))
         .orderBy("page")),
+    // Component-size histogram (round 13) — the fragmentation readout run
+    // on top of graph_components' labeling (dedup-cluster triage, giant-
+    // component checks): how many components exist at each size. SAME
+    // ConnectedComponents.run fixpoint (min-label is unique, so the
+    // oracle's independent recursive-reach construction aggregates to the
+    // identical histogram). Two vocabulary-sized map-side aggs after the
+    // CC loop — nothing new touches the edge list.
+    "graph_component_sizes" -> ((s, d) =>
+      graft.operators.ConnectedComponents
+        .run(ClickGraph.und(s, d), "u", "v", ClickGraph.pages(s, d), "page")
+        .groupBy("comp").agg(count(lit(1)).as("comp_size"))
+        .groupBy("comp_size").agg(count(lit(1)).as("n_components"))
+        .orderBy("comp_size")),
     // First-order Markov next-page model (round 11): the empirical
     // transition table sequence-mining and prefetch pipelines train on —
     // per source page, the top-3 next pages by observed transition count
@@ -2984,6 +3131,46 @@ object TierCWindow {
         |SELECT user_id, session_start, session_end, n_events,
         |       CAST(sum_value_dec AS DOUBLE) AS sum_value
         |FROM ses ORDER BY user_id, session_start""".stripMargin,
+    // same sid recurrence with event_id/page carried; entry/exit picks
+    // replayed as row_number windows over (ts, event_id) — an independent
+    // construction of the min_by/max_by struct tiebreak
+    "sessionize_entry_exit" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS page
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts, event_id, page,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id, ts, event_id, page,
+        |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged),
+        |agg AS (
+        |  SELECT user_id, sid, MIN(ts) AS session_start,
+        |         COUNT(*) AS n_events,
+        |         CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000
+        |           AS BIGINT) AS duration_s
+        |  FROM sessions GROUP BY 1, 2),
+        |fst AS (
+        |  SELECT user_id, sid, page AS entry_page FROM (
+        |    SELECT user_id, sid, page, row_number() OVER (
+        |      PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn
+        |    FROM sessions) t WHERE rn = 1),
+        |lst AS (
+        |  SELECT user_id, sid, page AS exit_page FROM (
+        |    SELECT user_id, sid, page, row_number() OVER (
+        |      PARTITION BY user_id, sid ORDER BY ts DESC, event_id DESC)
+        |      AS rn
+        |    FROM sessions) t WHERE rn = 1)
+        |SELECT user_id, session_start, n_events, duration_s,
+        |       entry_page, exit_page
+        |FROM agg JOIN fst USING (user_id, sid) JOIN lst USING (user_id, sid)
+        |ORDER BY user_id, session_start""".stripMargin,
     // independent replay of the KM integer recurrence as a recursive CTE
     // over the duration-ordered death table (the stream_ewma_anomaly
     // recipe); // ≡ DIV on the all-non-negative operands; sessions come
@@ -3098,6 +3285,31 @@ object TierCWindow {
         |            WHEN t2 IS NOT NULL THEN 2
         |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS funnel_stage
         |FROM s3 ORDER BY user_id""".stripMargin,
+    // the funnel_steps chain with each step additionally capped at
+    // +1 hour from its anchor, collapsed to the stage-count summary
+    "funnel_conversion_window" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |           FROM events),
+        |s1 AS (SELECT user_id,
+        |              MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        |       FROM e GROUP BY user_id),
+        |s2 AS (SELECT s1.user_id, s1.t1,
+        |              MIN(CASE WHEN e.event_type = 'click'
+        |                        AND e.ts >= s1.t1
+        |                        AND e.ts <= s1.t1 + INTERVAL 1 HOUR
+        |                       THEN e.ts END) AS t2
+        |       FROM s1 JOIN e ON e.user_id = s1.user_id
+        |       GROUP BY s1.user_id, s1.t1),
+        |s3 AS (SELECT s2.user_id, s2.t1, s2.t2,
+        |              MIN(CASE WHEN e.event_type = 'purchase'
+        |                        AND e.ts >= s2.t2
+        |                        AND e.ts <= s2.t2 + INTERVAL 1 HOUR
+        |                       THEN e.ts END) AS t3
+        |       FROM s2 JOIN e ON e.user_id = s2.user_id
+        |       GROUP BY s2.user_id, s2.t1, s2.t2)
+        |SELECT COUNT(t1) AS n_view, COUNT(t2) AS n_click_1h,
+        |       COUNT(t3) AS n_purchase_1h
+        |FROM s3""".stripMargin,
     // cross-multiplied class cuts (no division), HUGEINT sums cast back
     "abc_classification" ->
       """WITH cust AS (
@@ -3159,6 +3371,37 @@ object TierCWindow {
         |SELECT cohort_week, week_offset, COUNT(*) AS n_users
         |FROM cells GROUP BY cohort_week, week_offset
         |ORDER BY cohort_week, week_offset""".stripMargin,
+    // exact integer cents end-to-end; the cumulative window runs on the
+    // calendar-squared cohort matrix
+    "cohort_ltv" ->
+      """WITH om AS (
+        |  SELECT o_custkey,
+        |         CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+        |           AS month,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders),
+        |coh AS (
+        |  SELECT o_custkey, month, cents,
+        |         MIN(month) OVER (PARTITION BY o_custkey) AS cohort
+        |  FROM om),
+        |sz AS (SELECT cohort, COUNT(DISTINCT o_custkey) AS cohort_size
+        |       FROM coh GROUP BY cohort),
+        |rev AS (
+        |  SELECT cohort, CAST(datediff('month', cohort, month) AS INT)
+        |           AS age,
+        |         CAST(SUM(cents) AS BIGINT) AS rev_cents
+        |  FROM coh GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cohort, age, rev_cents,
+        |         CAST(SUM(rev_cents) OVER (PARTITION BY cohort ORDER BY age
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        |  FROM rev)
+        |SELECT CAST(cohort AS DATE) AS cohort_month, age, rev_cents,
+        |       cum_cents, cohort_size,
+        |       CAST(cum_cents // cohort_size AS BIGINT) AS ltv_cents
+        |FROM cum JOIN sz USING (cohort)
+        |ORDER BY cohort_month, age""".stripMargin,
     // the same islands derivation (day - row_number constant within a run)
     // — the construction is standard enough that both engines spell it the
     // same way; every count is exact and the longest-start tiebreak is the
@@ -3787,6 +4030,24 @@ object TierCWindow {
         |  SELECT r.src, a.x FROM reach r JOIN adj a ON a.w = r.node)
         |SELECT src AS page, MIN(node) AS component
         |FROM reach GROUP BY src ORDER BY page""".stripMargin,
+    // the same recursive-reach fixpoint aggregated to the size histogram —
+    // min-label components are unique, so the independent construction
+    // aggregates identically
+    "graph_component_sizes" ->
+      s"""WITH RECURSIVE ${ClickGraph.OracleEv},
+        |${ClickGraph.OracleUnd},
+        |${ClickGraph.OracleAdj},
+        |pg AS (SELECT DISTINCT page FROM ev),
+        |reach(src, node) AS (
+        |  SELECT page, page FROM pg
+        |  UNION
+        |  SELECT r.src, a.x FROM reach r JOIN adj a ON a.w = r.node),
+        |comp AS (SELECT src AS page, MIN(node) AS component
+        |         FROM reach GROUP BY src),
+        |sizes AS (SELECT component, COUNT(*) AS comp_size
+        |          FROM comp GROUP BY component)
+        |SELECT comp_size, COUNT(*) AS n_components
+        |FROM sizes GROUP BY comp_size ORDER BY comp_size""".stripMargin,
     // same raw-transition derivation (shared CTE constant), straight
     // count + window replay — every value an exact long, p_q6 integer
     // fixed point (// vs DIV agree on non-negative operands)

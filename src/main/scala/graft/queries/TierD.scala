@@ -89,6 +89,29 @@ object TierD {
         .filter(col("rank") <= 3)
         .orderBy("wstart", "rank")
     }),
+    // D4c — streaming windowed APPROX-DISTINCT (round 13): unique users
+    // per tumbling hour via approx_count_distinct (HLL++, rsd 2%) inside
+    // a watermarked streaming aggregation over 3 real micro-batches —
+    // the sketch-state companion of stream_window_topn's exact counts:
+    // an exact per-window COUNT(DISTINCT user) holds every seen user id
+    // in state (unbounded per window at 100 TB); the HLL buffer is the
+    // fixed-memory form that rides the streaming state store, merged
+    // across batches by the same sketch union the batch key
+    // (agg_hll_merge) proves. Unit-tier: sketch values are engine-local —
+    // Round13Spec brackets every emitted window's estimate within ±5% of
+    // the exact batch distinct and pins the emitted window set to the
+    // watermark-finalized contract.
+    "stream_hll_window" -> ((s, d) => {
+      val stream = graft.core.Tables.eventsStreamChunked(s, d, chunks = 3)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
+      runToMemory(s, stream, "whll_out")
+        .select(col("w.start").as("wstart"), col("n_events"),
+          col("n_users_approx"))
+        .orderBy("wstart")
+    }),
     // D5 — stateful streaming dedup by event_id within the watermark.
     "stream_dedup_stateful" -> ((s, d) => {
       val stream = eventsStream(s, d)

@@ -97,6 +97,7 @@ class ContractSpec extends SparkSpec {
       "stream_spacesaving_global", // pre-merged partition sketches (StreamTopKSpec: ICDT bounds under the merge tree — counter values are merge-order-dependent by design)
       "profile_columns_approx", // per-column HLL sketches (PlanSpec: no Expand + ±5% bracket vs the exact profile)
       "etl_dq_ruleset_approx", // HLL uniqueness metric (PlanSpec: no Expand + ±5% bracket + non-sketch rows identical)
+      "stream_hll_window",    // streaming windowed HLL (Round13Spec: ±5% per window vs exact + watermark-finalized window set)
       "sketch_kmv_intersect", // KMV xxhash64 sketch (KmvSketchSpec: set-function determinism + bounds)
       "minhash_signature",    // xxhash64 signatures (LlmSpec: aggregator parity)
       "dedup_minhash_lsh",    // xxhash64 banding (LlmSpec: collision behavior)

@@ -127,6 +127,29 @@ class Round13Spec extends SparkSpec {
     assert(r.getLong(4) >= 1000000L, "skew below the even floor")
   }
 
+  test("streaming windowed HLL: every emitted window within 5% of exact, window set finalized") {
+    val got = q("stream_hll_window").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+    val e = graft.core.Tables.events(spark, sf)
+    val mx = e.agg(max(col("ts"))).head.getTimestamp(0)
+    val exact = e
+      .groupBy(date_trunc("hour", col("ts")).as("wstart"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("nd"))
+      .filter(col("wstart") + expr("INTERVAL 1 HOUR")
+        <= lit(mx) - expr("INTERVAL 10 MINUTES"))
+      .collect().map(r => r.getTimestamp(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got.map(_._1).toSet == exact.keySet,
+      "emitted windows diverge from the watermark-finalized set")
+    got.foreach { case (w, nEvents, approx) =>
+      val (exactEvents, exactD) = exact(w)
+      assert(nEvents == exactEvents, s"window $w event count")
+      assert(math.abs(approx - exactD).toDouble / exactD <= 0.05,
+        s"window $w: approx=$approx exact=$exactD")
+    }
+  }
+
   test("streaming windowed top-n agrees with a batch replay of the append contract") {
     import org.apache.spark.sql.expressions.Window
     val got = q("stream_window_topn").collect()
