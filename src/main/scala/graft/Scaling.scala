@@ -188,7 +188,11 @@ object Scaling {
     // the time-capped funnel (three user windows), and the CC size
     // histogram (the graph_components loop + two vocab-sized aggs)
     Q("sessionize_entry_exit", 64), Q("funnel_conversion_window", 64),
-    Q("graph_component_sizes", 64))
+    Q("graph_component_sizes", 64),
+    // round 13c: co-visitation (cap·|incidence| bipartite self-join —
+    // the CN class on the user side) and time-decay attribution (the
+    // attribution_position window shape)
+    Q("graph_covisitation", 64), Q("attribution_time_decay", 64))
 
   /** orders/lineitem-family study (base sf0.1 — 150k orders / 600k
     * lineitem ⇒ 9.6M / 38.4M at 64×): the two round-12e keys whose input

@@ -2665,6 +2665,56 @@ object TierCWindow {
     // the second shuffle is the only extra cost over last_touch — then a
     // page-vocabulary-sized map-side-combinable aggregation; products
     // cents×bp ≤ 10⁹ per row keep the long sum far from overflow.
+    // Time-decay multi-touch attribution (round 13) — the THIRD model
+    // next to last-touch and U-shaped position: each purchase's revenue
+    // splits over its touch path with weights halving per whole 7-day
+    // period of touch→purchase age (the exponential-decay family every
+    // attribution product offers; whole halvings keep it EXACT — 2^k is
+    // integer, so w_q6 = 10⁶ DIV 2^min(k,20) needs no pow/float, where a
+    // fractional half-life exponent would). Same gaps-and-islands path
+    // segmentation as attribution_position (grp running purchase count);
+    // per-path normalization and the credit split are integer fixed point
+    // (credit = cents·w DIV Σw — truncation per touch is the DEFINED
+    // rule, so a path's credits sum to ≤ its revenue); age is guarded
+    // non-negative (greatest(...,0)) so the integer division cannot hit
+    // the Spark-DIV-vs-DuckDB-// sign divergence. Empty-path purchases
+    // credit page −1 in full. 100 TB: one user window + one (user, pidx)
+    // window + a page-vocabulary agg — the attribution_position shape;
+    // cents·w_q6 ≤ 10¹² per row.
+    "attribution_time_decay" -> ((s, d) => {
+      val ev = events(s, d)
+        .filter(col("event_type").isin("click", "view", "purchase"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_micros(ts)").as("tus"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+          get_json_object(col("props"), "$.k").cast("long").as("page"))
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val g = ev.withColumn("grp",
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).over(w))
+      val touches = g.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("page"), col("tus").as("t_us"),
+          (col("grp") + 1).as("pidx"))
+      val purchases = g.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("grp").as("pidx"), col("cents"),
+          col("tus").as("p_us"))
+      val weighted = touches.join(purchases, Seq("user_id", "pidx"))
+        .withColumn("w_q6", expr(
+          "1000000L DIV shiftleft(1L, cast(least(" +
+            "greatest(p_us - t_us, 0L) DIV 604800000000, 20) as int))"))
+      val credited = weighted
+        .withColumn("sum_w",
+          sum(col("w_q6")).over(Window.partitionBy("user_id", "pidx")))
+        .select(col("page"), expr("cents * w_q6 DIV sum_w").as("credit"))
+      val orphans = purchases
+        .join(touches, Seq("user_id", "pidx"), "left_anti")
+        .select(lit(-1L).as("page"), col("cents").as("credit"))
+      credited.unionAll(orphans)
+        .groupBy(col("page").as("touch_page"))
+        .agg(count(lit(1)).as("n_credits"),
+          sum(col("credit")).as("credit_cents"))
+        .orderBy("touch_page")
+    }),
     "attribution_position" -> ((s, d) => {
       val ev = events(s, d)
         .filter(col("event_type").isin("click", "view", "purchase"))
@@ -2866,6 +2916,31 @@ object TierCWindow {
     "graph_pref_attachment" -> ((s, d) =>
       graft.operators.CommonNeighbors.preferentialAttachment(
         ClickGraph.und(s, d), maxDegree = 1000L, topK = 20)),
+    // Bipartite co-visitation projection (round 13) — the collaborative-
+    // filtering construction ("users who visited A also visited B"): the
+    // (user, page) incidence self-joined on user, NOT the click-sequence
+    // edge set the other graph keys share — co-visitation counts users,
+    // not transitions, so pages a user hit hours apart still pair. The
+    // user-degree cap (≤1000 distinct pages) bounds the self-join at
+    // cap·|incidence| exactly as the wedge cap bounds CN — a power user
+    // touching everything contributes quadratic pairs with no signal
+    // (the CN hub argument on the bipartite side). Top-20 by
+    // (n_users DESC, a, b) via TakeOrdered. 100 TB: incidence distinct is
+    // the corpus-sized shuffle; the capped self-join shuffles on user_id;
+    // pair counts combine map-side into the page-vocabulary² space.
+    "graph_covisitation" -> ((s, d) => {
+      val inc = ClickGraph.clicks(s, d)
+        .select("user_id", "page").distinct()
+        .localCheckpoint() // feeds the degree agg and BOTH join sides
+      val deg = inc.groupBy("user_id").agg(count(lit(1)).as("du"))
+      val capped = inc.join(deg.filter(col("du") <= 1000)
+        .select("user_id"), "user_id")
+      capped.as("a").join(capped.as("b"), "user_id")
+        .filter(col("a.page") < col("b.page"))
+        .select(col("a.page").as("a"), col("b.page").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_users"))
+        .orderBy(desc("n_users"), asc("a"), asc("b")).limit(20)
+    }),
     // Bounded-hop reachability over the click graph (round 10): "pages
     // within 3 clicks of the seed set" via operators.Bfs — the frontier
     // loop whose per-round cost tracks the frontier's edges, never the
@@ -3824,6 +3899,55 @@ object TierCWindow {
         |FROM scored s WHERE NOT EXISTS (
         |  SELECT 1 FROM und WHERE u = s.a AND v = s.b)
         |ORDER BY ra_q6 DESC, a, b LIMIT 20""".stripMargin,
+    // bipartite incidence self-join with the same user-degree cap;
+    // the top-20 order (n_users DESC, a, b) is total
+    "graph_covisitation" ->
+      s"""WITH ${ClickGraph.OracleEv},
+        |inc AS (SELECT DISTINCT user_id, page FROM ev),
+        |deg AS (SELECT user_id, COUNT(*) AS du FROM inc GROUP BY user_id),
+        |cap AS (SELECT inc.user_id, inc.page
+        |        FROM inc JOIN deg USING (user_id) WHERE du <= 1000),
+        |pr AS (SELECT a.page AS a, b.page AS b
+        |       FROM cap a JOIN cap b
+        |         ON a.user_id = b.user_id AND a.page < b.page)
+        |SELECT a, b, COUNT(*) AS n_users FROM pr GROUP BY 1, 2
+        |ORDER BY n_users DESC, a, b LIMIT 20""".stripMargin,
+    // same segmentation CTEs as attribution_position; exact 2^k decay
+    // weights, per-path integer normalization
+    "attribution_time_decay" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS page
+        |  FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+        |g AS (
+        |  SELECT *, SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY event_id
+        |          ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM ev),
+        |t AS (SELECT user_id, page, tus AS t_us, grp + 1 AS pidx
+        |      FROM g WHERE event_type <> 'purchase'),
+        |p AS (SELECT user_id, grp AS pidx, cents, tus AS p_us
+        |      FROM g WHERE event_type = 'purchase'),
+        |wgt AS (
+        |  SELECT t.user_id, t.pidx, t.page, p.cents,
+        |         1000000 // (1 << CAST(least(greatest(p.p_us - t.t_us, 0)
+        |           // 604800000000, 20) AS INT)) AS w_q6
+        |  FROM t JOIN p ON p.user_id = t.user_id AND p.pidx = t.pidx),
+        |sw AS (SELECT *, SUM(w_q6) OVER (PARTITION BY user_id, pidx)
+        |         AS sum_w FROM wgt),
+        |cr AS (
+        |  SELECT page, CAST(cents * w_q6 // sum_w AS BIGINT) AS credit
+        |  FROM sw
+        |  UNION ALL
+        |  SELECT -1 AS page, cents AS credit FROM p
+        |  WHERE NOT EXISTS (SELECT 1 FROM t
+        |    WHERE t.user_id = p.user_id AND t.pidx = p.pidx))
+        |SELECT page AS touch_page, COUNT(*) AS n_credits,
+        |       CAST(SUM(credit) AS BIGINT) AS credit_cents
+        |FROM cr GROUP BY 1 ORDER BY touch_page""".stripMargin,
     // same wedge/degree derivation, PA score = deg(a)·deg(b) exact
     "graph_pref_attachment" ->
       s"""WITH ${ClickGraph.OracleEv},

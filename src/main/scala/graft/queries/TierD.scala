@@ -112,6 +112,52 @@ object TierD {
           col("n_users_approx"))
         .orderBy("wstart")
     }),
+    // D8b — stream-stream LEFT OUTER interval join (round 13): the
+    // "clicks that never converted" feed — the OTHER stream-stream join
+    // semantic next to the inner interval join's matches: an unmatched
+    // click must eventually emit WITH NULLS, which the engine can only do
+    // once the watermark proves no future purchase can land in the
+    // click's 15-minute window. Same chunked 3-batch source and 30-minute
+    // watermarks as stream_stream_join; the oracle replays the emission
+    // contract in SQL: all inner matches (emitted when formed) plus
+    // exactly the unmatched clicks whose window close (c_ts + 15 min)
+    // fell below the final GLOBAL watermark — the MIN over the two
+    // watermarked sides of (that side's max event time − 30 min), the
+    // multi-source watermark rule (found empirically at sf0.001, where
+    // the last click precedes the last purchase by ~4 h and a naive
+    // max-over-all-events rule over-emits by one row). Clicks whose
+    // window was still open at end-of-stream are withheld, the
+    // append-mode contract. 100 TB shape: state holds only rows inside
+    // the watermark horizon on both sides; the join shuffles on user_id.
+    "stream_stream_outer_join" -> ((s, d) => withFewStatePartitions(s) {
+      val name = s"ssoj_out_${java.lang.Long.toHexString(System.nanoTime)}"
+      val ev = graft.core.Tables.eventsStreamChunked(s, d, chunks = 3)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+        .withWatermark("c_ts", "30 minutes")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "30 minutes")
+      val joined = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 15 MINUTES"),
+        "left_outer")
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", scratchDir("graft_ssoj_ckpt"))
+        .start()
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 2,
+        s"multi-batch contract violated: $batches data batch(es) ran — " +
+          "the cross-batch outer-state carry was not exercised")
+      s.table(name)
+        .select(col("c_user"), col("c_id"), col("c_ts"), col("p_ts"))
+        .orderBy("c_id", "p_ts")
+    }),
     // D5 — stateful streaming dedup by event_id within the watermark.
     "stream_dedup_stateful" -> ((s, d) => {
       val stream = eventsStream(s, d)
@@ -445,6 +491,34 @@ object TierD {
         |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
         |        <= (SELECT mx - INTERVAL 10 MINUTE FROM m)
         |GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+    // the outer-join emission contract in SQL: all inner matches plus
+    // exactly the unmatched clicks whose window close fell below the
+    // final GLOBAL watermark = least(max click ts, max purchase ts) −
+    // 30 min (multi-source watermark = min over sides)
+    "stream_stream_outer_join" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        |  FROM events),
+        |c AS (SELECT user_id AS c_user, ts AS c_ts, event_id AS c_id
+        |      FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user, ts AS p_ts
+        |      FROM e WHERE event_type = 'purchase'),
+        |m AS (SELECT least((SELECT max(c_ts) FROM c),
+        |                   (SELECT max(p_ts) FROM p)) AS mx),
+        |matched AS (
+        |  SELECT c.c_user, c.c_id, c.c_ts, p.p_ts
+        |  FROM c JOIN p ON p.p_user = c.c_user
+        |   AND p.p_ts >= c.c_ts
+        |   AND p.p_ts <= c.c_ts + INTERVAL 15 MINUTE),
+        |unmatched AS (
+        |  SELECT c.c_user, c.c_id, c.c_ts, CAST(NULL AS TIMESTAMP) AS p_ts
+        |  FROM c
+        |  WHERE NOT EXISTS (SELECT 1 FROM matched WHERE matched.c_id = c.c_id)
+        |    AND c.c_ts + INTERVAL 15 MINUTE
+        |          < (SELECT mx - INTERVAL 30 MINUTE FROM m))
+        |SELECT * FROM matched
+        |UNION ALL SELECT * FROM unmatched
+        |ORDER BY c_id, p_ts""".stripMargin,
     // the watermark-finalized window contract composed with the top-3
     // rank: exactly the windows whose end <= final watermark surface,
     // counts complete, ties broken (cnt DESC, page)

@@ -21,7 +21,8 @@ object QuerySets {
     // r13: the global pre-merge streaming sketch runs its 3-batch
     // AvailableNow pipeline in the builder like its per-key sibling;
     // the windowed top-n likewise runs its watermarked 3-batch stream
-    "stream_spacesaving_global", "stream_window_topn", "stream_hll_window")
+    "stream_spacesaving_global", "stream_window_topn", "stream_hll_window",
+    "stream_stream_outer_join")
 
   /** Builders that call an EAGER localCheckpoint() while constructing
     * their DataFrame (iterative operators: the checkpoint is the lineage
@@ -81,6 +82,8 @@ object QuerySets {
     // CommonNeighbors' eager adjacency/degree checkpoints
     "retrieval_eval_mrr", "graph_pref_attachment",
     // r13: graph_component_sizes runs the full CC loop (eager
-    // checkpoints) inside the builder like graph_components
-    "graph_component_sizes")
+    // checkpoints) inside the builder like graph_components;
+    // graph_covisitation checkpoints the (user, page) incidence its
+    // degree agg and both self-join sides consume
+    "graph_component_sizes", "graph_covisitation")
 }
