@@ -227,7 +227,10 @@ object Scaling {
     Q("timeseries_zscore_seasonal", 64), Q("profile_partition_skew", 64),
     // round 13b: MoM growth (monthly map-side agg + calendar-bounded lag)
     // and cohort LTV (one customer window + calendar²-bounded matrix)
-    Q("timeseries_mom_growth", 64), Q("cohort_ltv", 64))
+    Q("timeseries_mom_growth", 64), Q("cohort_ltv", 64),
+    // round 13c: table fingerprint — one scan, one partial-agg row per
+    // partition; flat-in-shuffle, linear-in-scan claim
+    Q("etl_table_fingerprint", 64))
 
   case class Pt(query: String, mult: Int, inputRows: Long, outRows: Long,
       sec: Double)

@@ -603,6 +603,37 @@ object TierA {
             .as("passed"))
         .orderBy("rule")
     }),
+    // A15 — order-independent table fingerprint (round 13): the
+    // cross-system migration audit the reference's pipeline story implies
+    // (validate the warehouse copy against the lake copy WITHOUT moving
+    // either): each row canonicalizes to a type-stable string (integer
+    // cents, ISO date, explicit null token — doubles/timestamps never
+    // stringify directly, their engine formatting differs), hashes to the
+    // first 8 md5 hex digits as a long, and the table digest is the
+    // ORDER-INDEPENDENT (count, sum, bit_xor, min, max) of those hashes —
+    // comparable across engines, clusters and row orders. sum ≤ 2³²·n
+    // stays in a long to ~4·10⁹ rows; beyond, move the sum to
+    // DECIMAL(38,0) (xor/min/max are width-free). Outside the md5-digit
+    // LEDGER (SURVEY §7.4): the ledger partitions digits of md5(doc_id)
+    // so independent per-id sampling decisions never correlate — this key
+    // hashes the full ROW STRING of a different table, a disjoint input
+    // domain. 100 TB: one scan, one partial-agg row per partition crosses
+    // the shuffle — the cheapest possible full-table integrity check.
+    "etl_table_fingerprint" -> ((s, d) => {
+      val row = concat_ws("|",
+        col("o_orderkey").cast("string"),
+        coalesce(col("o_custkey").cast("string"), lit("null")),
+        coalesce(col("o_orderstatus"), lit("null")),
+        coalesce((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").cast("string"), lit("null")),
+        coalesce(to_date(col("o_orderdate")).cast("string"), lit("null")))
+      orders(s, d)
+        .select(conv(substring(md5(row), 1, 8), 16, 10)
+          .cast("long").as("h"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("hash_sum"),
+          expr("bit_xor(h)").as("hash_xor"),
+          min(col("h")).as("hash_min"), max(col("h")).as("hash_max"))
+    }),
     // A12 — small-file compaction: the lake-maintenance job every file-based
     // pipeline needs (crawl output accumulates per-trigger small files; at
     // 100 TB unbounded file counts kill planning and listing). Rewrite many
@@ -836,6 +867,24 @@ object TierA {
         |       MIN(x0) AS min_x, MAX(x0) AS max_x,
         |       MIN(ym) AS min_ym, MAX(ym) AS max_ym
         |FROM s4 GROUP BY 1 ORDER BY zbucket""".stripMargin,
+    // the identical canonical row string (concat_ws skips no field — every
+    // nullable wraps in an explicit token) hashed via '0x'-literal cast;
+    // the digest aggregates are order-independent by construction
+    "etl_table_fingerprint" ->
+      """WITH h AS (
+        |  SELECT CAST(('0x' || substr(md5(
+        |           CAST(o_orderkey AS VARCHAR) || '|' ||
+        |           COALESCE(CAST(o_custkey AS VARCHAR), 'null') || '|' ||
+        |           COALESCE(o_orderstatus, 'null') || '|' ||
+        |           COALESCE(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |             * 100 AS BIGINT) AS VARCHAR), 'null') || '|' ||
+        |           COALESCE(CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+        |             'null')), 1, 8)) AS BIGINT) AS h
+        |  FROM orders)
+        |SELECT COUNT(*) AS n_rows, CAST(SUM(h) AS BIGINT) AS hash_sum,
+        |       CAST(bit_xor(h) AS BIGINT) AS hash_xor,
+        |       MIN(h) AS hash_min, MAX(h) AS hash_max
+        |FROM h""".stripMargin,
     "etl_data_quality" ->
       """SELECT COUNT(*) AS n_rows,
         |       COUNT(DISTINCT o_orderkey) AS n_distinct_pk,
