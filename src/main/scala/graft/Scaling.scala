@@ -230,7 +230,10 @@ object Scaling {
     Q("timeseries_mom_growth", 64), Q("cohort_ltv", 64),
     // round 13c: table fingerprint — one scan, one partial-agg row per
     // partition; flat-in-shuffle, linear-in-scan claim
-    Q("etl_table_fingerprint", 64))
+    Q("etl_table_fingerprint", 64),
+    // round 14: partition-grain sibling — same scan, calendar-bounded
+    // digest table; same flat claim
+    Q("etl_partition_fingerprint", 64))
 
   case class Pt(query: String, mult: Int, inputRows: Long, outRows: Long,
       sec: Double)

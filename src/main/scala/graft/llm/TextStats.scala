@@ -525,7 +525,13 @@ object TextStats {
     // own thresholds (50 ≤ words ≤ 100k; mean word length in [3, 10];
     // ≥ 2 stopword instances; ≥ 80% alphabetic tokens — the symbol-ratio
     // rules need symbols the whitespace-token fixture cannot carry and
-    // are the pre-tokenizer's job). ALL integers: the length bound
+    // are the pre-tokenizer's job). DEVIATION from Rae et al.'s alpha
+    // rule, stated: the paper requires ≥80% of words to CONTAIN an
+    // alphabetic character; this fixture's tokens are fully-lowercase
+    // whitespace words by construction, so the predicate here is the
+    // stricter ^[a-z]+$ (fully-alphabetic) — identical verdicts on this
+    // corpus, but real-world mixed-case/punctuated tokens would need the
+    // contains-alpha form in BOTH engines. ALL integers: the length bound
     // cross-multiplies (3·n ≤ chars ≤ 10·n), the alpha bound likewise
     // (5·alpha ≥ 4·n) — no ratio is ever materialized. n_tok/char_sum/
     // stopword hits come from ONE fused TokenStats pass; the alpha count
@@ -569,8 +575,13 @@ object TextStats {
     // correctly rounded, the sample_temperature discipline); everything
     // after is integer fixed point: share_q6, quota_chars = B·w DIV Σw,
     // epochs_q6 = min(4·10⁶, quota·10⁶ DIV n_chars), effective_chars.
-    // Magnitude: B·w ≤ 10¹⁵ at sf0.1; beyond ~10¹² corpus chars move the
-    // products to DECIMAL(38,0). 100 TB shape: one vocabulary-sized agg +
+    // Magnitude (round 14, ADVICE fix): B·w_q6 ≈ B^1.5·10⁶ with a
+    // dominant source, which leaves a long near B ≈ 10⁹ chars — NOT the
+    // 10¹² a B·w reading suggests — so every product below runs in
+    // DECIMAL(38,0) now (the oracle mirrors with HUGEINT): Spark would
+    // wrap a long silently where DuckDB raises, the worst cross-engine
+    // divergence class. DIV on decimals still yields an exact BIGINT.
+    // 100 TB shape: one vocabulary-sized agg +
     // a 1-row totals broadcast — the corpus is scanned once.
     "mix_epochs_schedule" -> ((s, d) => {
       val counts = documents(s, d).groupBy("lang")
@@ -583,11 +594,13 @@ object TextStats {
       counts.crossJoin(broadcast(totals))
         .select(col("lang"), col("n_docs"), col("n_chars"),
           expr("w_q6 * 1000000 DIV w_sum").as("share_q6"),
-          expr("total_chars * w_q6 DIV w_sum").as("quota_chars"))
+          expr("CAST(total_chars AS DECIMAL(38,0)) * w_q6 DIV w_sum")
+            .as("quota_chars"))
         .withColumn("epochs_q6",
-          expr("least(4000000L, quota_chars * 1000000 DIV n_chars)"))
+          expr("least(4000000L," +
+            " CAST(quota_chars AS DECIMAL(38,0)) * 1000000 DIV n_chars)"))
         .withColumn("effective_chars",
-          expr("n_chars * epochs_q6 DIV 1000000"))
+          expr("CAST(n_chars AS DECIMAL(38,0)) * epochs_q6 DIV 1000000"))
         .orderBy("lang")
     }),
     // Per-document bigram log-likelihood (round 12): the CCNet filter
@@ -2492,10 +2505,13 @@ object TextStats {
         |             CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM w)
         |SELECT lang, n_docs, n_chars,
         |       CAST(w_q6 * 1000000 // w_sum AS BIGINT) AS share_q6,
-        |       CAST(total_chars * w_q6 // w_sum AS BIGINT) AS quota_chars,
-        |       CAST(least(4000000, (total_chars * w_q6 // w_sum) * 1000000
-        |              // n_chars) AS BIGINT) AS epochs_q6,
-        |       CAST(n_chars * least(4000000, (total_chars * w_q6 // w_sum)
+        |       CAST(CAST(total_chars AS HUGEINT) * w_q6 // w_sum AS BIGINT)
+        |         AS quota_chars,
+        |       CAST(least(4000000,
+        |              (CAST(total_chars AS HUGEINT) * w_q6 // w_sum)
+        |              * 1000000 // n_chars) AS BIGINT) AS epochs_q6,
+        |       CAST(CAST(n_chars AS HUGEINT) * least(4000000,
+        |              (CAST(total_chars AS HUGEINT) * w_q6 // w_sum)
         |              * 1000000 // n_chars) // 1000000 AS BIGINT)
         |         AS effective_chars
         |FROM w, t ORDER BY lang""".stripMargin,

@@ -146,7 +146,7 @@ object CommonNeighbors {
     * baseline CN/Jaccard/RA are judged against). Candidates are the SAME
     * capped wedge enumeration as `run` — PA is defined on any non-adjacent
     * pair, but ranking the full |V|² non-edge space is neither tractable
-    // nor useful; production candidate generation restricts to pairs with
+    * nor useful; production candidate generation restricts to pairs with
     * ≥1 common neighbor exactly as here, and the shared candidate set is
     * what makes the three scores comparable row-for-row. Score is an
     * exact long (d ≤ |V| ⇒ da·db ≤ |V|² stays under 2⁶³ to |V| ≈ 3·10⁹).

@@ -14,6 +14,46 @@ object TierA {
 
   private def tmp(prefix: String): String = scratchDir(prefix)
 
+  /** Canonical-row digest recipe SHARED by the fingerprint pair
+    * (`etl_table_fingerprint` / `etl_partition_fingerprint`) — one
+    * definition so the table- and partition-grain audits can never
+    * drift: each orders row canonicalizes to a type-stable string
+    * (integer cents, ISO date, explicit null tokens — doubles and
+    * timestamps never stringify directly, their engine formatting
+    * differs) and hashes to the first 8 md5 hex digits as a long. The
+    * oracle-side twin is [[fingerprintHashSql]]. */
+  private val fingerprintRowHash: org.apache.spark.sql.Column = {
+    val row = concat_ws("|",
+      col("o_orderkey").cast("string"),
+      coalesce(col("o_custkey").cast("string"), lit("null")),
+      coalesce(col("o_orderstatus"), lit("null")),
+      coalesce((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").cast("string"), lit("null")),
+      coalesce(to_date(col("o_orderdate")).cast("string"), lit("null")))
+    conv(substring(md5(row), 1, 8), 16, 10).cast("long")
+  }
+
+  /** The order-independent digest aggregates over the shared row hash —
+    * (count, sum, bit_xor, min, max), each associative-commutative, so
+    * per-partition digests roll up to the table digest exactly
+    * (EtlSpec asserts the identity). */
+  private val fingerprintAggs: Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).as("n_rows"), sum(col("h")).as("hash_sum"),
+    expr("bit_xor(h)").as("hash_xor"),
+    min(col("h")).as("hash_min"), max(col("h")).as("hash_max"))
+
+  /** DuckDB spelling of [[fingerprintRowHash]] — interpolated into BOTH
+    * fingerprint oracles so the two SQL recipes are also one definition. */
+  private val fingerprintHashSql: String =
+    """CAST(('0x' || substr(md5(
+      |           CAST(o_orderkey AS VARCHAR) || '|' ||
+      |           COALESCE(CAST(o_custkey AS VARCHAR), 'null') || '|' ||
+      |           COALESCE(o_orderstatus, 'null') || '|' ||
+      |           COALESCE(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+      |             * 100 AS BIGINT) AS VARCHAR), 'null') || '|' ||
+      |           COALESCE(CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+      |             'null')), 1, 8)) AS BIGINT)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1 — columnar scan (README.md:113 data-store selection). Projection is
     // pruned at the parquet footer; at 100 TB the scan reads 4 columns only.
@@ -611,29 +651,39 @@ object TierA {
     // stringify directly, their engine formatting differs), hashes to the
     // first 8 md5 hex digits as a long, and the table digest is the
     // ORDER-INDEPENDENT (count, sum, bit_xor, min, max) of those hashes —
-    // comparable across engines, clusters and row orders. sum ≤ 2³²·n
-    // stays in a long to ~4·10⁹ rows; beyond, move the sum to
-    // DECIMAL(38,0) (xor/min/max are width-free). Outside the md5-digit
+    // comparable across engines, clusters and row orders. Headroom
+    // (round-14 ADVICE correction): the WORST-CASE bound sum ≤ 2³²·n
+    // overflows a long at n ≈ 2.1·10⁹ rows — the ~4·10⁹ figure holds only
+    // for the expected average hash 2³¹; size to the worst case, i.e.
+    // move the sum to DECIMAL(38,0) beyond ~2·10⁹ rows (xor/min/max are
+    // width-free). Outside the md5-digit
     // LEDGER (SURVEY §7.4): the ledger partitions digits of md5(doc_id)
     // so independent per-id sampling decisions never correlate — this key
     // hashes the full ROW STRING of a different table, a disjoint input
     // domain. 100 TB: one scan, one partial-agg row per partition crosses
     // the shuffle — the cheapest possible full-table integrity check.
-    "etl_table_fingerprint" -> ((s, d) => {
-      val row = concat_ws("|",
-        col("o_orderkey").cast("string"),
-        coalesce(col("o_custkey").cast("string"), lit("null")),
-        coalesce(col("o_orderstatus"), lit("null")),
-        coalesce((col("o_totalprice").cast("decimal(18,2)") * 100)
-          .cast("long").cast("string"), lit("null")),
-        coalesce(to_date(col("o_orderdate")).cast("string"), lit("null")))
+    "etl_table_fingerprint" -> ((s, d) =>
+      orders(s, d).select(fingerprintRowHash.as("h"))
+        .agg(fingerprintAggs.head, fingerprintAggs.tail: _*)),
+    // A15b — PARTITION-grain fingerprint (round 14, r13 verdict #5): the
+    // incremental-audit form of A15 — the SAME canonical-row digest
+    // recipe (fingerprintRowHash/fingerprintAggs, one definition shared
+    // with etl_table_fingerprint, cannot drift) grouped by the natural
+    // partition key (order year), so a cross-system migration audit
+    // localizes WHICH partition diverged and re-checks only that one
+    // instead of re-scanning the table. The per-partition digests roll up
+    // to the table digest by construction (sum/xor/min/max are all
+    // associative-commutative over the same h values; EtlSpec asserts the
+    // roll-up identity). 100 TB: still one scan; the shuffle carries one
+    // partial-agg row per (task, year) — years are calendar-bounded, so
+    // the digest table is ~|years| rows at any corpus size.
+    "etl_partition_fingerprint" -> ((s, d) =>
       orders(s, d)
-        .select(conv(substring(md5(row), 1, 8), 16, 10)
-          .cast("long").as("h"))
-        .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("hash_sum"),
-          expr("bit_xor(h)").as("hash_xor"),
-          min(col("h")).as("hash_min"), max(col("h")).as("hash_max"))
-    }),
+        .select(year(to_date(col("o_orderdate"))).as("part_year"),
+          fingerprintRowHash.as("h"))
+        .groupBy("part_year")
+        .agg(fingerprintAggs.head, fingerprintAggs.tail: _*)
+        .orderBy("part_year")),
     // A12 — small-file compaction: the lake-maintenance job every file-based
     // pipeline needs (crawl output accumulates per-trigger small files; at
     // 100 TB unbounded file counts kill planning and listing). Rewrite many
@@ -871,20 +921,27 @@ object TierA {
     // nullable wraps in an explicit token) hashed via '0x'-literal cast;
     // the digest aggregates are order-independent by construction
     "etl_table_fingerprint" ->
-      """WITH h AS (
-        |  SELECT CAST(('0x' || substr(md5(
-        |           CAST(o_orderkey AS VARCHAR) || '|' ||
-        |           COALESCE(CAST(o_custkey AS VARCHAR), 'null') || '|' ||
-        |           COALESCE(o_orderstatus, 'null') || '|' ||
-        |           COALESCE(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
-        |             * 100 AS BIGINT) AS VARCHAR), 'null') || '|' ||
-        |           COALESCE(CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
-        |             'null')), 1, 8)) AS BIGINT) AS h
-        |  FROM orders)
-        |SELECT COUNT(*) AS n_rows, CAST(SUM(h) AS BIGINT) AS hash_sum,
-        |       CAST(bit_xor(h) AS BIGINT) AS hash_xor,
-        |       MIN(h) AS hash_min, MAX(h) AS hash_max
-        |FROM h""".stripMargin,
+      s"""WITH h AS (
+         |  SELECT $fingerprintHashSql AS h
+         |  FROM orders)
+         |SELECT COUNT(*) AS n_rows, CAST(SUM(h) AS BIGINT) AS hash_sum,
+         |       CAST(bit_xor(h) AS BIGINT) AS hash_xor,
+         |       MIN(h) AS hash_min, MAX(h) AS hash_max
+         |FROM h""".stripMargin,
+    // the same hash recipe string (fingerprintHashSql) grouped by the
+    // partition key — the roll-up identity to the table digest is what
+    // EtlSpec asserts on the Spark side
+    "etl_partition_fingerprint" ->
+      s"""WITH h AS (
+         |  SELECT CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS INT)
+         |           AS part_year,
+         |         $fingerprintHashSql AS h
+         |  FROM orders)
+         |SELECT part_year,
+         |       COUNT(*) AS n_rows, CAST(SUM(h) AS BIGINT) AS hash_sum,
+         |       CAST(bit_xor(h) AS BIGINT) AS hash_xor,
+         |       MIN(h) AS hash_min, MAX(h) AS hash_max
+         |FROM h GROUP BY part_year ORDER BY part_year""".stripMargin,
     "etl_data_quality" ->
       """SELECT COUNT(*) AS n_rows,
         |       COUNT(DISTINCT o_orderkey) AS n_distinct_pk,

@@ -351,6 +351,28 @@ class EtlSpec extends SparkSpec {
     }
   }
 
+  test("A15b: partition fingerprints roll up to the table fingerprint") {
+    // the shared-recipe contract: sum/xor/min/max of the per-year digests
+    // must reproduce the table digest EXACTLY (same h values, all four
+    // aggregates associative-commutative) — if the two keys ever used
+    // different canonicalizations this identity would break immediately
+    val table = graft.SparkEntry.queries("etl_table_fingerprint")(spark, sf)
+      .collect().head
+    val parts = graft.SparkEntry.queries("etl_partition_fingerprint")(spark, sf)
+      .collect()
+    assert(parts.length > 1, "fixture should span multiple order years")
+    assert(parts.map(_.getAs[Long]("n_rows")).sum ==
+      table.getAs[Long]("n_rows"))
+    assert(parts.map(_.getAs[Long]("hash_sum")).sum ==
+      table.getAs[Long]("hash_sum"))
+    assert(parts.map(_.getAs[Long]("hash_xor")).reduce(_ ^ _) ==
+      table.getAs[Long]("hash_xor"))
+    assert(parts.map(_.getAs[Long]("hash_min")).min ==
+      table.getAs[Long]("hash_min"))
+    assert(parts.map(_.getAs[Long]("hash_max")).max ==
+      table.getAs[Long]("hash_max"))
+  }
+
   test("A7c: visual-job compile rejects cycles, unknown nodes, unbound sources") {
     import VisualJob._
     val src = Map("orders" -> graft.core.Tables.orders(spark, sf))
