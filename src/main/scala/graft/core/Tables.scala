@@ -124,15 +124,26 @@ object Tables {
     * are immutable once written and readers are concurrent-safe, so one
     * staging serves every gate — scratch dirs die with the JVM as
     * before). */
-  def eventsStreamChunked(s: SparkSession, d: String, chunks: Int): DataFrame = {
+  def eventsStreamChunked(s: SparkSession, d: String, chunks: Int): DataFrame =
+    eventsStreamFromDir(s, chunkedEventsDir(s, d, chunks))
+
+  /** The staged event-time-ordered chunk directory backing
+    * [[eventsStreamChunked]] — exposed package-private so the streaming
+    * crash-recovery spec can stage a PARTIAL copy of the same files and
+    * exercise restart-from-checkpoint over them. */
+  private[graft] def chunkedEventsDir(s: SparkSession, d: String,
+      chunks: Int): String =
+    chunkDirCache.computeIfAbsent(s"$d#$chunks", _ => stageChunks(s, d, chunks))
+
+  /** One-file-per-trigger streaming source over a staged chunk dir (the
+    * [[eventsStreamChunked]] body, parameterized by dir — single-sourced
+    * so the recovery spec streams EXACTLY what the gated keys stream). */
+  private[graft] def eventsStreamFromDir(s: SparkSession, dir: String)
+      : DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = t(s, d, "events")
-    val dir = java.nio.file.Paths.get(
-      chunkDirCache.computeIfAbsent(s"$d#$chunks", _ =>
-        stageChunks(s, d, chunks)))
-    val schema = s.read.parquet(dir.toString).schema
+    val schema = s.read.parquet(dir).schema
     s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
-      .parquet(dir.toString)
+      .parquet(dir)
       .withColumn("ts", tsToTimestamp(schema("ts").dataType))
   }
 

@@ -132,18 +132,7 @@ object TierD {
     "stream_stream_outer_join" -> ((s, d) => withFewStatePartitions(s) {
       val name = s"ssoj_out_${java.lang.Long.toHexString(System.nanoTime)}"
       val ev = graft.core.Tables.eventsStreamChunked(s, d, chunks = 3)
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
-          col("event_id").as("c_id"))
-        .withWatermark("c_ts", "30 minutes")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
-        .withWatermark("p_ts", "30 minutes")
-      val joined = clicks.join(purchases,
-        col("c_user") === col("p_user") &&
-          col("p_ts") >= col("c_ts") &&
-          col("p_ts") <= col("c_ts") + expr("INTERVAL 15 MINUTES"),
-        "left_outer")
+      val joined = ssojJoined(ev)
       val q = joined.writeStream.format("memory").queryName(name)
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
@@ -443,6 +432,25 @@ object TierD {
         .agg(sum("cnt").as("cnt")).orderBy("event_type")
     })
   )
+
+  /** The stream_stream_outer_join pipeline over an arbitrary event
+    * stream — single-sourced (package-private) so the crash-recovery
+    * spec drives the SAME watermarked outer join through a stop/restart
+    * cycle that the gated key runs end-to-end. */
+  private[graft] def ssojJoined(ev: DataFrame): DataFrame = {
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", "30 minutes")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 minutes")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 15 MINUTES"),
+      "left_outer")
+  }
 
   /** Stateful local streams want few state-store partitions: each partition
     * is a store instance with per-batch commit overhead, so 32 partitions for
