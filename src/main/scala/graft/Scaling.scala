@@ -142,7 +142,11 @@ object Scaling {
     Q("knn_pq_rerank", 64),
     // round 13: probe-set MRR/recall eval — two broadcast-probed scans +
     // probe-partitioned top-10 windows; claims the scan-bound class
-    Q("retrieval_eval_mrr", 64))
+    Q("retrieval_eval_mrr", 64),
+    // round 14: hubness audit — shares knn_pairs_label's top-1 table
+    // (the probe cap bounds it), plus two tiny count aggs; expected to
+    // track knn_pairs_label's curve
+    Q("knn_hubness_audit", 64))
 
   private val GraphQueries = Seq(
     // round 11: bounded-round peel — per-round O(|E|) like LPA
@@ -184,6 +188,11 @@ object Scaling {
     // round 13: preferential attachment — the same cap·|E| wedge bound
     // as CN/RA (shared enumeration), expected to track their curves
     Q("graph_pref_attachment", 64),
+    // round 14: Adamic-Adar — the fourth sibling on the same capped
+    // wedge enumeration; expected to track CN/RA/PA. Click-path 3-grams:
+    // two per-user windows + a vocab³-bounded map-side-combinable count
+    // — the markov_next_page class.
+    Q("graph_adamic_adar", 64), Q("path_common_3grams", 64),
     // round 13b: entry/exit sessions (the sessionize_batch window class),
     // the time-capped funnel (three user windows), and the CC size
     // histogram (the graph_components loop + two vocab-sized aggs)
@@ -233,7 +242,15 @@ object Scaling {
     Q("etl_table_fingerprint", 64),
     // round 14: partition-grain sibling — same scan, calendar-bounded
     // digest table; same flat claim
-    Q("etl_partition_fingerprint", 64))
+    Q("etl_partition_fingerprint", 64),
+    // round 14: KS drift — one count pass over orders (map-side
+    // combinable) + a distinct-cents-bounded cumulative (value-domain
+    // constant under key-offset copies → flat claim past the scan);
+    // Gini — one per-customer agg + a |customers|-bounded rank (customer
+    // inflated ×m, so the rank table grows ×m: linear claim); SCD2
+    // snapshot — a filter over the ×m-inflated published dim, scan-bound
+    Q("profile_ks_drift", 64), Q("profile_gini", 64),
+    Q("etl_scd2_snapshot_asof", 64))
 
   case class Pt(query: String, mult: Int, inputRows: Long, outRows: Long,
       sec: Double)
@@ -423,7 +440,8 @@ object Scaling {
       (if (inflateDocs) Set("documents") else Set.empty[String]) ++
         (if (inflateEmbEvents) Set("embeddings", "events")
          else Set.empty[String]) ++
-        (if (inflateTpch) Set("orders", "lineitem") else Set.empty[String])
+        (if (inflateTpch) Set("orders", "lineitem", "customer")
+         else Set.empty[String])
     val listing = java.nio.file.Files.list(base)
     try listing.forEach { p =>
       val name = p.getFileName.toString
@@ -502,6 +520,17 @@ object Scaling {
       }
       lCopies.reduce(_.union(_)).repartition(math.max(4, m))
         .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      // round 14: the customer DIM grows ×m too (key-offset copies) so
+      // the SCD2 publish/snapshot pair and gini's |customers|-bounded
+      // rank measure real growth; orders keep referencing copy-0 keys,
+      // which none of the staged queries join through
+      val cust = spark.read.parquet(s"$baseDir/customer.parquet")
+      val cSpan = cust.agg(max("c_custkey")).head.getLong(0) + 1
+      val cCopies = (0 until m).map { i =>
+        cust.withColumn("c_custkey", col("c_custkey") + lit(i * cSpan))
+      }
+      cCopies.reduce(_.union(_)).repartition(math.max(4, m))
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
     }
     dir
   }

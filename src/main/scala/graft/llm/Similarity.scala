@@ -677,6 +677,27 @@ object Similarity {
       .orderBy("vec_id", "rn")
   }
 
+  /** Exact per-probe nearest neighbour within label (probe set capped at
+    * vec_id < 200 — the documented bench bound): the top-1 table SHARED
+    * by `knn_pairs_label` (the edges), `knn_hubness_audit` (the
+    * in-degree histogram) — one construction, so the audit and the edge
+    * list cannot diverge. 4dp-quantized sim, b_id tiebreak (the knn
+    * ranking discipline). */
+  private def labelTop1(s: SparkSession, d: String): DataFrame = {
+    val unit = withUnitVec(embeddings(s, d), "embedding", "uv")
+    val probes = unit.filter(col("vec_id") < 200)
+      .select(col("vec_id").as("a_id"), col("uv").as("a_v"), col("label"))
+    val cands = unit
+      .select(col("vec_id").as("b_id"), col("uv").as("b_v"), col("label"))
+    val pairs = probes.join(cands, Seq("label"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("label"), col("a_id"), col("b_id"),
+        // quantized like knn_cosine_topk: rank ties resolve by b_id
+        round(dotD(col("a_v"), col("b_v")), 4).as("sim"))
+    val w = Window.partitionBy("a_id").orderBy(desc("sim"), asc("b_id"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E4 — exact top-10 cosine neighbours of vec_id=0. Similarity itself is
     // engine-local float math, so only the *ranking* (with PK tiebreak) is
@@ -722,22 +743,23 @@ object Similarity {
     // the production path composes IVF cells (knn_ivf_coarse) or LSH bands
     // (knn_lsh_bucketed) INSIDE each label; this query is the exact,
     // oracle-checkable per-label semantics those approximate.
-    "knn_pairs_label" -> ((s, d) => {
-      val unit = withUnitVec(embeddings(s, d), "embedding", "uv")
-      val probes = unit.filter(col("vec_id") < 200)
-        .select(col("vec_id").as("a_id"), col("uv").as("a_v"), col("label"))
-      val cands = unit
-        .select(col("vec_id").as("b_id"), col("uv").as("b_v"), col("label"))
-      val pairs = probes.join(cands, Seq("label"))
-        .filter(col("a_id") =!= col("b_id"))
-        .select(col("label"), col("a_id"), col("b_id"),
-          // quantized like knn_cosine_topk: rank ties resolve by b_id
-          round(dotD(col("a_v"), col("b_v")), 4).as("sim"))
-      val w = Window.partitionBy("a_id").orderBy(desc("sim"), asc("b_id"))
-      pairs.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("a_id", "b_id", "label")
-        .orderBy("a_id")
+    "knn_pairs_label" -> ((s, d) =>
+      labelTop1(s, d).select("a_id", "b_id", "label").orderBy("a_id")),
+    // Hubness audit of the exact top-1 kNN edge set (round 14): the
+    // in-degree histogram of "how many probes chose ME as nearest" — the
+    // diagnostic that quantifies the hub pathology knn_mutual_pairs'
+    // reciprocity filter kills (Radovanović et al. JMLR 2010: hubness is
+    // the dominant failure mode of high-dim kNN; production embedding
+    // audits plot exactly this histogram before trusting a kNN graph).
+    // Shares labelTop1 with knn_pairs_label — the audit can never
+    // describe a different edge set than the one shipped. Two
+    // map-side-combinable count aggs over the top-1 table (|probes|
+    // rows); output is max-indegree-bounded.
+    "knn_hubness_audit" -> ((s, d) => {
+      val indeg = labelTop1(s, d)
+        .groupBy("b_id").agg(count(lit(1)).as("indeg"))
+      indeg.groupBy("indeg").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("indeg")
     }),
     // Embedding-cosine near-dup verdicts (builder mandate): vectors whose
     // cosine to an earlier same-label vector exceeds a threshold map to that
@@ -1393,6 +1415,22 @@ object Similarity {
         |         row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rn
         |  FROM pairs) t
         |WHERE rn = 1 ORDER BY a_id""".stripMargin,
+    // the same top-1 construction, aggregated twice — in-degree per
+    // chosen neighbour, then the histogram
+    "knn_hubness_audit" ->
+      """WITH pairs AS (
+        |  SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+        |         round(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 200),
+        |t1 AS (SELECT b_id FROM (
+        |  SELECT b_id,
+        |         row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rn
+        |  FROM pairs) t WHERE rn = 1),
+        |ind AS (SELECT b_id, COUNT(*) AS indeg FROM t1 GROUP BY b_id)
+        |SELECT indeg, COUNT(*) AS n_nodes FROM ind GROUP BY indeg
+        |ORDER BY indeg""".stripMargin,
     // the top-1 table is the knn_pairs_label construction with both sides
     // probe-bounded; the mutual filter is a self-join on the reversed key
     "knn_mutual_pairs" ->

@@ -169,4 +169,44 @@ object CommonNeighbors {
         (col("da") * col("db")).as("pa"))
       .orderBy(desc("pa"), asc("a"), asc("b")).limit(topK)
   }
+
+  /** Adamic-Adar link prediction (Adamic & Adar, "Friends and neighbors
+    * on the Web", Social Networks 25, 2003) — the fourth classic next to
+    * CN/Jaccard, RA and PA: each shared neighbor z contributes
+    * 1/ln(deg z), the log-tempered midpoint between CN's flat 1 and RA's
+    * aggressive 1/deg. Per-center weight is HALF-UP quantized to the
+    * exact integer ⌊10⁶/ln(d) + 0.5⌋ BEFORE the sum (the dsir/bigram-LM
+    * measured-margin discipline): a sweep over d ∈ 2..200 000 measures
+    * the minimum distance to a rounding boundary at 2.58·10⁻⁶ (d=154431)
+    * — four orders above the ~2·10⁻¹⁰ cross-engine ln noise — and DuckDB
+    * reproduces the sweep's quantized values exactly (PropertySpec pins
+    * the Java-side margin), so the per-pair score Σ⌊10⁶/ln d_z + 0.5⌋ is
+    * an order-independent exact long in both engines. ln(d) > 0 always:
+    * a wedge center has degree ≥ 2.
+    *
+    * Same Σd² wedge enumeration and `maxDegree` center cap as its three
+    * siblings (shared adjDeg — the four rankings are comparable
+    * row-for-row on one candidate set); the cap drops exactly the wedges
+    * AA already tempers toward zero.
+    *
+    * @param und distinct undirected edges as (u, v) with u < v
+    * @return (a, b, cn, aa_q6) ordered by aa_q6 desc, a, b
+    */
+  def adamicAdar(und: DataFrame, maxDegree: Long, topK: Int): DataFrame = {
+    val u = und.localCheckpoint()
+    val (adj, deg) = adjDeg(u)
+    val capped = adj
+      .join(deg.filter(col("d") <= lit(maxDegree)), Seq("w"))
+    val wedges = capped.as("e1")
+      .join(capped.as("e2").drop("d"), "w")
+      .filter(col("e1.x") < col("e2.x"))
+      .select(col("e1.x").as("a"), col("e2.x").as("b"),
+        expr("CAST(floor(1000000.0 / ln(d) + 0.5) AS BIGINT)").as("aa_w"))
+    val scored = wedges.groupBy("a", "b")
+      .agg(count(lit(1)).as("cn"), sum(col("aa_w")).as("aa_q6"))
+    scored.join(u, scored("a") === u("u") && scored("b") === u("v"),
+        "left_anti")
+      .select("a", "b", "cn", "aa_q6")
+      .orderBy(desc("aa_q6"), asc("a"), asc("b")).limit(topK)
+  }
 }

