@@ -98,7 +98,10 @@ object Scaling {
     // (linear); the packing report aggregates the pack window's layout
     // (the pack_sequences per-shard-window class)
     Q("quality_gopher_rules", 64), Q("mix_epochs_schedule", 64),
-    Q("pack_efficiency_report", 64))
+    Q("pack_efficiency_report", 64),
+    // round 14: LSH calibration — bucket-collision candidates + exact
+    // verify joins on candidate rows only; the minhash_verified class
+    Q("dedup_minhash_calibration", 64))
 
   /** embeddings+events-family study (base sf0.1 — 2000 vecs / 100k events
     * ⇒ 128000 / 6.4M at 64×). The exact per-label pair operator is capped
@@ -145,8 +148,9 @@ object Scaling {
     Q("retrieval_eval_mrr", 64),
     // round 14: hubness audit — shares knn_pairs_label's top-1 table
     // (the probe cap bounds it), plus two tiny count aggs; expected to
-    // track knn_pairs_label's curve
-    Q("knn_hubness_audit", 64))
+    // track knn_pairs_label's curve. MRL prefix recall — four broadcast
+    // probe scans, the knn_quantized_topk scan-bound class
+    Q("knn_hubness_audit", 64), Q("knn_mrl_prefix_recall", 64))
 
   private val GraphQueries = Seq(
     // round 11: bounded-round peel — per-round O(|E|) like LPA

@@ -722,6 +722,41 @@ object Similarity {
         .select("rn", "vec_id")
         .orderBy("rn")
     }),
+    // Matryoshka prefix-truncation recall (round 14; Kusupati et al.
+    // 2022 "Matryoshka Representation Learning"): how much of the full-
+    // dim exact top-10 survives when the search runs on the first
+    // 8/16/32/64 dims, renormalized — the measurement behind every MRL
+    // deployment decision (prefix-dim first-stage search + full-dim
+    // rerank is the production funnel; this key reports the recall the
+    // funnel's first stage would feed the reranker, and the knn ranking
+    // discipline — 4dp quantize + vec_id tiebreak — keeps every ranking
+    // hash-stable). The 64-prefix row IS the full ranking (recall 10 by
+    // construction, the built-in sanity row). 100 TB: four broadcast-
+    // probe scans of the knn_cosine_topk class — prefix slicing is free
+    // at the scan (column pruning cannot help inside an array, but the
+    // dot product runs on p of 64 lanes), TakeOrdered heaps, a 40-row
+    // join against the 10-row reference set.
+    "knn_mrl_prefix_recall" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      def topAt(p: Int): DataFrame = {
+        val pref = emb.select(col("vec_id"),
+          slice(col("embedding"), 1, p).as("v"))
+        val unit = withUnitVec(pref, "v", "uv")
+        val q = unit.filter(col("vec_id") === 0).select(col("uv").as("qv"))
+        unit.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), round(dotD(col("uv"), col("qv")), 4).as("sim"))
+          .orderBy(desc("sim"), asc("vec_id")).limit(10)
+          .select(lit(p).as("prefix_dim"), col("vec_id"))
+      }
+      val ref = topAt(64).select(col("vec_id")).withColumn("hit", lit(1L))
+      val all = Seq(8, 16, 32, 64).map(topAt).reduce(_ unionByName _)
+      all.join(broadcast(ref), Seq("vec_id"), "left")
+        .groupBy("prefix_dim")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("recall10"))
+        .orderBy("prefix_dim")
+    }),
     // MMR diversified retrieval (round 6): greedy maximal-marginal-
     // relevance re-rank of the exact top-20 candidates — pick 5, each step
     // maximizing 0.7·rel − 0.3·max_sim_to_already_selected (λ=0.7, the
@@ -1402,6 +1437,30 @@ object Similarity {
          |       ORDER BY rel DESC, vec_id LIMIT 1),
          |$steps
          |SELECT step, vec_id, rel FROM s5 ORDER BY step""".stripMargin
+    },
+    // each prefix ranking is the knn_cosine_topk oracle on sliced lists;
+    // recall counts membership in the full-dim top-10
+    "knn_mrl_prefix_recall" -> {
+      def top(p: Int): String =
+        s"""SELECT $p AS prefix_dim, vec_id FROM (
+           |  SELECT vec_id, row_number() OVER (ORDER BY
+           |    round(list_cosine_similarity(list_slice(embedding, 1, $p),
+           |      (SELECT list_slice(embedding, 1, $p) FROM embeddings
+           |       WHERE vec_id = 0)), 4) DESC, vec_id) AS rn
+           |  FROM embeddings WHERE vec_id <> 0) t WHERE rn <= 10""".stripMargin
+      s"""WITH allp AS (
+         |${top(8)}
+         |UNION ALL
+         |${top(16)}
+         |UNION ALL
+         |${top(32)}
+         |UNION ALL
+         |${top(64)}),
+         |ref AS (SELECT vec_id FROM (${top(64)}) f)
+         |SELECT prefix_dim, COUNT(*) AS k,
+         |       CAST(SUM(CASE WHEN vec_id IN (SELECT vec_id FROM ref)
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS recall10
+         |FROM allp GROUP BY prefix_dim ORDER BY prefix_dim""".stripMargin
     },
     "knn_pairs_label" ->
       """WITH pairs AS (
