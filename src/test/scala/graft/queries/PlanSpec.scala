@@ -685,7 +685,12 @@ class PlanSpec extends SparkSpec {
       // r12j: abc_classification crosses the 1-row revenue total onto
       // the post-aggregation |customers| table (the timeseries_cusum
       // shape)
-      "abc_classification")
+      "abc_classification",
+      // r14: profile_ks_drift crosses the 1-row (n_a, n_b) totals onto
+      // the distinct-cents ECDF grid (the profile_drift total-broadcast
+      // shape); knn_mrl_prefix_recall runs four knn_cosine_topk-style
+      // 1-row broadcast probe crosses (one per prefix width)
+      "profile_ks_drift", "knn_mrl_prefix_recall")
     // ETL/streaming queries run real side effects — planning-only audit
     // covers the analytic surface (list shared with ContractSpec).
     val sideEffecting = QuerySets.sideEffecting
