@@ -170,6 +170,32 @@ class PlanSpec extends SparkSpec {
       s"pack_sequences funnels through a single partition:\n$plan")
   }
 
+  test("r14: partition fingerprint is ONE partial-agg pass — no row-level shuffle") {
+    // the per-year digest must partial-aggregate map-side so only one
+    // sketch row per (task, year) crosses the wire: exactly one
+    // hash exchange on the calendar-bounded part_year key, and no
+    // exchange anywhere that carries the raw row hash
+    val plan = executedPlan("etl_partition_fingerprint")
+    val exchanges = "Exchange hashpartitioning\\(part_year".r
+      .findAllIn(plan).length
+    assert(exchanges == 1,
+      s"partition fingerprint plans $exchanges part_year exchanges, " +
+        s"expected 1:\n$plan")
+    assert(plan.contains("partial_"),
+      s"digest aggregation is not map-side partial:\n$plan")
+  }
+
+  test("r14: MRL prefix recall ranks via TakeOrdered heaps, never a global window") {
+    // four prefix rankings over the corpus: each must be a per-partition
+    // heap + driver k-merge (TakeOrderedAndProject); a global row_number
+    // window here would funnel every scored row through one task, 4×
+    val plan = executedPlan("knn_mrl_prefix_recall")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"prefix rankings are not TakeOrdered heaps:\n$plan")
+    assert(!plan.contains("Window"),
+      s"a window sneaked into the ranking path:\n$plan")
+  }
+
   test("token near-dup joins on the salted block grid, never the block alone") {
     // same discipline as the embedding grid: the pair join must carry the
     // salt key g so a hot (first-token, length) block spreads over grid
