@@ -254,7 +254,10 @@ object Scaling {
     // inflated ×m, so the rank table grows ×m: linear claim); SCD2
     // snapshot — a filter over the ×m-inflated published dim, scan-bound
     Q("profile_ks_drift", 64), Q("profile_gini", 64),
-    Q("etl_scd2_snapshot_asof", 64))
+    Q("etl_scd2_snapshot_asof", 64),
+    // round 14: fingerprint diff — two partition-digest passes + a
+    // calendar-bounded join; twice the partition-fingerprint cost, flat
+    Q("etl_fingerprint_diff", 64))
 
   case class Pt(query: String, mult: Int, inputRows: Long, outRows: Long,
       sec: Double)

@@ -712,6 +712,41 @@ object TierA {
         .groupBy("part_year")
         .agg(fingerprintAggs.head, fingerprintAggs.tail: _*)
         .orderBy("part_year")),
+    // A15c — fingerprint DIFF (round 14): the audit ACTION the
+    // partition-grain digests exist for — given two copies of the table
+    // (here: v2 plants a +1.00 price drift on 1995 orders with
+    // o_orderkey % 10 = 0, the cross-system corruption model), compare
+    // per-partition digests and flag exactly the partitions that
+    // diverged, so the re-check rescans ONE partition instead of the
+    // table. Same shared digest recipe (fingerprintRowHash /
+    // fingerprintAggs / fingerprintHashSql) as A15/A15b — three keys,
+    // one canonicalization. 100 TB: two one-pass partial-agg scans (the
+    // copies usually live on different systems — each side ships only
+    // its |years|-row digest table) + a calendar-bounded join.
+    "etl_fingerprint_diff" -> ((s, d) => {
+      val v1 = orders(s, d)
+      val v2 = v1.withColumn("o_totalprice",
+        when(year(to_date(col("o_orderdate"))) === 1995 &&
+          col("o_orderkey") % 10 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+      def pfp(df: DataFrame, side: String): DataFrame =
+        df.select(year(to_date(col("o_orderdate"))).as("part_year"),
+            fingerprintRowHash.as("h"))
+          .groupBy("part_year")
+          .agg(fingerprintAggs.head, fingerprintAggs.tail: _*)
+          .select(col("part_year"), col("n_rows").as(s"n_rows_$side"),
+            col("hash_sum").as(s"sum_$side"),
+            col("hash_xor").as(s"xor_$side"),
+            col("hash_min").as(s"min_$side"),
+            col("hash_max").as(s"max_$side"))
+      pfp(v1, "a").join(pfp(v2, "b"), Seq("part_year"), "full_outer")
+        .select(col("part_year"), col("n_rows_a"), col("n_rows_b"),
+          (col("n_rows_a") === col("n_rows_b") &&
+            col("sum_a") === col("sum_b") && col("xor_a") === col("xor_b") &&
+            col("min_a") === col("min_b") && col("max_a") === col("max_b"))
+            .cast("int").as("is_match"))
+        .orderBy("part_year")
+    }),
     // A12 — small-file compaction: the lake-maintenance job every file-based
     // pipeline needs (crawl output accumulates per-trigger small files; at
     // 100 TB unbounded file counts kill planning and listing). Rewrite many
@@ -908,6 +943,40 @@ object TierA {
         |       CASE WHEN c_custkey % 10 = 0 THEN DATE '2024-06-01'
         |            ELSE DATE '2024-01-01' END AS valid_from
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // both sides' digests from the one interpolated hash recipe; v2's
+    // drift model is replayed as a CTE
+    "etl_fingerprint_diff" ->
+      s"""WITH v2 AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |         CASE WHEN EXTRACT(year FROM CAST(o_orderdate AS DATE))
+         |                   = 1995 AND o_orderkey % 10 = 0
+         |              THEN o_totalprice + 1.0 ELSE o_totalprice END
+         |           AS o_totalprice,
+         |         o_orderdate
+         |  FROM orders),
+         |fa AS (
+         |  SELECT CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS INT)
+         |           AS part_year,
+         |         COUNT(*) AS n_rows_a, CAST(SUM(h) AS BIGINT) AS sum_a,
+         |         CAST(bit_xor(h) AS BIGINT) AS xor_a,
+         |         MIN(h) AS min_a, MAX(h) AS max_a
+         |  FROM (SELECT o_orderdate, $fingerprintHashSql AS h FROM orders) t
+         |  GROUP BY part_year),
+         |fb AS (
+         |  SELECT CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS INT)
+         |           AS part_year,
+         |         COUNT(*) AS n_rows_b, CAST(SUM(h) AS BIGINT) AS sum_b,
+         |         CAST(bit_xor(h) AS BIGINT) AS xor_b,
+         |         MIN(h) AS min_b, MAX(h) AS max_b
+         |  FROM (SELECT o_orderdate, $fingerprintHashSql AS h FROM v2) t
+         |  GROUP BY part_year)
+         |SELECT part_year, n_rows_a, n_rows_b,
+         |       CAST(CASE WHEN n_rows_a = n_rows_b AND sum_a = sum_b
+         |                  AND xor_a = xor_b AND min_a = min_b
+         |                  AND max_a = max_b THEN 1 ELSE 0 END AS INT)
+         |         AS is_match
+         |FROM fa FULL OUTER JOIN fb USING (part_year)
+         |ORDER BY part_year""".stripMargin,
     // the oracle replays the same deterministic change log but resolves
     // last-write-wins through a window rank instead of max_by
     "etl_cdc_apply" ->
