@@ -100,8 +100,10 @@ object Scaling {
     Q("quality_gopher_rules", 64), Q("mix_epochs_schedule", 64),
     Q("pack_efficiency_report", 64),
     // round 14: LSH calibration — bucket-collision candidates + exact
-    // verify joins on candidate rows only; the minhash_verified class
-    Q("dedup_minhash_calibration", 64))
+    // verify joins on candidate rows only; the minhash_verified class.
+    // Schedule materialization — broadcast |langs| join + per-row md5,
+    // scan-bound linear claim
+    Q("dedup_minhash_calibration", 64), Q("mix_materialize_repeats", 64))
 
   /** embeddings+events-family study (base sf0.1 — 2000 vecs / 100k events
     * ⇒ 128000 / 6.4M at 64×). The exact per-label pair operator is capped

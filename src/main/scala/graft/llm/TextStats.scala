@@ -89,6 +89,31 @@ object TextStats {
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "fr" -> Seq("le", "la", "et", "les", "des"))
 
+  /** The per-source epoch schedule under the char budget — ONE builder
+    * shared by `mix_epochs_schedule` (the report) and
+    * `mix_materialize_repeats` (the per-doc materialization), so the
+    * two can never disagree about the published mix. All products in
+    * DECIMAL(38,0) (the round-14 overflow guard). */
+  private def epochSchedule(s: SparkSession, d: String): DataFrame = {
+    val counts = documents(s, d).groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .withColumn("w_q6",
+        floor(sqrt(col("n_chars").cast("double")) * lit(1.0e6))
+          .cast("long"))
+    val totals = counts.agg(sum(col("w_q6")).as("w_sum"),
+      sum(col("n_chars")).as("total_chars"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_docs"), col("n_chars"),
+        expr("w_q6 * 1000000 DIV w_sum").as("share_q6"),
+        expr("CAST(total_chars AS DECIMAL(38,0)) * w_q6 DIV w_sum")
+          .as("quota_chars"))
+      .withColumn("epochs_q6",
+        expr("least(4000000L," +
+          " CAST(quota_chars AS DECIMAL(38,0)) * 1000000 DIV n_chars)"))
+      .withColumn("effective_chars",
+        expr("CAST(n_chars AS DECIMAL(38,0)) * epochs_q6 DIV 1000000"))
+  }
+
   /** Fold of md5 hex digits [from, from+3] of the stringified id into an
     * int in [0, 16^4) — the engine-agnostic deterministic-hash primitive
     * behind sample_split / stratified_sample / pack_sequences sharding
@@ -583,25 +608,34 @@ object TextStats {
     // divergence class. DIV on decimals still yields an exact BIGINT.
     // 100 TB shape: one vocabulary-sized agg +
     // a 1-row totals broadcast — the corpus is scanned once.
-    "mix_epochs_schedule" -> ((s, d) => {
-      val counts = documents(s, d).groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
-        .withColumn("w_q6",
-          floor(sqrt(col("n_chars").cast("double")) * lit(1.0e6))
+    "mix_epochs_schedule" -> ((s, d) => epochSchedule(s, d).orderBy("lang")),
+    // MATERIALIZE the epoch schedule into per-document repeat counts
+    // (round 14) — the step between mix_epochs_schedule's per-source
+    // epochs_q6 and an actual training shard list: each doc repeats
+    // ⌊epochs⌋ times plus one more with probability frac(epochs),
+    // decided DETERMINISTICALLY from md5(doc_id) hex digits 29-32 (the
+    // ledger's next free range, opened here: a fresh id namespace so
+    // the draw is independent of the split/stratified/holdout/shard
+    // decisions on digits 1-8 and dsir's content buckets on 25-28).
+    // The fractional draw is an exact integer cross-multiply —
+    // u16·10⁶ < frac_q6·2¹⁶ — so both engines agree bit-for-bit; the
+    // acceptance rate is the 2⁻¹⁶-dyadic floor of frac (bias ≤ 1.6e-5,
+    // documented — production widens the digit window for finer grain).
+    // Shares epochSchedule with the schedule key — the materialization
+    // can never disagree with the published mix. 100 TB: one broadcast
+    // |langs|-row schedule join + a per-row hash, zero extra shuffles.
+    "mix_materialize_repeats" -> ((s, d) => {
+      val sched = epochSchedule(s, d).select(col("lang"), col("epochs_q6"))
+      documents(s, d).select(col("doc_id"), col("lang"))
+        .join(broadcast(sched), Seq("lang"))
+        .withColumn("u16",
+          conv(substring(md5(col("doc_id").cast("string")), 29, 4), 16, 10)
             .cast("long"))
-      val totals = counts.agg(sum(col("w_q6")).as("w_sum"),
-        sum(col("n_chars")).as("total_chars"))
-      counts.crossJoin(broadcast(totals))
-        .select(col("lang"), col("n_docs"), col("n_chars"),
-          expr("w_q6 * 1000000 DIV w_sum").as("share_q6"),
-          expr("CAST(total_chars AS DECIMAL(38,0)) * w_q6 DIV w_sum")
-            .as("quota_chars"))
-        .withColumn("epochs_q6",
-          expr("least(4000000L," +
-            " CAST(quota_chars AS DECIMAL(38,0)) * 1000000 DIV n_chars)"))
-        .withColumn("effective_chars",
-          expr("CAST(n_chars AS DECIMAL(38,0)) * epochs_q6 DIV 1000000"))
-        .orderBy("lang")
+        .select(col("doc_id"), col("lang"),
+          (expr("epochs_q6 DIV 1000000") +
+            when(expr("u16 * 1000000 < (epochs_q6 % 1000000) * 65536"), 1L)
+              .otherwise(0L)).as("n_repeats"))
+        .orderBy("doc_id")
     }),
     // Per-document bigram log-likelihood (round 12): the CCNet filter
     // SIGNAL — score every doc under the corpus's own add-one-smoothed
@@ -1560,6 +1594,34 @@ object TextStats {
        |$rounds""".stripMargin
   }
 
+  /** DuckDB spelling of [[epochSchedule]] as CTEs ending in `sched` —
+    * interpolated into BOTH mix oracles (one definition, cannot drift). */
+  private val MixScheduleCtes: String =
+    """c AS (
+      |  SELECT lang, COUNT(*) AS n_docs,
+      |         CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      |  FROM documents GROUP BY lang),
+      |w AS (
+      |  SELECT lang, n_docs, n_chars,
+      |         CAST(floor(sqrt(CAST(n_chars AS DOUBLE)) * 1e6) AS BIGINT)
+      |           AS w_q6
+      |  FROM c),
+      |t AS (SELECT CAST(SUM(w_q6) AS BIGINT) AS w_sum,
+      |             CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM w),
+      |sched AS (
+      |  SELECT lang, n_docs, n_chars,
+      |         CAST(w_q6 * 1000000 // w_sum AS BIGINT) AS share_q6,
+      |         CAST(CAST(total_chars AS HUGEINT) * w_q6 // w_sum AS BIGINT)
+      |           AS quota_chars,
+      |         CAST(least(4000000,
+      |                (CAST(total_chars AS HUGEINT) * w_q6 // w_sum)
+      |                * 1000000 // n_chars) AS BIGINT) AS epochs_q6,
+      |         CAST(CAST(n_chars AS HUGEINT) * least(4000000,
+      |                (CAST(total_chars AS HUGEINT) * w_q6 // w_sum)
+      |                * 1000000 // n_chars) // 1000000 AS BIGINT)
+      |           AS effective_chars
+      |  FROM w, t)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "bpe_train_merges" -> {
       val union = (0 until 8).map(k => s"SELECT * FROM m$k")
@@ -2492,29 +2554,26 @@ object TextStats {
     // the sample_temperature sqrt discipline on CHARS + integer fixed
     // point for quota/epochs/effective
     "mix_epochs_schedule" ->
-      """WITH c AS (
-        |  SELECT lang, COUNT(*) AS n_docs,
-        |         CAST(SUM(n_chars) AS BIGINT) AS n_chars
-        |  FROM documents GROUP BY lang),
-        |w AS (
-        |  SELECT lang, n_docs, n_chars,
-        |         CAST(floor(sqrt(CAST(n_chars AS DOUBLE)) * 1e6) AS BIGINT)
-        |           AS w_q6
-        |  FROM c),
-        |t AS (SELECT CAST(SUM(w_q6) AS BIGINT) AS w_sum,
-        |             CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM w)
-        |SELECT lang, n_docs, n_chars,
-        |       CAST(w_q6 * 1000000 // w_sum AS BIGINT) AS share_q6,
-        |       CAST(CAST(total_chars AS HUGEINT) * w_q6 // w_sum AS BIGINT)
-        |         AS quota_chars,
-        |       CAST(least(4000000,
-        |              (CAST(total_chars AS HUGEINT) * w_q6 // w_sum)
-        |              * 1000000 // n_chars) AS BIGINT) AS epochs_q6,
-        |       CAST(CAST(n_chars AS HUGEINT) * least(4000000,
-        |              (CAST(total_chars AS HUGEINT) * w_q6 // w_sum)
-        |              * 1000000 // n_chars) // 1000000 AS BIGINT)
-        |         AS effective_chars
-        |FROM w, t ORDER BY lang""".stripMargin,
+      s"""WITH $MixScheduleCtes
+         |SELECT lang, n_docs, n_chars, share_q6, quota_chars, epochs_q6,
+         |       effective_chars
+         |FROM sched ORDER BY lang""".stripMargin,
+    // the same sched CTE (one spelling) joined onto docs; the fractional
+    // draw is the exact integer cross-multiply on md5 digits 29-32
+    "mix_materialize_repeats" ->
+      s"""WITH $MixScheduleCtes,
+         |h AS (
+         |  SELECT doc_id, lang,
+         |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 29, 4))
+         |              AS BIGINT) AS u16
+         |  FROM documents)
+         |SELECT h.doc_id, h.lang,
+         |       CAST(epochs_q6 // 1000000
+         |            + (CASE WHEN u16 * 1000000
+         |                         < (epochs_q6 % 1000000) * 65536
+         |                    THEN 1 ELSE 0 END) AS BIGINT) AS n_repeats
+         |FROM h JOIN sched ON h.lang = sched.lang
+         |ORDER BY h.doc_id""".stripMargin,
     // per-TYPE ln of an exact rational, q6 half-up (floor(x·1e6+0.5)),
     // then an integer sum over the doc's bigram instances
     "perplexity_bigram_doc" ->
