@@ -654,8 +654,9 @@ class PlanSpec extends SparkSpec {
       "sample_temperature", "perplexity_bigram_doc",
       // r13: mix_epochs_schedule crosses the 1-row (Σw, total_chars)
       // totals onto the |langs|-sized weight table (the
-      // sample_temperature shape)
-      "mix_epochs_schedule",
+      // sample_temperature shape); r14: mix_materialize_repeats shares
+      // epochSchedule and so contains the same 1-row totals cross
+      "mix_epochs_schedule", "mix_materialize_repeats",
       // r12b: knn_pq_adc reads quantizedVectors (1-row broadcast scale);
       // its codebook/ADC tables join by (sub, code) equi-keys, broadcast
       // hash joins, not cartesians
