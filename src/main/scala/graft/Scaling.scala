@@ -207,7 +207,11 @@ object Scaling {
     // round 13c: co-visitation (cap·|incidence| bipartite self-join —
     // the CN class on the user side) and time-decay attribution (the
     // attribution_position window shape)
-    Q("graph_covisitation", 64), Q("attribution_time_decay", 64))
+    Q("graph_covisitation", 64), Q("attribution_time_decay", 64),
+    // round 14b: sweep-line concurrency — the sessionize_batch window
+    // class + a 2·|sessions|-bounded global running sum; linear-in-events
+    // claim dominated by the sessionization scan
+    Q("sessions_concurrent_peak", 64))
 
   /** orders/lineitem-family study (base sf0.1 — 150k orders / 600k
     * lineitem ⇒ 9.6M / 38.4M at 64×): the two round-12e keys whose input
@@ -259,7 +263,12 @@ object Scaling {
     Q("etl_scd2_snapshot_asof", 64),
     // round 14: fingerprint diff — two partition-digest passes + a
     // calendar-bounded join; twice the partition-fingerprint cost, flat
-    Q("etl_fingerprint_diff", 64))
+    Q("etl_fingerprint_diff", 64),
+    // round 14b: weighted median — one map-side (flag, cents) agg + a
+    // value-domain-bounded cumulative (distinct cents constant under
+    // key-offset copies → flat past the scan); funcdep — three exact
+    // distinct-pair passes over orders, linear in the scan
+    Q("agg_weighted_median", 64), Q("profile_funcdep", 64))
 
   case class Pt(query: String, mult: Int, inputRows: Long, outRows: Long,
       sec: Double)

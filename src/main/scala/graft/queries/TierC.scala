@@ -728,6 +728,36 @@ object TierCAgg {
           sum(col("t")).cast("double").as("total"))
         .orderBy("o_custkey")
     }),
+    // C14b' — WEIGHTED median (round 14b): the median price a unit of
+    // QUANTITY was sold at, per return flag — the volume-weighted center a
+    // plain median misreads whenever cheap lines carry most of the volume.
+    // Lower weighted median, exact integers end to end: prices and weights
+    // land as cents longs, per-(flag, cents) weights are one map-side-
+    // combinable agg, the cumulative runs over the VALUE-DOMAIN-BOUNDED
+    // distinct-cents grid (the profile_ks_drift discipline — the corpus
+    // never enters a window), and the pick is min(cents) where 2·cum ≥
+    // total. Headroom: Σw ≤ 5000·n fits a long to n ≈ 1.8·10¹⁵ rows.
+    // 100 TB: one count pass + a grid-sized cumulative per group (2-pass
+    // partition-prefix cumsum replaces the per-group window past ~5·10⁷
+    // distinct cents, as for KS/Gini); the totals side is 3 rows.
+    "agg_weighted_median" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"),
+        (col("l_quantity").cast("decimal(18,2)") * 100)
+          .cast("long").as("w"))
+      val per = li.groupBy("l_returnflag", "cents").agg(sum("w").as("wv"))
+      val tot = per.groupBy("l_returnflag").agg(sum("wv").as("wtot"))
+      val cw = Window.partitionBy("l_returnflag").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      per.withColumn("cum", sum("wv").over(cw))
+        .join(broadcast(tot), Seq("l_returnflag"))
+        .filter(col("cum") * 2 >= col("wtot"))
+        .groupBy("l_returnflag")
+        .agg(min(col("cents")).as("wmedian_cents"),
+          min(col("wtot")).as("total_weight"))
+        .orderBy("l_returnflag")
+    }),
     // C14d — data-profiling histogram: fixed-width value buckets with
     // counts, per-bucket min/max, and mass share. One map-side-combined
     // pass; the share divides by a global-window total over the ~30 bucket
@@ -899,6 +929,36 @@ object TierCAgg {
           expr("CAST((2 * iw - (n + 1) * CAST(total_cents AS DECIMAL(38,0)))" +
             " * 1000000 DIV (CAST(n AS DECIMAL(38,0)) * total_cents)" +
             " AS BIGINT)").as("gini_q6"))
+    }),
+    // C14d4 — functional-dependency audit (round 14b): for each candidate
+    // FD det→dep, how many determinant values map to >1 distinct
+    // dependent — the Metanome-class profiling readout that validates a
+    // claimed key ("orderkey determines custkey": holds) and quantifies
+    // how badly a hoped-for rule fails ("a customer always uses one
+    // priority": doesn't) before anyone builds a dedup or a dimension on
+    // it. Per candidate: one exact distinct-pair pass (groupBy det,
+    // count_distinct dep — the two-level shuffle Spark plans for a single
+    // distinct), then a 1-row summary; violation rate in q6 by integer
+    // DIV. The report is |candidates| rows; candidates scan project only
+    // their two columns. 100 TB: each candidate is one map-side-
+    // combinable pass over (det, dep) pairs — the union is a handful of
+    // independent jobs, never a cross of them.
+    "profile_funcdep" -> ((s, d) => {
+      def fd(name: String, det: Column, dep: Column): DataFrame =
+        orders(s, d).groupBy(det.as("k"))
+          .agg(count_distinct(dep).as("ndep"))
+          .agg(count(lit(1)).as("n_det"),
+            sum(when(col("ndep") > 1, 1L).otherwise(0L)).as("n_violating"),
+            max(col("ndep")).as("max_dep"))
+          .select(lit(name).as("fd"), col("n_det"), col("n_violating"),
+            col("max_dep"),
+            expr("n_violating * 1000000 DIV n_det").as("viol_rate_q6"))
+      fd("o_orderkey->o_custkey", col("o_orderkey"), col("o_custkey"))
+        .unionByName(fd("o_custkey->o_orderpriority",
+          col("o_custkey"), col("o_orderpriority")))
+        .unionByName(fd("o_orderdate->o_orderstatus",
+          to_date(col("o_orderdate")), col("o_orderstatus")))
+        .orderBy("fd")
     }),
     // C14d' — key-skew profile: the measurement that justifies (or
     // refuses) a salted join. Group sizes for the candidate shuffle key,
@@ -1407,6 +1467,34 @@ object TierCAgg {
         |       list_sort(list(l_quantity))[CAST(greatest(ceil(0.9 * COUNT(*)), 1) AS INT)] AS p90_qty,
         |       COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the same distinct-cents grid + lower-median pick; HUGEINT-free (the
+    // 2·cum compare stays far inside BIGINT)
+    "agg_weighted_median" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |           AS BIGINT) AS cents,
+        |         CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+        |           AS BIGINT) AS w
+        |  FROM lineitem),
+        |per AS (
+        |  SELECT l_returnflag, cents, SUM(w) AS wv
+        |  FROM li GROUP BY l_returnflag, cents),
+        |tot AS (
+        |  SELECT l_returnflag, CAST(SUM(wv) AS BIGINT) AS wtot
+        |  FROM per GROUP BY l_returnflag),
+        |cum AS (
+        |  SELECT l_returnflag, cents,
+        |         SUM(wv) OVER (PARTITION BY l_returnflag ORDER BY cents
+        |                       ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM per)
+        |SELECT c.l_returnflag,
+        |       MIN(c.cents) AS wmedian_cents,
+        |       MIN(t.wtot) AS total_weight
+        |FROM cum c JOIN tot t ON c.l_returnflag = t.l_returnflag
+        |WHERE c.cum * 2 >= t.wtot
+        |GROUP BY c.l_returnflag
+        |ORDER BY c.l_returnflag""".stripMargin,
     "agg_variance" ->
       """SELECT l_returnflag,
         |       (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
@@ -1726,6 +1814,37 @@ object TierCAgg {
         |            // (CAST(COUNT(*) AS HUGEINT) * SUM(cents)) AS BIGINT)
         |         AS gini_q6
         |FROM r""".stripMargin,
+    // independent spelling: each candidate is one grouped HAVING-free
+    // pass; // is DuckDB integer division on non-negatives
+    "profile_funcdep" ->
+      """WITH c1 AS (
+        |  SELECT COUNT(*) AS n_det,
+        |         SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS n_violating,
+        |         MAX(ndep) AS max_dep
+        |  FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS ndep
+        |        FROM orders GROUP BY o_orderkey) t),
+        |c2 AS (
+        |  SELECT COUNT(*) AS n_det,
+        |         SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS n_violating,
+        |         MAX(ndep) AS max_dep
+        |  FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS ndep
+        |        FROM orders GROUP BY o_custkey) t),
+        |c3 AS (
+        |  SELECT COUNT(*) AS n_det,
+        |         SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS n_violating,
+        |         MAX(ndep) AS max_dep
+        |  FROM (SELECT CAST(o_orderdate AS DATE) AS det,
+        |               COUNT(DISTINCT o_orderstatus) AS ndep
+        |        FROM orders GROUP BY det) t)
+        |SELECT fd, n_det, n_violating, max_dep,
+        |       n_violating * 1000000 // n_det AS viol_rate_q6
+        |FROM (
+        |  SELECT 'o_orderkey->o_custkey' AS fd, * FROM c1
+        |  UNION ALL
+        |  SELECT 'o_custkey->o_orderpriority' AS fd, * FROM c2
+        |  UNION ALL
+        |  SELECT 'o_orderdate->o_orderstatus' AS fd, * FROM c3) u
+        |ORDER BY fd""".stripMargin,
     "profile_drift" ->
       """WITH e AS (SELECT event_type, COUNT(*) AS n_early FROM events
         |           WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
@@ -2072,6 +2191,37 @@ object TierCWindow {
           expr("max_by(page, struct(ts, event_id))").as("exit_page"))
         .drop("sid")
         .orderBy("user_id", "session_start")),
+    // C23b'' — peak concurrent sessions per day (round 14b): the capacity
+    // readout ("how many users were on AT ONCE?") sizing decisions read,
+    // computed by the classic sweep line — every session contributes a +1
+    // at start and a −1 at end, and concurrency is the running sum over
+    // the time-ordered boundary stream. Closed-interval rule: at equal
+    // timestamps starts sort BEFORE ends (delta DESC), so a session
+    // touching another's boundary — and a single-event session at its own
+    // instant — counts as active. Determinism without a PK: rows tied on
+    // (t, delta) receive cum values forming a deterministic MULTISET (the
+    // +1s at t permute c+1..c+k), and the surfaced per-day MAX and count
+    // are multiset-invariant. Sessions cross midnight, so the running sum
+    // is global by construction — over the 2·|sessions|-bounded boundary
+    // stream, never the event stream (the same |table|-bounded global
+    // window class as profile_gini's rank; 2-pass partition-prefix cumsum
+    // replaces it past ~5·10⁷ sessions). Day grouping after is map-side
+    // combinable. Shares staticSessions with sessionize_batch — the peak
+    // audits exactly the sessions the engine publishes.
+    "sessions_concurrent_peak" -> ((s, d) => {
+      val ses = staticSessions(s, d)
+      val bounds = ses.select(col("session_start").as("t"),
+          lit(1L).as("delta"))
+        .unionByName(ses.select(col("session_end").as("t"),
+          lit(-1L).as("delta")))
+      val sweep = Window.orderBy(asc("t"), desc("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bounds.withColumn("conc", sum("delta").over(sweep))
+        .groupBy(to_date(col("t")).as("day"))
+        .agg(max(col("conc")).as("peak_concurrency"),
+          count(lit(1)).as("n_boundaries"))
+        .orderBy("day")
+    }),
     // C23b' — DYNAMIC-gap sessionization (round 10): the gap depends on
     // the event (clicks cool off in 5 min, views in 15, everything else
     // 30) — the batch twin of session_window's dynamic-gap form, and a
@@ -3355,6 +3505,22 @@ object TierCWindow {
         |SELECT user_id, session_start, session_end, n_events,
         |       CAST(sum_value_dec AS DOUBLE) AS sum_value
         |FROM ses ORDER BY user_id, session_start""".stripMargin,
+    // the same shared session CTEs; the sweep line spelled as the
+    // boundary-union running sum with the identical (t, delta DESC) order
+    "sessions_concurrent_peak" ->
+      s"""WITH $SessionOracleCtes,
+        |bounds AS (
+        |  SELECT session_start AS t, CAST(1 AS BIGINT) AS delta FROM ses
+        |  UNION ALL
+        |  SELECT session_end AS t, CAST(-1 AS BIGINT) AS delta FROM ses),
+        |sweep AS (
+        |  SELECT t, SUM(delta) OVER (ORDER BY t, delta DESC
+        |                             ROWS UNBOUNDED PRECEDING) AS conc
+        |  FROM bounds)
+        |SELECT CAST(t AS DATE) AS day,
+        |       MAX(conc) AS peak_concurrency,
+        |       COUNT(*) AS n_boundaries
+        |FROM sweep GROUP BY day ORDER BY day""".stripMargin,
     // same sid recurrence with event_id/page carried; entry/exit picks
     // replayed as row_number windows over (ts, event_id) — an independent
     // construction of the min_by/max_by struct tiebreak
