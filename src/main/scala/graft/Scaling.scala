@@ -103,7 +103,12 @@ object Scaling {
     // verify joins on candidate rows only; the minhash_verified class.
     // Schedule materialization — broadcast |langs| join + per-row md5,
     // scan-bound linear claim
-    Q("dedup_minhash_calibration", 64), Q("mix_materialize_repeats", 64))
+    Q("dedup_minhash_calibration", 64), Q("mix_materialize_repeats", 64),
+    // round 14b: shard assignment — the materialization's broadcast join
+    // + a sequence explode and an 8-group agg; scan-bound linear claim.
+    // Fertility — bpeLearn + the bpe_apply_encode explode re-aggregated
+    // to |langs| rows; expected to track bpe_apply_encode
+    Q("mix_shard_assignment", 64), Q("tokenizer_fertility", 64))
 
   /** embeddings+events-family study (base sf0.1 — 2000 vecs / 100k events
     * ⇒ 128000 / 6.4M at 64×). The exact per-label pair operator is capped
@@ -116,6 +121,10 @@ object Scaling {
     Q("dedup_embedding_ann", 64), Q("knn_pairs_label_ann", 64),
     Q("knn_radius_quantized", 64), Q("knn_quantized_topk", 64),
     Q("knn_ivf_multiprobe", 64),
+    // round 14b: recall-vs-nprobe audit — three ivfTop10 passes + three
+    // 1-row candidate counts + the exact reference scan; expected ~4-7×
+    // the single multiprobe curve, same linear class
+    Q("knn_ivf_recall_audit", 64),
     // round 11b: late-interaction MaxSim — one broadcast pass over the
     // corpus (4 query tokens), expected to track the linear topk curve
     Q("retrieval_maxsim", 64),
@@ -268,7 +277,13 @@ object Scaling {
     // value-domain-bounded cumulative (distinct cents constant under
     // key-offset copies → flat past the scan); funcdep — three exact
     // distinct-pair passes over orders, linear in the scan
-    Q("agg_weighted_median", 64), Q("profile_funcdep", 64))
+    Q("agg_weighted_median", 64), Q("profile_funcdep", 64),
+    // round 14b: as-of dim join — events stay base (symlinked), the SCD2
+    // version table grows with the ×m customer dim: the claim is that
+    // dim growth costs only the dim scan + build side, the fact side
+    // streams unchanged. Pseudonymized join — orders/customer both ×m,
+    // one md5 per row + the raw join's shuffle: linear claim
+    Q("etl_dim_asof_join", 64), Q("etl_pseudonymize_join", 64))
 
   case class Pt(query: String, mult: Int, inputRows: Long, outRows: Long,
       sec: Double)

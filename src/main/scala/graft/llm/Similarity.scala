@@ -223,6 +223,42 @@ object Similarity {
       .select(col("vec_id"), col("uv"), col("c_id").as("cell"))
   }
 
+  /** The fixed-8-centroid multi-probe IVF top-10 ranking — ONE
+    * construction shared by `knn_ivf_multiprobe` (nprobe = 2, the
+    * shipped index read path) and `knn_ivf_recall_audit` (nprobe 1/2/4,
+    * the tuning curve), so the audit can never describe a different
+    * index than the one shipped. Deterministic scaffolding as
+    * knn_ivf_coarse: 4dp-quantized assignment scores with c_id
+    * tiebreaks make the nprobe cell set a pure fixture function; the
+    * probe's cell list + query vector ride an nprobe-row broadcast
+    * through the cell EQUI-join (no nested-loop join); top-k is
+    * TakeOrdered, row numbering happens over 10 rows. */
+  private def ivfSims(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    val unit = withUnitVec(embeddings(s, d), "embedding", "uv")
+    val cent = unit.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("uv").as("c_v"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("c_id"))
+    val ranked = unit.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("uv"),
+        round(dotD(col("uv"), col("c_v")), 4).as("csim"), col("c_id"))
+      .withColumn("arn", row_number().over(wAssign))
+    val clustered = ranked.filter(col("arn") === 1)
+      .select(col("vec_id"), col("uv"), col("c_id").as("cell"))
+    val probe = ranked.filter(col("vec_id") === 0 && col("arn") <= nprobe)
+      .select(col("c_id").as("cell"), col("uv").as("qv"))
+    clustered.join(broadcast(probe), Seq("cell"))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), round(dotD(col("uv"), col("qv")), 4).as("sim"))
+  }
+
+  private def ivfTop10(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    val sims = ivfSims(s, d, nprobe)
+    val w = Window.orderBy(desc("sim"), asc("vec_id"))
+    sims.orderBy(desc("sim"), asc("vec_id")).limit(10)
+      .withColumn("rn", row_number().over(w))
+      .select("rn", "vec_id")
+  }
+
   /** Greedy maximal-marginal-relevance selection: pick `k` of the exact
     * top-`pool` candidates by query cosine, each step maximizing
     * lam·rel − (1−lam)·max_sim_to_already_selected. rel and the pairwise
@@ -963,29 +999,46 @@ object Similarity {
     // tiebreaks, so the nprobe cell SET (arn <= 2) is a pure fixture
     // function in both engines; candidate scan stays cell-partitioned, the
     // probe's cell list and query vector ride as one-row broadcasts.
-    "knn_ivf_multiprobe" -> ((s, d) => {
-      val unit = withUnitVec(embeddings(s, d), "embedding", "uv")
-      val cent = unit.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("c_id"), col("uv").as("c_v"))
-      val wAssign = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("c_id"))
-      val ranked = unit.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("uv"),
-          round(dotD(col("uv"), col("c_v")), 4).as("csim"), col("c_id"))
-        .withColumn("arn", row_number().over(wAssign))
-      val clustered = ranked.filter(col("arn") === 1)
-        .select(col("vec_id"), col("uv"), col("c_id").as("cell"))
-      // the query vector rides the 2-row (cell, qv) broadcast through the
-      // cell EQUI-join (the knn_ivf_coarse shape) — no nested-loop join
-      val probe = ranked.filter(col("vec_id") === 0 && col("arn") <= 2)
-        .select(col("c_id").as("cell"), col("uv").as("qv"))
-      val sims = clustered.join(broadcast(probe), Seq("cell"))
-        .filter(col("vec_id") =!= 0)
-        .select(col("vec_id"), round(dotD(col("uv"), col("qv")), 4).as("sim"))
-      val w = Window.orderBy(desc("sim"), asc("vec_id"))
-      sims.orderBy(desc("sim"), asc("vec_id")).limit(10)
-        .withColumn("rn", row_number().over(w))
-        .select("rn", "vec_id")
-        .orderBy("rn")
+    "knn_ivf_multiprobe" -> ((s, d) => ivfTop10(s, d, nprobe = 2)
+      .orderBy("rn")),
+    // IVF recall-vs-nprobe audit (round 14b): the tuning curve every IVF
+    // deployment reads before fixing nprobe — overlap of the IVF top-10
+    // with the exact top-10 at nprobe = 1, 2, 4, on the SAME ivfTop10
+    // construction knn_ivf_multiprobe ships (shared builder — the audit
+    // can never describe a different index), with the exact reference
+    // the knn_cosine_topk ranking. Completes the audit panel:
+    // knn_mrl_prefix_recall measures the dimension knob, this measures
+    // the cells-searched knob. 100 TB: three cell-bounded candidate
+    // scans (nprobe/K of the corpus each) + TakeOrdered heaps + a
+    // 30-row join against the 10-row reference.
+    "knn_ivf_recall_audit" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      val ref = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(cosine(col("embedding"), col("qv")), 4).as("sim"))
+        .orderBy(desc("sim"), asc("vec_id")).limit(10)
+        .select(col("vec_id")).withColumn("hit", lit(1L))
+      // candidates scanned per nprobe — the COST side of the curve, and
+      // the structural check that the nprobe cut works even where recall
+      // saturates (a 1-row map-side count per nprobe, broadcast onto the
+      // 3-row recall table)
+      val cost = Seq(1, 2, 4)
+        .map(np => ivfSims(s, d, np)
+          .agg(lit(np).as("nprobe"), count(lit(1)).as("candidates")))
+        .reduce(_ unionByName _)
+      Seq(1, 2, 4)
+        .map(np => ivfTop10(s, d, np)
+          .select(lit(np).as("nprobe"), col("vec_id")))
+        .reduce(_ unionByName _)
+        .join(broadcast(ref), Seq("vec_id"), "left")
+        .groupBy("nprobe")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("recall10"))
+        .join(broadcast(cost), Seq("nprobe"))
+        .orderBy("nprobe")
     }),
     // Quantized retrieval — the production serving path embed_quantize
     // (below) prepares for: top-k by INTEGER dot product over int8
@@ -2020,6 +2073,79 @@ object Similarity {
         |SELECT rn, vec_id FROM (
         |  SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rn
         |  FROM sims) t
-        |WHERE rn <= 10 ORDER BY rn""".stripMargin
+        |WHERE rn <= 10 ORDER BY rn""".stripMargin,
+    // the same cent/ranked/clustered CTEs; each nprobe's top-10 replays
+    // the multiprobe oracle with its own pcells cut, the reference is the
+    // knn_cosine_topk exact ranking
+    "knn_ivf_recall_audit" -> {
+      def ivfTop(np: Int): String =
+        s"""SELECT $np AS nprobe, vec_id FROM (
+           |  SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id)
+           |    AS rn
+           |  FROM (
+           |    SELECT e.vec_id,
+           |           round(list_cosine_similarity(e.embedding,
+           |             (SELECT embedding FROM embeddings WHERE vec_id = 0)),
+           |             4) AS sim
+           |    FROM embeddings e
+           |    JOIN clustered c ON e.vec_id = c.vec_id
+           |    JOIN (SELECT c_id AS cell FROM ranked
+           |          WHERE vec_id = 0 AND arn <= $np) p
+           |      ON c.cell = p.cell
+           |    WHERE e.vec_id <> 0) s) t
+           |WHERE rn <= 10""".stripMargin
+      def cand(np: Int): String =
+        s"""SELECT $np AS nprobe, COUNT(*) AS candidates
+           |FROM embeddings e
+           |JOIN clustered c ON e.vec_id = c.vec_id
+           |JOIN (SELECT c_id AS cell FROM ranked
+           |      WHERE vec_id = 0 AND arn <= $np) p
+           |  ON c.cell = p.cell
+           |WHERE e.vec_id <> 0""".stripMargin
+      s"""WITH cent AS (
+         |  SELECT vec_id AS c_id, embedding AS c_v FROM embeddings
+         |  WHERE vec_id < 8),
+         |assigned AS (
+         |  SELECT e.vec_id, c.c_id,
+         |         round(list_cosine_similarity(e.embedding, c.c_v), 4)
+         |           AS csim
+         |  FROM embeddings e CROSS JOIN cent c),
+         |ranked AS (
+         |  SELECT vec_id, c_id,
+         |         row_number() OVER (PARTITION BY vec_id
+         |                            ORDER BY csim DESC, c_id) AS arn
+         |  FROM assigned),
+         |clustered AS (
+         |  SELECT vec_id, c_id AS cell FROM ranked WHERE arn = 1),
+         |refk AS (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id)
+         |      AS rn
+         |    FROM (
+         |      SELECT vec_id,
+         |             round(list_cosine_similarity(embedding,
+         |               (SELECT embedding FROM embeddings WHERE vec_id = 0)),
+         |               4) AS sim
+         |      FROM embeddings WHERE vec_id <> 0) s) t
+         |  WHERE rn <= 10),
+         |allp AS (
+         |${ivfTop(1)}
+         |UNION ALL
+         |${ivfTop(2)}
+         |UNION ALL
+         |${ivfTop(4)}),
+         |cost AS (
+         |${cand(1)}
+         |UNION ALL
+         |${cand(2)}
+         |UNION ALL
+         |${cand(4)})
+         |SELECT a.nprobe, COUNT(*) AS k,
+         |       CAST(SUM(CASE WHEN vec_id IN (SELECT vec_id FROM refk)
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS recall10,
+         |       MIN(cost.candidates) AS candidates
+         |FROM allp a JOIN cost ON a.nprobe = cost.nprobe
+         |GROUP BY a.nprobe ORDER BY a.nprobe""".stripMargin
+    }
   )
 }

@@ -114,6 +114,48 @@ object TextStats {
         expr("CAST(n_chars AS DECIMAL(38,0)) * epochs_q6 DIV 1000000"))
   }
 
+  /** Per-document BPE encode summary — ONE definition shared by
+    * `bpe_apply_encode` (the per-doc readout) and `tokenizer_fertility`
+    * (the per-language audit), so the audit can never describe a
+    * different encoder than the one shipped: each whitespace token costs
+    * its learned segment length (types outside the ^[a-z]+$ vocabulary
+    * fall back to 1 token and count as OOV). The vocabulary join is a
+    * word-TYPE-sized broadcast onto the token stream; the doc agg is
+    * map-side combinable. */
+  private def bpeDocEncode(s: SparkSession, d: String): DataFrame = {
+    val nsub = bpeLearn(s, d)._2
+      .select(col("w"), size(split(trim(col("seg")), " ")).as("n_sub"))
+    documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .join(nsub, Seq("w"), "left")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_ws"),
+        sum(coalesce(col("n_sub").cast("long"), lit(1L))).as("n_bpe"),
+        sum(when(col("n_sub").isNull, 1L).otherwise(0L)).as("n_oov"))
+  }
+
+  /** Per-document repeat counts materialized from the epoch schedule —
+    * ONE definition shared by `mix_materialize_repeats` (the published
+    * list) and `mix_shard_assignment` (the shard layout built from it),
+    * so the shards can never be cut from a different repeat draw than the
+    * one published. Carries n_chars for the shard balance report (unused
+    * columns prune out of the scan for the repeats key). The fractional
+    * draw is the exact integer cross-multiply on md5(doc_id) digits 29-32
+    * — see `mix_materialize_repeats`' scaladoc for the bias bound. */
+  private def materializedRepeats(s: SparkSession, d: String): DataFrame = {
+    val sched = epochSchedule(s, d).select(col("lang"), col("epochs_q6"))
+    documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(broadcast(sched), Seq("lang"))
+      .withColumn("u16",
+        conv(substring(md5(col("doc_id").cast("string")), 29, 4), 16, 10)
+          .cast("long"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (expr("epochs_q6 DIV 1000000") +
+          when(expr("u16 * 1000000 < (epochs_q6 % 1000000) * 65536"), 1L)
+            .otherwise(0L)).as("n_repeats"))
+  }
+
   /** Fold of md5 hex digits [from, from+3] of the stringified id into an
     * int in [0, 16^4) — the engine-agnostic deterministic-hash primitive
     * behind sample_split / stratified_sample / pack_sequences sharding
@@ -303,18 +345,29 @@ object TextStats {
     // equi-join → per-doc sum (map-side-combinable). Tokens outside the
     // ^[a-z]+$ segmentation contract count 1 unsegmented (the byte-level
     // pre-tokenizer's job in production).
-    "bpe_apply_encode" -> ((s, d) => {
-      val nsub = bpeLearn(s, d)._2
-        .select(col("w"), size(split(trim(col("seg")), " ")).as("n_sub"))
-      documents(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-        .filter(col("w") =!= "")
-        .join(nsub, Seq("w"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_ws"),
-          sum(coalesce(col("n_sub").cast("long"), lit(1L))).as("n_bpe"))
-        .orderBy("doc_id")
-    }),
+    "bpe_apply_encode" -> ((s, d) =>
+      bpeDocEncode(s, d).select("doc_id", "n_ws", "n_bpe")
+        .orderBy("doc_id")),
+    // Tokenizer fertility by language (round 14b): tokens-per-word and
+    // OOV share per lang under the corpus's own BPE — THE audit that
+    // exposes tokenizer bias before training (a language at fertility 2×
+    // pays 2× the compute per word and fits half the content per
+    // context window; the vocab here learns on ^[a-z]+$ types, so
+    // non-Latin text surfaces as the high OOV share this report exists
+    // to catch). Shares bpeDocEncode with bpe_apply_encode — the audit
+    // describes exactly the encoder the engine ships. q6 ratios by
+    // integer DIV on exact sums. 100 TB: the per-doc table re-aggregates
+    // map-side-combinably to |langs| rows; nothing new scans the corpus.
+    "tokenizer_fertility" -> ((s, d) =>
+      bpeDocEncode(s, d).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_ws")).as("n_words"),
+          sum(col("n_bpe")).as("n_tokens"),
+          sum(col("n_oov")).as("n_oov"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+          expr("n_tokens * 1000000 DIV n_words").as("fertility_q6"),
+          expr("n_oov * 1000000 DIV n_words").as("oov_q6"))
+        .orderBy("lang")),
     // Language-ID heuristic: argmax of marker-hit counts, 'und' when nothing
     // matches. Oracle-checked — the marker lexicon is spelled out in the
     // DuckDB SQL, and array_max over (hits, lang) structs ties to the
@@ -624,18 +677,38 @@ object TextStats {
     // Shares epochSchedule with the schedule key — the materialization
     // can never disagree with the published mix. 100 TB: one broadcast
     // |langs|-row schedule join + a per-row hash, zero extra shuffles.
-    "mix_materialize_repeats" -> ((s, d) => {
-      val sched = epochSchedule(s, d).select(col("lang"), col("epochs_q6"))
-      documents(s, d).select(col("doc_id"), col("lang"))
-        .join(broadcast(sched), Seq("lang"))
-        .withColumn("u16",
-          conv(substring(md5(col("doc_id").cast("string")), 29, 4), 16, 10)
-            .cast("long"))
-        .select(col("doc_id"), col("lang"),
-          (expr("epochs_q6 DIV 1000000") +
-            when(expr("u16 * 1000000 < (epochs_q6 % 1000000) * 65536"), 1L)
-              .otherwise(0L)).as("n_repeats"))
-        .orderBy("doc_id")
+    "mix_materialize_repeats" -> ((s, d) =>
+      materializedRepeats(s, d)
+        .select("doc_id", "lang", "n_repeats")
+        .orderBy("doc_id")),
+    // SHARD the materialized instances (round 14b) — the last step to an
+    // actual training shard list: each (doc, copy) instance lands in one
+    // of 8 shards by md5(doc_id||'#'||copy) hex digits 1-4 mod 8, so a
+    // document's repeats SPREAD across shards (an epoch-major layout
+    // would put copy k of everything in shard k and shard sizes would
+    // inherit the fractional-draw skew). The hash input is a NEW domain —
+    // 'doc_id#copy', not the bare doc_id the md5-digit ledger partitions
+    // — so it collides with no ledger range by input disjointness (the
+    // etl_table_fingerprint precedent). The report is the per-shard
+    // balance audit (instances, distinct docs, chars) a capacity planner
+    // reads before launching; the gate's hash match proves both engines
+    // materialize AND shard identically. 100 TB: the explode is
+    // expression-level fan-out (≤4 copies/doc by the epoch cap), the
+    // shard hash is per-row, and the only shuffles are the 8-group agg
+    // and its exact distinct — no instance-level global ordering anywhere.
+    "mix_shard_assignment" -> ((s, d) => {
+      val inst = materializedRepeats(s, d)
+        .filter(col("n_repeats") >= 1)
+        .withColumn("copy", explode(sequence(lit(1L), col("n_repeats"))))
+      inst.withColumn("shard",
+          pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit("#"), col("copy").cast("string"))), 1, 4), 16, 10)
+            .cast("long"), lit(8L)))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_instances"),
+          count_distinct(col("doc_id")).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("shard")
     }),
     // Per-document bigram log-likelihood (round 12): the CCNet filter
     // SIGNAL — score every doc under the corpus's own add-one-smoothed
@@ -1622,6 +1695,24 @@ object TextStats {
       |           AS effective_chars
       |  FROM w, t)""".stripMargin
 
+  /** [[MixScheduleCtes]] extended to the `rep` CTE — the DuckDB spelling
+    * of [[materializedRepeats]], interpolated into both the repeats and
+    * the shard-assignment oracles (one definition on the SQL side too). */
+  private val MaterializeRepeatsCtes: String =
+    s"""$MixScheduleCtes,
+       |h AS (
+       |  SELECT doc_id, lang, n_chars,
+       |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 29, 4))
+       |              AS BIGINT) AS u16
+       |  FROM documents),
+       |rep AS (
+       |  SELECT h.doc_id, h.lang, h.n_chars,
+       |         CAST(epochs_q6 // 1000000
+       |              + (CASE WHEN u16 * 1000000
+       |                           < (epochs_q6 % 1000000) * 65536
+       |                      THEN 1 ELSE 0 END) AS BIGINT) AS n_repeats
+       |  FROM h JOIN sched ON h.lang = sched.lang)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "bpe_train_merges" -> {
       val union = (0 until 8).map(k => s"SELECT * FROM m$k")
@@ -1641,6 +1732,31 @@ object TextStats {
          |                     ELSE 1 END) AS BIGINT) AS n_bpe
          |FROM tok t LEFT JOIN seg8 s ON t.w = s.w
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    // the same vocab/encode CTEs re-aggregated per language; the q6
+    // ratios divide exact sums
+    "tokenizer_fertility" ->
+      s"""WITH $bpeOracleCtes,
+         |seg8 AS (SELECT w, len(str_split(trim(seg), ' ')) AS n_sub FROM v8),
+         |tok AS (
+         |  SELECT doc_id, lang, w FROM (
+         |    SELECT doc_id, lang, unnest(str_split(text, ' ')) AS w
+         |    FROM documents)
+         |  WHERE w <> ''),
+         |perdoc AS (
+         |  SELECT doc_id, lang, COUNT(*) AS n_ws,
+         |         SUM(CASE WHEN s.n_sub IS NOT NULL THEN s.n_sub
+         |                  ELSE 1 END) AS n_bpe,
+         |         SUM(CASE WHEN s.n_sub IS NULL THEN 1 ELSE 0 END) AS n_oov
+         |  FROM tok t LEFT JOIN seg8 s ON t.w = s.w
+         |  GROUP BY doc_id, lang)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_ws) AS BIGINT) AS n_words,
+         |       CAST(SUM(n_bpe) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(n_bpe) * 1000000 // SUM(n_ws) AS BIGINT)
+         |         AS fertility_q6,
+         |       CAST(SUM(n_oov) * 1000000 // SUM(n_ws) AS BIGINT)
+         |         AS oov_q6
+         |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin,
     "text_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
@@ -2561,19 +2677,23 @@ object TextStats {
     // the same sched CTE (one spelling) joined onto docs; the fractional
     // draw is the exact integer cross-multiply on md5 digits 29-32
     "mix_materialize_repeats" ->
-      s"""WITH $MixScheduleCtes,
-         |h AS (
-         |  SELECT doc_id, lang,
-         |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 29, 4))
-         |              AS BIGINT) AS u16
-         |  FROM documents)
-         |SELECT h.doc_id, h.lang,
-         |       CAST(epochs_q6 // 1000000
-         |            + (CASE WHEN u16 * 1000000
-         |                         < (epochs_q6 % 1000000) * 65536
-         |                    THEN 1 ELSE 0 END) AS BIGINT) AS n_repeats
-         |FROM h JOIN sched ON h.lang = sched.lang
-         |ORDER BY h.doc_id""".stripMargin,
+      s"""WITH $MaterializeRepeatsCtes
+         |SELECT doc_id, lang, n_repeats FROM rep
+         |ORDER BY doc_id""".stripMargin,
+    // the same rep CTE fanned out by generate_series; the shard hash is
+    // md5 of the NEW 'doc_id#copy' domain, digits 1-4 mod 8
+    "mix_shard_assignment" ->
+      s"""WITH $MaterializeRepeatsCtes,
+         |inst AS (
+         |  SELECT doc_id, n_chars, CAST(t.copy AS BIGINT) AS copy
+         |  FROM rep, UNNEST(range(1, CAST(n_repeats AS BIGINT) + 1)) AS t(copy)
+         |  WHERE n_repeats >= 1)
+         |SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
+         |         CAST(copy AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS shard,
+         |       COUNT(*) AS n_instances,
+         |       COUNT(DISTINCT doc_id) AS n_docs,
+         |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM inst GROUP BY shard ORDER BY shard""".stripMargin,
     // per-TYPE ln of an exact rational, q6 half-up (floor(x·1e6+0.5)),
     // then an integer sum over the doc's bigram instances
     "perplexity_bigram_doc" ->

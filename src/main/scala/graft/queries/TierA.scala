@@ -59,9 +59,10 @@ object TierA {
     * builder so the two keys can never disagree about the published
     * history: base versions open 2024-01-01; custkey%10 keys are updated
     * (+100 balance) effective 2024-06-01, closing the old version. */
-  private def scd2Table(s: SparkSession, d: String): DataFrame = {
+  private def scd2Table(s: SparkSession, d: String,
+      effectiveDay: String = "2024-06-01"): DataFrame = {
     val openFrom = to_date(lit("2024-01-01"))
-    val effective = to_date(lit("2024-06-01"))
+    val effective = to_date(lit(effectiveDay))
     val farFuture = to_date(lit("9999-12-31"))
     val base = customer(s, d).select("c_custkey", "c_name", "c_acctbal")
       .withColumn("valid_from", openFrom)
@@ -403,6 +404,61 @@ object TierA {
         .filter(col("valid_from") <= t && t < col("valid_to"))
         .select("c_custkey", "c_name", "c_acctbal", "valid_from")
         .orderBy("c_custkey")
+    }),
+    // A13d' — FACT-to-SCD2 as-of join (round 14b): enrich every event with
+    // the dimension version valid AT ITS OWN timestamp — the late-binding
+    // temporal join every warehouse fact load runs against a versioned
+    // dimension (the snapshot key freezes ONE instant; this resolves a
+    // DIFFERENT instant per row). Same scd2Table builder, effective date
+    // moved to 2024-01-16 so the REAL event stream straddles the version
+    // boundary (events run 2024-01-01..30; the default 2024-06-01 would
+    // leave the post-update versions untouched and the join untested).
+    // Join shape: equi on the key + interval-containment residual
+    // (valid_from ≤ event day < valid_to) — exactly one version matches
+    // by the SCD2 interval partition, so the fact row count is preserved
+    // (the oracle proves it by deriving each event's expected version
+    // from the change predicates, never replaying the interval filter).
+    // 100 TB: the fact side streams through one broadcast hash join (the
+    // dim ships versions, still dimension-sized); no fact shuffle.
+    "etl_dim_asof_join" -> ((s, d) => {
+      val dim = scd2Table(s, d, effectiveDay = "2024-01-16")
+      events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+        .join(broadcast(dim),
+          col("user_id") === col("c_custkey") &&
+            col("valid_from") <= to_date(col("ts")) &&
+            to_date(col("ts")) < col("valid_to"))
+        .select(col("event_id"), col("user_id"), col("c_acctbal"),
+          col("valid_from"))
+        .orderBy("event_id")
+    }),
+    // A13e — stable pseudonymization with referential integrity (round
+    // 14b): the privacy-preserving ETL step a training-data pipeline runs
+    // before keys leave the trust boundary — replace the customer key
+    // with md5('cust:'||key) on BOTH tables (a pure function of the key:
+    // reruns, engines and the two tables agree with no mapping table to
+    // leak), then compute revenue-by-segment ENTIRELY in pseudonym space.
+    // The oracle computes the same report from the RAW keys — it never
+    // hashes — so the gate proves the pseudonym join reproduces the real
+    // join bit-for-bit (a token collision or a null-handling drift would
+    // split/merge groups and break the hash match). NULL keys tokenize to
+    // NULL (concat propagates) and drop from both joins identically.
+    // 100 TB: one hash expression per row, then the identical shuffle the
+    // raw-key join would run — pseudonymization adds zero shuffles; the
+    // distinct-customer count is the standard two-level exact distinct.
+    "etl_pseudonymize_join" -> ((s, d) => {
+      def tok(c: Column) = md5(concat(lit("cust:"), c.cast("string")))
+      val cust = customer(s, d)
+        .select(tok(col("c_custkey")).as("cust_token"), col("c_mktsegment"))
+      val ord = orders(s, d).select(
+        tok(col("o_custkey")).as("cust_token"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      ord.join(cust, Seq("cust_token"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          count_distinct(col("cust_token")).as("n_customers"),
+          sum(col("cents")).as("revenue_cents"))
+        .orderBy("c_mktsegment")
     }),
     // A13c — snapshot diff between two published versions: the audit step
     // after any SCD publish ("what did this load change?") — added /
@@ -943,6 +999,32 @@ object TierA {
         |       CASE WHEN c_custkey % 10 = 0 THEN DATE '2024-06-01'
         |            ELSE DATE '2024-01-01' END AS valid_from
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // the oracle derives each EVENT's expected version from the change
+    // predicates (key%10 + the event-day threshold) — never by replaying
+    // the interval-containment join it checks
+    "etl_dim_asof_join" ->
+      """SELECT e.event_id, e.user_id,
+        |       CASE WHEN c.c_custkey % 10 = 0
+        |             AND CAST(CAST(e.ts AS TIMESTAMP) AS DATE)
+        |                 >= DATE '2024-01-16'
+        |            THEN c.c_acctbal + 100 ELSE c.c_acctbal END AS c_acctbal,
+        |       CASE WHEN c.c_custkey % 10 = 0
+        |             AND CAST(CAST(e.ts AS TIMESTAMP) AS DATE)
+        |                 >= DATE '2024-01-16'
+        |            THEN DATE '2024-01-16' ELSE DATE '2024-01-01' END
+        |         AS valid_from
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
+    // the oracle joins the RAW keys and never hashes — the gate proves
+    // the pseudonym-space join reproduces the real join exactly
+    "etl_pseudonymize_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |       COUNT(DISTINCT o_custkey) AS n_customers,
+        |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |         AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     // both sides' digests from the one interpolated hash recipe; v2's
     // drift model is replayed as a CTE
     "etl_fingerprint_diff" ->

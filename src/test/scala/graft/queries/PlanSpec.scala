@@ -196,6 +196,44 @@ class PlanSpec extends SparkSpec {
       s"a window sneaked into the ranking path:\n$plan")
   }
 
+  test("r14b: the as-of dim join broadcasts the version table — the fact side never shuffles") {
+    // the whole 100 TB argument of etl_dim_asof_join: events stream
+    // through ONE broadcast hash join against the dimension's version
+    // table; a sort-merge plan here would shuffle the fact table on
+    // user_id for a dimension-sized build side
+    val plan = executedPlan("etl_dim_asof_join")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"as-of dim join is not a broadcast hash join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"fact side shuffles into a sort-merge join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(user_id"),
+      s"the fact side is exchanged on user_id:\n$plan")
+  }
+
+  test("r14b: weighted median cumulates per flag over the cents grid, with map-side partials") {
+    // the window must be PARTITIONED by l_returnflag (the value-domain
+    // grid argument needs per-group streams, not one global order) and
+    // the per-(flag, cents) weights must partial-aggregate map-side
+    val plan = executedPlan("agg_weighted_median")
+    assert(plan.contains("windowspecdefinition(l_returnflag"),
+      s"the cumulative window is not flag-partitioned:\n$plan")
+    assert(plan.contains("partial_"),
+      s"the weight aggregation is not map-side partial:\n$plan")
+  }
+
+  test("r14b: the IVF recall audit ranks via TakeOrdered heaps, never a global sim window") {
+    // three ivfTop10 passes + the exact reference: every ranking must be
+    // a per-partition heap (TakeOrderedAndProject); the only windows in
+    // the plan are the PARTITIONED per-vector cell assignments — a
+    // global row_number over sim would funnel each candidate scan
+    // through one task
+    val plan = executedPlan("knn_ivf_recall_audit")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"rankings are not TakeOrdered heaps:\n$plan")
+    assert(!plan.contains("windowspecdefinition(sim"),
+      s"a global sim window sneaked into the ranking path:\n$plan")
+  }
+
   test("token near-dup joins on the salted block grid, never the block alone") {
     // same discipline as the embedding grid: the pair join must carry the
     // salt key g so a hot (first-token, length) block spreads over grid
@@ -717,7 +755,14 @@ class PlanSpec extends SparkSpec {
       // the distinct-cents ECDF grid (the profile_drift total-broadcast
       // shape); knn_mrl_prefix_recall runs four knn_cosine_topk-style
       // 1-row broadcast probe crosses (one per prefix width)
-      "profile_ks_drift", "knn_mrl_prefix_recall")
+      "profile_ks_drift", "knn_mrl_prefix_recall",
+      // r14b: knn_ivf_recall_audit runs three ivfTop10 passes (each with
+      // the multiprobe key's intended centroid cross + nprobe-row probe
+      // broadcast) plus the knn_cosine_topk-style 1-row exact-reference
+      // probe cross; mix_shard_assignment shares epochSchedule (the
+      // 1-row totals cross); tokenizer_fertility shares bpeLearn's
+      // bounded-broadcast argmax loop
+      "knn_ivf_recall_audit", "mix_shard_assignment", "tokenizer_fertility")
     // ETL/streaming queries run real side effects — planning-only audit
     // covers the analytic surface (list shared with ContractSpec).
     val sideEffecting = QuerySets.sideEffecting
