@@ -220,7 +220,12 @@ object Scaling {
     // round 14b: sweep-line concurrency — the sessionize_batch window
     // class + a 2·|sessions|-bounded global running sum; linear-in-events
     // claim dominated by the sessionization scan
-    Q("sessions_concurrent_peak", 64))
+    Q("sessions_concurrent_peak", 64),
+    // round 14c: reciprocity — one |E|-bounded left-semi self-join on the
+    // distinct edge set (edges grow ×m under vertex-disjoint copies:
+    // linear claim); DAU/MAU — two exact-distinct passes + a
+    // calendar-bounded broadcast (linear claim)
+    Q("graph_reciprocity", 64), Q("engagement_dau_mau", 64))
 
   /** orders/lineitem-family study (base sf0.1 — 150k orders / 600k
     * lineitem ⇒ 9.6M / 38.4M at 64×): the two round-12e keys whose input
@@ -283,7 +288,10 @@ object Scaling {
     // dim growth costs only the dim scan + build side, the fact side
     // streams unchanged. Pseudonymized join — orders/customer both ×m,
     // one md5 per row + the raw join's shuffle: linear claim
-    Q("etl_dim_asof_join", 64), Q("etl_pseudonymize_join", 64))
+    Q("etl_dim_asof_join", 64), Q("etl_pseudonymize_join", 64),
+    // round 14c: frequent-values profile — two map-side count passes;
+    // the rank window sees ≤8 aggregated rows; flat claim
+    Q("profile_frequent_values", 64))
 
   case class Pt(query: String, mult: Int, inputRows: Long, outRows: Long,
       sec: Double)

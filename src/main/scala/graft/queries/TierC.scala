@@ -960,6 +960,31 @@ object TierCAgg {
           to_date(col("o_orderdate")), col("o_orderstatus")))
         .orderBy("fd")
     }),
+    // C14d5 — frequent-values profile (round 14c): per column, the top-3
+    // most common values with counts and mass share — the "what's
+    // actually in this column" readout every data catalog shows next to
+    // profile_columns' cardinalities (and the input to dictionary/RLE
+    // encoding decisions). Per column: ONE map-side-combinable count
+    // pass; the ranking window and the per-column total run on the
+    // |distinct-values|-bounded count table, never the corpus (the ties
+    // break on value, so top-3 is deterministic). Report ≤ 3·|columns|
+    // rows; share_q6 by integer DIV.
+    "profile_frequent_values" -> ((s, d) => {
+      def topOf(name: String): DataFrame =
+        orders(s, d).groupBy(col(name).cast("string").as("value"))
+          .agg(count(lit(1)).as("n"))
+          .select(lit(name).as("column"), col("value"), col("n"))
+      val counts = Seq("o_orderstatus", "o_orderpriority")
+        .map(topOf).reduce(_ unionByName _)
+      val byCol = Window.partitionBy("column")
+      val rank = Window.partitionBy("column").orderBy(desc("n"), asc("value"))
+      counts.withColumn("tot", sum("n").over(byCol))
+        .withColumn("rk", row_number().over(rank))
+        .filter(col("rk") <= 3)
+        .select(col("column"), col("rk"), col("value"), col("n"),
+          expr("n * 1000000 DIV tot").as("share_q6"))
+        .orderBy("column", "rk")
+    }),
     // C14d' — key-skew profile: the measurement that justifies (or
     // refuses) a salted join. Group sizes for the candidate shuffle key,
     // then max/median/p99 size and the skew factor max/mean — the number
@@ -1845,6 +1870,28 @@ object TierCAgg {
         |  UNION ALL
         |  SELECT 'o_orderdate->o_orderstatus' AS fd, * FROM c3) u
         |ORDER BY fd""".stripMargin,
+    // independent spelling: per-column counts as separate CTEs, the rank
+    // and total as window functions over the union
+    "profile_frequent_values" ->
+      """WITH c1 AS (
+        |  SELECT 'o_orderstatus' AS "column",
+        |         CAST(o_orderstatus AS VARCHAR) AS value, COUNT(*) AS n
+        |  FROM orders GROUP BY 2),
+        |c2 AS (
+        |  SELECT 'o_orderpriority' AS "column",
+        |         CAST(o_orderpriority AS VARCHAR) AS value, COUNT(*) AS n
+        |  FROM orders GROUP BY 2),
+        |u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2),
+        |r AS (
+        |  SELECT "column", value, n,
+        |         SUM(n) OVER (PARTITION BY "column") AS tot,
+        |         row_number() OVER (PARTITION BY "column"
+        |                            ORDER BY n DESC, value) AS rk
+        |  FROM u)
+        |SELECT "column", rk, value, n,
+        |       CAST(n * 1000000 // tot AS BIGINT) AS share_q6
+        |FROM r WHERE rk <= 3
+        |ORDER BY "column", rk""".stripMargin,
     "profile_drift" ->
       """WITH e AS (SELECT event_type, COUNT(*) AS n_early FROM events
         |           WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
@@ -3324,6 +3371,46 @@ object TierCWindow {
           min(col("node")).as("min_node"), max(col("node")).as("max_node"))
         .orderBy("d")
     }),
+    // Reciprocity of the directed click graph (round 14c) — the share of
+    // transitions users also walk BACKWARDS (A→B with B→A present), the
+    // classic directed-graph statistic next to degree_stats/assortativity
+    // that says whether the navigation is corridor-like (low) or
+    // back-and-forth browsing (high) — and concretely whether pagerank's
+    // directed walk and the und() symmetrization lose information on this
+    // graph. One |E|-bounded left-semi self-join of the DISTINCT edge set
+    // against its own transpose (equi on both endpoints — never a pair
+    // enumeration), two 1-row map-side counts, q6 ratio by integer DIV.
+    "graph_reciprocity" -> ((s, d) => {
+      val e = ClickGraph.directed(s, d)
+      val mutual = e.join(
+        e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(mutual.agg(count(lit(1)).as("n_mutual"))))
+        .select(col("n_edges"), col("n_mutual"),
+          expr("n_mutual * 1000000 DIV n_edges").as("reciprocity_q6"))
+    }),
+    // DAU/MAU stickiness (round 14c) — the engagement ratio every product
+    // dashboard leads with: per day, the distinct actives that day over
+    // the distinct actives of its calendar month. Two exact-distinct
+    // passes (map-side partial on (day, user) / (month, user) — the
+    // standard two-level distinct, never a funnel), then the
+    // CALENDAR-BOUNDED month table broadcasts back onto the daily one;
+    // stickiness_q6 by integer DIV. 100 TB: the corpus contributes the
+    // two distinct passes only; everything after is ≤366 rows/year.
+    "engagement_dau_mau" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val dau = ev.groupBy("day")
+        .agg(count_distinct(col("user_id")).as("dau"))
+      val mau = ev.groupBy(trunc(col("day"), "month").as("month"))
+        .agg(count_distinct(col("user_id")).as("mau"))
+      dau.withColumn("month", trunc(col("day"), "month"))
+        .join(broadcast(mau), Seq("month"))
+        .select(col("day"), col("dau"), col("mau"),
+          expr("dau * 1000000 DIV mau").as("stickiness_q6"))
+        .orderBy("day")
+    }),
     // Degree assortativity (round 12k) — Newman 2002's r: the Pearson
     // correlation of endpoint degrees over the (symmetrized) edge list,
     // the one-number answer to "do hubs link to hubs?" that decides
@@ -4395,6 +4482,32 @@ object TierCWindow {
         |SELECT d, COUNT(*) AS n_nodes,
         |       MIN(node) AS min_node, MAX(node) AS max_node
         |FROM deg GROUP BY d ORDER BY d""".stripMargin,
+    // the mutual set spelled as EXISTS against the transpose — an
+    // independent construction of the Spark side's left-semi self-join
+    "graph_reciprocity" ->
+      s"""WITH ${ClickGraph.OracleEv},
+        |${ClickGraph.OracleDirected},
+        |m AS (SELECT COUNT(*) AS n_mutual FROM e a
+        |      WHERE EXISTS (SELECT 1 FROM e b
+        |                    WHERE b.src = a.dst AND b.dst = a.src)),
+        |t AS (SELECT COUNT(*) AS n_edges FROM e)
+        |SELECT n_edges, n_mutual,
+        |       CAST(n_mutual * 1000000 // n_edges AS BIGINT)
+        |         AS reciprocity_q6
+        |FROM m, t""".stripMargin,
+    "engagement_dau_mau" ->
+      """WITH ev AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+        |  FROM events),
+        |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau
+        |        FROM ev GROUP BY day),
+        |mau AS (SELECT date_trunc('month', day) AS month,
+        |               COUNT(DISTINCT user_id) AS mau
+        |        FROM ev GROUP BY 1)
+        |SELECT d.day, d.dau, m.mau,
+        |       CAST(d.dau * 1000000 // m.mau AS BIGINT) AS stickiness_q6
+        |FROM dau d JOIN mau m ON date_trunc('month', d.day) = m.month
+        |ORDER BY d.day""".stripMargin,
     // the agg_corr construction over the shared symmetric adjacency —
     // HUGEINT-exact sums cast to double, one identical Pearson expression
     "graph_assortativity" ->

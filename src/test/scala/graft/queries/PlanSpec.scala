@@ -762,7 +762,10 @@ class PlanSpec extends SparkSpec {
       // probe cross; mix_shard_assignment shares epochSchedule (the
       // 1-row totals cross); tokenizer_fertility shares bpeLearn's
       // bounded-broadcast argmax loop
-      "knn_ivf_recall_audit", "mix_shard_assignment", "tokenizer_fertility")
+      "knn_ivf_recall_audit", "mix_shard_assignment", "tokenizer_fertility",
+      // r14c: graph_reciprocity crosses two 1-row census aggregates (the
+      // graph_triangles shape)
+      "graph_reciprocity")
     // ETL/streaming queries run real side effects — planning-only audit
     // covers the analytic surface (list shared with ContractSpec).
     val sideEffecting = QuerySets.sideEffecting
