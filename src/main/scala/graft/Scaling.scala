@@ -108,7 +108,10 @@ object Scaling {
     // + a sequence explode and an 8-group agg; scan-bound linear claim.
     // Fertility — bpeLearn + the bpe_apply_encode explode re-aggregated
     // to |langs| rows; expected to track bpe_apply_encode
-    Q("mix_shard_assignment", 64), Q("tokenizer_fertility", 64))
+    Q("mix_shard_assignment", 64), Q("tokenizer_fertility", 64),
+    // round 14c: dup-rate monitor — one (lang, digest) map-side agg;
+    // flat claim (the dedup_exact_text class)
+    Q("dedup_rate_by_lang", 64))
 
   /** embeddings+events-family study (base sf0.1 — 2000 vecs / 100k events
     * ⇒ 128000 / 6.4M at 64×). The exact per-label pair operator is capped
@@ -125,6 +128,9 @@ object Scaling {
     // 1-row candidate counts + the exact reference scan; expected ~4-7×
     // the single multiprobe curve, same linear class
     Q("knn_ivf_recall_audit", 64),
+    // round 14c: per-dim stats — one posexplode + 64-group agg over the
+    // quantized corpus; linear-in-scan claim
+    Q("embed_dim_stats", 64),
     // round 11b: late-interaction MaxSim — one broadcast pass over the
     // corpus (4 query tokens), expected to track the linear topk curve
     Q("retrieval_maxsim", 64),
@@ -290,8 +296,10 @@ object Scaling {
     // one md5 per row + the raw join's shuffle: linear claim
     Q("etl_dim_asof_join", 64), Q("etl_pseudonymize_join", 64),
     // round 14c: frequent-values profile — two map-side count passes;
-    // the rank window sees ≤8 aggregated rows; flat claim
-    Q("profile_frequent_values", 64))
+    // the rank window sees ≤8 aggregated rows; flat claim.
+    // Delete-cascade audit — four 1-row aggregates over semi/anti joins
+    // against the ×m-inflated customer victim set; linear-in-scan claim
+    Q("profile_frequent_values", 64), Q("etl_delete_cascade_audit", 64))
 
   case class Pt(query: String, mult: Int, inputRows: Long, outRows: Long,
       sec: Double)

@@ -1040,6 +1040,37 @@ object Similarity {
         .join(broadcast(cost), Seq("nprobe"))
         .orderBy("nprobe")
     }),
+    // Per-dimension embedding stats (round 14c) — the PCA-lite audit run
+    // before trusting/compressing an embedding column: which dimensions
+    // carry variance and which are dead (a collapsed dim means the
+    // encoder wasted capacity; a dominant one distorts cosine). Runs in
+    // the shared int8 space (quantizedVectors — ONE global symmetric
+    // scale), so every sum is an exact integer and the report is
+    // hash-exact with zero float discipline. Negative-safe q6: the mean
+    // divides the +127-shifted sum (DIV vs // diverge on negatives —
+    // SURVEY §7.4), then shifts back exactly; the variance numerator
+    // n·s2 − s1² is ≥ 0 by Cauchy-Schwarz. DECIMAL(38,0) products (n·s2
+    // passes 2⁶³ near 10⁹ vectors). 100 TB: one expression-level
+    // posexplode + a 64-group map-side-combinable agg — nothing wider
+    // than (dim, x) shuffles, and only 64 aggregate rows survive.
+    "embed_dim_stats" -> ((s, d) => {
+      val per = quantizedVectors(s, d)
+        .select(posexplode(col("qv")).as(Seq("dim", "x")))
+        .select(col("dim"), col("x").cast("long").as("x"))
+      per.groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+          sum(col("x") * col("x")).as("s2"),
+          min(col("x")).cast("long").as("min_q"),
+          max(col("x")).cast("long").as("max_q"))
+        .select(col("dim"), col("n"), col("s1"), col("s2"),
+          col("min_q"), col("max_q"),
+          expr("(s1 + 127 * n) * 1000000 DIV n - 1000000 * 127")
+            .as("mean_q6"),
+          expr("CAST((CAST(n AS DECIMAL(38,0)) * s2 - " +
+            "CAST(s1 AS DECIMAL(38,0)) * s1) * 1000000 DIV " +
+            "(CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)").as("var_q6"))
+        .orderBy("dim")
+    }),
     // Quantized retrieval — the production serving path embed_quantize
     // (below) prepares for: top-k by INTEGER dot product over int8
     // vectors. One GLOBAL symmetric scale (corpus max-abs, a 1-row
@@ -1610,6 +1641,34 @@ object Similarity {
         |SELECT q.vec_id, CAST(list_dot_product(q.qv, p.pv) AS BIGINT) AS score
         |FROM q, p WHERE q.vec_id <> 0
         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // the same quantization CTE; dims unnested by range, the shifted-mean
+    // and Cauchy-Schwarz-non-negative variance forms keep every // on
+    // non-negative operands
+    "embed_dim_stats" ->
+      """WITH m AS (
+        |  SELECT nullif(MAX(list_max(list_transform(embedding,
+        |           x -> abs(CAST(x AS DOUBLE))))), 0.0) AS m
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding,
+        |           x -> floor(CAST(x AS DOUBLE) * (127.0 / m) + 0.5)) AS qv
+        |  FROM embeddings, m),
+        |per AS (
+        |  SELECT CAST(t.i AS INT) AS dim,
+        |         CAST(qv[CAST(t.i AS INT) + 1] AS BIGINT) AS x
+        |  FROM q, UNNEST(range(0, 64)) AS t(i))
+        |SELECT dim, COUNT(*) AS n,
+        |       CAST(SUM(x) AS BIGINT) AS s1,
+        |       CAST(SUM(x * x) AS BIGINT) AS s2,
+        |       MIN(x) AS min_q, MAX(x) AS max_q,
+        |       CAST((SUM(x) + 127 * COUNT(*)) * 1000000 // COUNT(*)
+        |            - 1000000 * 127 AS BIGINT) AS mean_q6,
+        |       CAST((CAST(COUNT(*) AS HUGEINT) * SUM(x * x)
+        |             - CAST(SUM(x) AS HUGEINT) * SUM(x)) * 1000000
+        |            // (CAST(COUNT(*) AS HUGEINT) * COUNT(*)) AS BIGINT)
+        |         AS var_q6
+        |FROM per GROUP BY dim ORDER BY dim""".stripMargin,
     // same quantization CTE; the sign matrix is derived IN SQL from md5
     // parity of "i|j" (the Scala side derives its literal matrix from the
     // same strings — see jlSign), each projection an exact-integer

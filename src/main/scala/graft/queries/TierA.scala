@@ -460,6 +460,38 @@ object TierA {
           sum(col("cents")).as("revenue_cents"))
         .orderBy("c_mktsegment")
     }),
+    // A13f — GDPR-style delete-cascade audit (round 14c): before a
+    // right-to-be-forgotten batch lands, the compliance report every
+    // regulated pipeline runs — how many dimension keys go, how many fact
+    // rows cascade with them, whether any fact row would be ORPHANED
+    // after the cascade (a referential-integrity violation the delete
+    // must not introduce), and what remains. Victims = the snapshot_diff
+    // delete predicate (custkey % 97); NULL-custkey orders are anonymous
+    // by design, not orphans. All four counts are independent 1-row
+    // aggregates over semi/anti joins against the broadcast victim set —
+    // at 100 TB the fact table streams through each check once, and the
+    // victim list is deletion-batch-sized by nature.
+    "etl_delete_cascade_audit" -> ((s, d) => {
+      val victims = customer(s, d).filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey"))
+      val o = orders(s, d)
+      val cascade = o.join(broadcast(victims),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      val remaining = o.join(broadcast(victims),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      val survivors = customer(s, d).filter(col("c_custkey") % 97 =!= 0)
+        .select(col("c_custkey"))
+      val orphansAfter = remaining.filter(col("o_custkey").isNotNull)
+        .join(broadcast(survivors),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+      victims.agg(count(lit(1)).as("n_deleted_customers"))
+        .crossJoin(broadcast(
+          cascade.agg(count(lit(1)).as("n_cascade_orders"))))
+        .crossJoin(broadcast(
+          orphansAfter.agg(count(lit(1)).as("n_orphans_after"))))
+        .crossJoin(broadcast(
+          remaining.agg(count(lit(1)).as("n_orders_remaining"))))
+    }),
     // A13c — snapshot diff between two published versions: the audit step
     // after any SCD publish ("what did this load change?") — added /
     // deleted / updated / unchanged counts from ONE co-partitioned
@@ -999,6 +1031,29 @@ object TierA {
         |       CASE WHEN c_custkey % 10 = 0 THEN DATE '2024-06-01'
         |            ELSE DATE '2024-01-01' END AS valid_from
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // every count recomputed from the pure predicates — the orphan check
+    // is the FK-violation count among post-delete survivors
+    "etl_delete_cascade_audit" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM customer WHERE c_custkey % 97 = 0)
+        |    AS n_deleted_customers,
+        |  (SELECT COUNT(*) FROM orders o JOIN customer c
+        |     ON o.o_custkey = c.c_custkey WHERE c.c_custkey % 97 = 0)
+        |    AS n_cascade_orders,
+        |  (SELECT COUNT(*) FROM orders o
+        |   WHERE o.o_custkey IS NOT NULL
+        |     AND NOT EXISTS (SELECT 1 FROM customer c
+        |                     WHERE c.c_custkey = o.o_custkey
+        |                       AND c.c_custkey % 97 = 0)
+        |     AND NOT EXISTS (SELECT 1 FROM customer c
+        |                     WHERE c.c_custkey = o.o_custkey
+        |                       AND c.c_custkey % 97 <> 0))
+        |    AS n_orphans_after,
+        |  (SELECT COUNT(*) FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                     WHERE c.c_custkey = o.o_custkey
+        |                       AND c.c_custkey % 97 = 0))
+        |    AS n_orders_remaining""".stripMargin,
     // the oracle derives each EVENT's expected version from the change
     // predicates (key%10 + the event-day threshold) — never by replaying
     // the interval-containment join it checks

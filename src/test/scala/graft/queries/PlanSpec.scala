@@ -764,8 +764,10 @@ class PlanSpec extends SparkSpec {
       // bounded-broadcast argmax loop
       "knn_ivf_recall_audit", "mix_shard_assignment", "tokenizer_fertility",
       // r14c: graph_reciprocity crosses two 1-row census aggregates (the
-      // graph_triangles shape)
-      "graph_reciprocity")
+      // graph_triangles shape); embed_dim_stats reads quantizedVectors
+      // (the shared 1-row broadcast scale); etl_delete_cascade_audit
+      // crosses four 1-row audit aggregates
+      "graph_reciprocity", "embed_dim_stats", "etl_delete_cascade_audit")
     // ETL/streaming queries run real side effects — planning-only audit
     // covers the analytic surface (list shared with ContractSpec).
     val sideEffecting = QuerySets.sideEffecting
