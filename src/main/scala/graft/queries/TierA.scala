@@ -59,7 +59,7 @@ object TierA {
     * builder so the two keys can never disagree about the published
     * history: base versions open 2024-01-01; custkey%10 keys are updated
     * (+100 balance) effective 2024-06-01, closing the old version. */
-  private def scd2Table(s: SparkSession, d: String,
+  private[queries] def scd2Table(s: SparkSession, d: String,
       effectiveDay: String = "2024-06-01"): DataFrame = {
     val openFrom = to_date(lit("2024-01-01"))
     val effective = to_date(lit(effectiveDay))
@@ -459,6 +459,38 @@ object TierA {
           count_distinct(col("cust_token")).as("n_customers"),
           sum(col("cents")).as("revenue_cents"))
         .orderBy("c_mktsegment")
+    }),
+    // A13g — parquet BLOOM-FILTER layout (round 14c): the point-lookup
+    // lever that completes the physical-layout family next to
+    // etl_zorder_layout (range clustering) and etl_compact_files (file
+    // sizing) — write the fact table with a parquet bloom filter on the
+    // lookup key (parquet.bloom.filter.enabled#col, ndv-sized), read it
+    // back through a point predicate. At 100 TB a needle query skips
+    // every row group whose bloom excludes the key — the scan touches
+    // footers + a handful of groups instead of the table — while the
+    // gate checks the round-trip returns exactly the plain filter's rows
+    // (a bloom can only skip, never drop: false positives read extra,
+    // never less). Predicate pushdown reaches the reader
+    // (parquet.filter.bloom.enabled defaults true on read).
+    // MEASURED parquet-mr 1.16 subtlety (footer-verified in EtlSpec): a
+    // fully DICTIONARY-encoded column gets NO bloom even when enabled —
+    // the dictionary already serves as the exact membership filter, so
+    // the writer skips the redundant sketch. The fixture's key stays
+    // dictionary-encodable, so the write also disables dictionary for
+    // that one column to exercise the real bloom path; at production NDV
+    // the dictionary page overflows to plain on its own and the override
+    // is unnecessary.
+    "etl_parquet_bloom_skip" -> ((s, d) => {
+      val out = tmp("graft_bloom")
+      orders(s, d).write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#o_custkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#o_custkey", "20000")
+        .option("parquet.enable.dictionary#o_custkey", "false")
+        .parquet(out)
+      s.read.parquet(out)
+        .filter(col("o_custkey") === 42)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
     }),
     // A13f — GDPR-style delete-cascade audit (round 14c): before a
     // right-to-be-forgotten batch lands, the compliance report every
@@ -1031,6 +1063,11 @@ object TierA {
         |       CASE WHEN c_custkey % 10 = 0 THEN DATE '2024-06-01'
         |            ELSE DATE '2024-01-01' END AS valid_from
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // the bloom layout must return exactly the plain filter's rows
+    "etl_parquet_bloom_skip" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_custkey = 42
+        |ORDER BY o_orderkey""".stripMargin,
     // every count recomputed from the pure predicates — the orphan check
     // is the FK-violation count among post-delete survivors
     "etl_delete_cascade_audit" ->

@@ -243,6 +243,40 @@ object TierD {
     // BROADCAST — no stream-side shuffle, no state: the dimension is
     // re-resolved per micro-batch, which is exactly how a slowly-changing
     // dim should behave. Stateless, so AvailableNow output == batch join.
+    // D8c — streaming AS-OF enrichment against the VERSIONED dimension
+    // (round 14c): the streaming twin of etl_dim_asof_join — each
+    // micro-batch's events join the SCD2 history by key equality +
+    // interval containment, so a fact arriving after a dimension update
+    // binds to the version valid at ITS OWN event time, not the load
+    // time (the late-binding rule that makes replay/backfill agree with
+    // the original run). Stream-static joins re-read the static side per
+    // batch — stateless, append-safe; the dim broadcasts. THREE real
+    // micro-batches via the chunked source, so the enrichment runs
+    // incrementally on the gated path; the memory-sink table then
+    // aggregates per version for the oracle (which derives each event's
+    // version from the change predicates — the etl_dim_asof_join gate).
+    "stream_dim_asof" -> ((s, d) => withFewStatePartitions(s) {
+      val name = s"sda_out_${java.lang.Long.toHexString(System.nanoTime)}"
+      val dim = TierA.scd2Table(s, d, effectiveDay = "2024-01-16")
+        .select(col("c_custkey"), col("valid_from"), col("valid_to"))
+      val enriched = eventsStreamChunked(s, d, chunks = 3)
+        .join(broadcast(dim),
+          col("user_id") === col("c_custkey") &&
+            col("valid_from") <= to_date(col("ts")) &&
+            to_date(col("ts")) < col("valid_to"))
+      val q = enriched.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", scratchDir("graft_sda_ckpt"))
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .groupBy("valid_from")
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"),
+          decSum(col("value")).as("sum_value"))
+        .orderBy("valid_from")
+    }),
     "stream_static_join" -> ((s, d) => withFewStatePartitions(s) {
       val name = s"ssd_out_${java.lang.Long.toHexString(System.nanoTime)}"
       val dim = customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
@@ -654,6 +688,22 @@ object TierD {
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // D9: stateless enrichment — AvailableNow output equals the batch join.
+    // each event's version derived from the change predicates (the
+    // etl_dim_asof_join gate), aggregated per version
+    "stream_dim_asof" ->
+      """WITH enr AS (
+        |  SELECT e.event_id, e.user_id,
+        |         CAST(e.value AS DECIMAL(18,2)) AS value,
+        |         CASE WHEN c.c_custkey % 10 = 0
+        |               AND CAST(CAST(e.ts AS TIMESTAMP) AS DATE)
+        |                   >= DATE '2024-01-16'
+        |              THEN DATE '2024-01-16' ELSE DATE '2024-01-01' END
+        |           AS valid_from
+        |  FROM events e JOIN customer c ON e.user_id = c.c_custkey)
+        |SELECT valid_from, COUNT(*) AS n_events,
+        |       COUNT(DISTINCT user_id) AS n_users,
+        |       CAST(SUM(value) AS DOUBLE) AS sum_value
+        |FROM enr GROUP BY valid_from ORDER BY valid_from""".stripMargin,
     "stream_static_join" ->
       """SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

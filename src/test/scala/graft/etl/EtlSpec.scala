@@ -373,6 +373,36 @@ class EtlSpec extends SparkSpec {
       table.getAs[Long]("hash_max"))
   }
 
+  test("r14c: the bloom layout actually writes a bloom for the key column — footer-verified") {
+    // parquet-mr silently skips blooms for fully dictionary-encoded
+    // columns (the dictionary is already an exact membership filter) —
+    // the first write of this key produced offset=-1 on every column and
+    // only this check caught it. Pin: the written footer carries a bloom
+    // for o_custkey and for no other column.
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.hadoop.conf.Configuration
+    val out = graft.core.Tables.scratchDir("graft_bloomspec")
+    graft.core.Tables.orders(spark, sf).write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#o_custkey", "true")
+      .option("parquet.bloom.filter.expected.ndv#o_custkey", "20000")
+      .option("parquet.enable.dictionary#o_custkey", "false")
+      .parquet(out)
+    val conf = new Configuration()
+    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+    val file = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      val cols = reader.getFooter.getBlocks.get(0).getColumns.asScala
+      val withBloom = cols.filter(_.getBloomFilterOffset >= 0)
+        .map(_.getPath.toDotString).toSet
+      assert(withBloom == Set("o_custkey"),
+        s"expected a bloom on o_custkey only, footer has: $withBloom")
+    } finally reader.close()
+  }
+
   test("A7c: visual-job compile rejects cycles, unknown nodes, unbound sources") {
     import VisualJob._
     val src = Map("orders" -> graft.core.Tables.orders(spark, sf))

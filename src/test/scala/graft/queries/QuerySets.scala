@@ -22,7 +22,11 @@ object QuerySets {
     // AvailableNow pipeline in the builder like its per-key sibling;
     // the windowed top-n likewise runs its watermarked 3-batch stream
     "stream_spacesaving_global", "stream_window_topn", "stream_hll_window",
-    "stream_stream_outer_join")
+    "stream_stream_outer_join",
+    // r14c: the streaming as-of enrichment runs its 3-batch AvailableNow
+    // pipeline in the builder; the bloom-layout key writes the bloom-
+    // filtered parquet copy before reading it back
+    "stream_dim_asof", "etl_parquet_bloom_skip")
 
   /** Builders that call an EAGER localCheckpoint() while constructing
     * their DataFrame (iterative operators: the checkpoint is the lineage
