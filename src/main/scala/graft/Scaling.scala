@@ -231,7 +231,11 @@ object Scaling {
     // distinct edge set (edges grow ×m under vertex-disjoint copies:
     // linear claim); DAU/MAU — two exact-distinct passes + a
     // calendar-bounded broadcast (linear claim)
-    Q("graph_reciprocity", 64), Q("engagement_dau_mau", 64))
+    Q("graph_reciprocity", 64), Q("engagement_dau_mau", 64),
+    // round 14c: SRM — one distinct pass + a 2-row rollup (linear-in-
+    // scan); growth accounting — one distinct + a per-user window over
+    // the distinct table (the engagement class, linear claim)
+    Q("abtest_srm_check", 64), Q("growth_accounting", 64))
 
   /** orders/lineitem-family study (base sf0.1 — 150k orders / 600k
     * lineitem ⇒ 9.6M / 38.4M at 64×): the two round-12e keys whose input

@@ -170,6 +170,14 @@ object TextStats {
       .reduce(_ * 16 + _)
   }
 
+  /** The A/B variant assignment — ONE definition shared by
+    * `abtest_conversion` (the funnel readout) and `abtest_srm_check`
+    * (the assignment-health gate), so the SRM check can never audit a
+    * different split than the one the readout uses. Hashes the USER
+    * (md5 digits 21-24), never the event — the leakage rule. */
+  private def abVariant: Column =
+    when(md5Fold(col("user_id"), 21) % 2 === 0, "A").otherwise("B")
+
   /** The shared per-doc quality stats over `text` — ONE definition used by
     * both the score report (text_quality) and the filter verdicts
     * (text_quality_filter), so the two can never silently diverge. */
@@ -1312,8 +1320,7 @@ object TextStats {
           max(when(col("event_type") === "purchase", col("event_id")))
             .as("last_purchase"))
       per
-        .withColumn("variant",
-          when(md5Fold(col("user_id"), 21) % 2 === 0, "A").otherwise("B"))
+        .withColumn("variant", abVariant)
         .groupBy("variant")
         .agg(count(lit(1)).as("n_users"),
           sum(col("first_click").isNotNull.cast("long")).as("n_clickers"),
@@ -1321,6 +1328,32 @@ object TextStats {
             col("last_purchase") > col("first_click")).cast("long"))
             .as("n_converted"))
         .orderBy("variant")
+    }),
+    // Sample-ratio-mismatch check (round 14c) — the FIRST gate every
+    // experimentation platform runs before reading abtest_conversion's
+    // funnel: if the observed A/B user split deviates from the designed
+    // 50/50 beyond chance, the assignment itself is broken (bot
+    // filtering, redirect loss, a biased hash) and the conversion
+    // readout is meaningless. Shares the abVariant assignment with
+    // abtest_conversion — the SRM check audits exactly the split the
+    // readout uses. For two equal cells the chi-square statistic reduces
+    // to (n_A − n_B)²/n — an exact rational, q6 by integer DIV on the
+    // non-negative square; the verdict compares against the χ²₁ 95%
+    // critical value 3.841459 carried as the q6 literal 3841459. One
+    // distinct pass + a 2-row rollup.
+    "abtest_srm_check" -> ((s, d) => {
+      val counts = events(s, d).select("user_id").distinct()
+        .withColumn("variant", abVariant)
+        .groupBy("variant").agg(count(lit(1)).as("n"))
+      counts.agg(
+          sum(when(col("variant") === "A", col("n")).otherwise(0L))
+            .as("n_a"),
+          sum(when(col("variant") === "B", col("n")).otherwise(0L))
+            .as("n_b"))
+        .select(col("n_a"), col("n_b"),
+          expr("(n_a - n_b) * (n_a - n_b) * 1000000 DIV (n_a + n_b)")
+            .as("chi2_q6"))
+        .withColumn("srm_detected", col("chi2_q6") > 3841459L)
     }),
     // Mix-diversity profile per language: Gini impurity and Shannon
     // entropy of the source distribution — the "is this slice dominated by
@@ -2267,6 +2300,29 @@ object TextStats {
         |                      AND last_purchase > first_click
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
         |FROM v GROUP BY variant ORDER BY variant""".stripMargin,
+    // the same digits-21-24 fold over DISTINCT users; chi2 as the exact
+    // two-equal-cell rational with the q6 critical-value literal
+    "abtest_srm_check" -> {
+      def hv(i: Int) =
+        s"(CASE WHEN ord(hx[$i:$i]) >= 97 THEN ord(hx[$i:$i]) - 87" +
+          s" ELSE ord(hx[$i:$i]) - 48 END)"
+      val fold = s"(((${hv(21)} * 16 + ${hv(22)}) * 16 + ${hv(23)})" +
+        s" * 16 + ${hv(24)})"
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |h AS (SELECT md5(CAST(user_id AS VARCHAR)) AS hx FROM u),
+         |v AS (SELECT CASE WHEN $fold % 2 = 0 THEN 'A' ELSE 'B' END
+         |        AS variant FROM h),
+         |c AS (SELECT
+         |        SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS n_a,
+         |        SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS n_b
+         |      FROM v)
+         |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         |       CAST((n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b)
+         |            AS BIGINT) AS chi2_q6,
+         |       (n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b)
+         |         > 3841459 AS srm_detected
+         |FROM c""".stripMargin
+    },
     "profile_entropy" ->
       """WITH c AS (
         |  SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY 1, 2),

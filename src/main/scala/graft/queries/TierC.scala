@@ -3390,6 +3390,26 @@ object TierCWindow {
         .select(col("n_edges"), col("n_mutual"),
           expr("n_mutual * 1000000 DIV n_edges").as("reciprocity_q6"))
     }),
+    // Growth accounting (round 14c) — the daily new-vs-returning split
+    // the DAU chart decomposes into (the growth-team view: is the line
+    // held up by acquisition or retention?). One distinct (user, day)
+    // pass, then first-seen day via a per-user window over THAT table —
+    // the corpus contributes one distinct; the window sees at most
+    // |users|·|days-active| rows, one hash partition by user, no second
+    // shuffle. Day rollup after is map-side combinable.
+    "growth_accounting" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy("user_id")
+      ev.withColumn("first_day", min(col("day")).over(w))
+        .groupBy("day")
+        .agg(sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+            .as("n_new"),
+          sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L))
+            .as("n_returning"),
+          count(lit(1)).as("n_active"))
+        .orderBy("day")
+    }),
     // DAU/MAU stickiness (round 14c) — the engagement ratio every product
     // dashboard leads with: per day, the distinct actives that day over
     // the distinct actives of its calendar month. Two exact-distinct
@@ -4495,6 +4515,21 @@ object TierCWindow {
         |       CAST(n_mutual * 1000000 // n_edges AS BIGINT)
         |         AS reciprocity_q6
         |FROM m, t""".stripMargin,
+    "growth_accounting" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(day) AS first_day
+        |      FROM ev GROUP BY user_id)
+        |SELECT e.day,
+        |       SUM(CASE WHEN e.day = f.first_day THEN 1 ELSE 0 END)
+        |         AS n_new,
+        |       SUM(CASE WHEN e.day <> f.first_day THEN 1 ELSE 0 END)
+        |         AS n_returning,
+        |       COUNT(*) AS n_active
+        |FROM ev e JOIN f ON e.user_id = f.user_id
+        |GROUP BY e.day ORDER BY e.day""".stripMargin,
     "engagement_dau_mau" ->
       """WITH ev AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
