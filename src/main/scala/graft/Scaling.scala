@@ -303,7 +303,10 @@ object Scaling {
     // the rank window sees ≤8 aggregated rows; flat claim.
     // Delete-cascade audit — four 1-row aggregates over semi/anti joins
     // against the ×m-inflated customer victim set; linear-in-scan claim
-    Q("profile_frequent_values", 64), Q("etl_delete_cascade_audit", 64))
+    Q("profile_frequent_values", 64), Q("etl_delete_cascade_audit", 64),
+    // round 14c: null-safe join — equi-shuffle on the coalesced key,
+    // group-size side is |buckets| (=7) rows; linear-in-scan claim
+    Q("join_null_safe", 64))
 
   case class Pt(query: String, mult: Int, inputRows: Long, outRows: Long,
       sec: Double)

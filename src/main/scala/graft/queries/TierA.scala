@@ -460,6 +460,41 @@ object TierA {
           sum(col("cents")).as("revenue_cents"))
         .orderBy("c_mktsegment")
     }),
+    // A13h — schema-DRIFT audit between two published snapshots (round
+    // 14c): the crawler-class change report (reference README.md:104 —
+    // detecting schema change is the Glue crawler's whole job) one level
+    // up from schema_evolution_add_only's read-side merge: v2 adds a
+    // column, drops one and retypes one, and the audit reports exactly
+    // the (added / removed / type_changed) rows a migration reviewer
+    // signs off on. The diff runs on the two FOOTER schemas — at 100 TB
+    // this reads two parquet footers and zero data rows; the driver-side
+    // set arithmetic is over column LISTS, not data (the one place
+    // driver-side work is the correct design). The oracle is the
+    // expected report as a literal — the gate proves the engine derived
+    // it from the real written files.
+    "etl_schema_drift_audit" -> ((s, d) => {
+      val out = tmp("graft_drift")
+      val v1 = orders(s, d)
+      v1.write.mode("overwrite").parquet(s"$out/v1")
+      v1.withColumn("o_channel", lit("web"))
+        .withColumn("o_totalprice", col("o_totalprice").cast("decimal(18,2)"))
+        .drop("o_orderpriority")
+        .write.mode("overwrite").parquet(s"$out/v2")
+      val m1 = s.read.parquet(s"$out/v1").schema.fields
+        .map(f => f.name -> f.dataType.simpleString).toMap
+      val m2 = s.read.parquet(s"$out/v2").schema.fields
+        .map(f => f.name -> f.dataType.simpleString).toMap
+      val rows =
+        (m2.keySet -- m1.keySet).toSeq.sorted
+          .map(n => (n, "added", null: String, m2(n))) ++
+        (m1.keySet -- m2.keySet).toSeq.sorted
+          .map(n => (n, "removed", m1(n), null: String)) ++
+        (m1.keySet & m2.keySet).filter(n => m1(n) != m2(n)).toSeq.sorted
+          .map(n => (n, "type_changed", m1(n), m2(n)))
+      import s.implicits._
+      rows.toDF("column", "status", "type_v1", "type_v2")
+        .orderBy("column")
+    }),
     // A13g — parquet BLOOM-FILTER layout (round 14c): the point-lookup
     // lever that completes the physical-layout family next to
     // etl_zorder_layout (range clustering) and etl_compact_files (file
@@ -1063,6 +1098,15 @@ object TierA {
         |       CASE WHEN c_custkey % 10 = 0 THEN DATE '2024-06-01'
         |            ELSE DATE '2024-01-01' END AS valid_from
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // the expected drift report as a literal — the gate proves the
+    // engine derived it from the actually-written footers
+    "etl_schema_drift_audit" ->
+      """SELECT * FROM (VALUES
+        |  ('o_channel', 'added', CAST(NULL AS VARCHAR), 'string'),
+        |  ('o_orderpriority', 'removed', 'string', CAST(NULL AS VARCHAR)),
+        |  ('o_totalprice', 'type_changed', 'double', 'decimal(18,2)'))
+        |  AS t("column", status, type_v1, type_v2)
+        |ORDER BY "column"""".stripMargin,
     // the bloom layout must return exactly the plain filter's rows
     "etl_parquet_bloom_skip" ->
       """SELECT o_orderkey, o_custkey, o_totalprice

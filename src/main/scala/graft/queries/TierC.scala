@@ -116,6 +116,27 @@ object TierCJoins {
         .select(o("o_orderkey"), c("c_custkey"), c("c_name"), o("o_totalprice"))
         .orderBy("o_orderkey")
     }),
+    // C5b — NULL-SAFE equi-join (round 14c): `<=>` treats NULL as a
+    // joinable value — the semantics a plain `=` join silently breaks
+    // when the key is nullable (NULL rows vanish from an inner join; an
+    // analyst attaching group stats back onto rows loses exactly the
+    // unknown-key population they most need to see). The fixture has no
+    // NULL keys, so the bucket derives one deterministically
+    // (nullif(custkey mod 7, 0) — every 0-bucket row becomes NULL), the
+    // group sizes join back null-safely, and the gate's row count proves
+    // the NULL group survived (the oracle spells IS NOT DISTINCT FROM —
+    // ANSI's name for the operator). Catalyst treats <=> as an equi-join
+    // key (coalesced comparison), so this still plans a hash join, not a
+    // nested loop; at 100 TB it shuffles like any equi-join.
+    "join_null_safe" -> ((s, d) => {
+      val o = orders(s, d).select(col("o_orderkey"),
+        nullif(pmod(col("o_custkey"), lit(7)), lit(0)).as("bucket"))
+      val sizes = o.groupBy("bucket").agg(count(lit(1)).as("grp_n"))
+        .withColumnRenamed("bucket", "s_bucket")
+      o.join(sizes, col("bucket") <=> col("s_bucket"))
+        .select(col("o_orderkey"), col("bucket"), col("grp_n"))
+        .orderBy("o_orderkey")
+    }),
     // C6 — star-schema dimension join with explicit broadcast hints: at any
     // scale nation(25)/region(5) must replicate to executors, never shuffle
     // the probe side. Plan shape asserted in PlanSpec.
@@ -365,6 +386,15 @@ object TierCJoins {
       """SELECT o_orderkey, c_custkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    // ANSI's spelling of the null-safe operator
+    "join_null_safe" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, nullif(o_custkey % 7, 0) AS bucket
+        |  FROM orders),
+        |sizes AS (SELECT bucket, COUNT(*) AS grp_n FROM o GROUP BY bucket)
+        |SELECT o.o_orderkey, o.bucket, s.grp_n
+        |FROM o JOIN sizes s ON o.bucket IS NOT DISTINCT FROM s.bucket
+        |ORDER BY o.o_orderkey""".stripMargin,
     "join_broadcast_dim" ->
       """SELECT c_custkey, n_name, r_name
         |FROM customer

@@ -26,7 +26,9 @@ object QuerySets {
     // r14c: the streaming as-of enrichment runs its 3-batch AvailableNow
     // pipeline in the builder; the bloom-layout key writes the bloom-
     // filtered parquet copy before reading it back
-    "stream_dim_asof", "etl_parquet_bloom_skip")
+    "stream_dim_asof", "etl_parquet_bloom_skip",
+    // r14c: the drift audit writes both snapshot versions in the builder
+    "etl_schema_drift_audit")
 
   /** Builders that call an EAGER localCheckpoint() while constructing
     * their DataFrame (iterative operators: the checkpoint is the lineage
