@@ -111,7 +111,10 @@ object Scaling {
     Q("mix_shard_assignment", 64), Q("tokenizer_fertility", 64),
     // round 14c: dup-rate monitor — one (lang, digest) map-side agg;
     // flat claim (the dedup_exact_text class)
-    Q("dedup_rate_by_lang", 64))
+    Q("dedup_rate_by_lang", 64),
+    // round 14c: token budget — one size() pass + |langs| agg + the
+    // schedule broadcast; scan-bound linear claim
+    Q("mix_token_budget", 64))
 
   /** embeddings+events-family study (base sf0.1 — 2000 vecs / 100k events
     * ⇒ 128000 / 6.4M at 64×). The exact per-label pair operator is capped
@@ -306,7 +309,10 @@ object Scaling {
     Q("profile_frequent_values", 64), Q("etl_delete_cascade_audit", 64),
     // round 14c: null-safe join — equi-shuffle on the coalesced key,
     // group-size side is |buckets| (=7) rows; linear-in-scan claim
-    Q("join_null_safe", 64))
+    Q("join_null_safe", 64),
+    // round 14c: FK coverage — two semi-join count passes (child ×m,
+    // parent ×m, equi keys); linear-in-scan claim
+    Q("profile_fk_coverage", 64))
 
   case class Pt(query: String, mult: Int, inputRows: Long, outRows: Long,
       sec: Double)

@@ -1329,6 +1329,27 @@ object TextStats {
             .as("n_converted"))
         .orderBy("variant")
     }),
+    // Training token budget per language (round 14c) — the number the
+    // mix actually buys: whitespace tokens per lang × the published
+    // epoch factor = effective training tokens, the readout a compute
+    // plan is costed from (chars fund the schedule, tokens fund the GPU
+    // bill — the two differ by per-language token length, which is why
+    // this key exists next to mix_epochs_schedule's chars view). Shares
+    // epochSchedule — the budget prices exactly the published mix;
+    // products ride DECIMAL(38,0) (tokens×epochs_q6 passes 2⁶³ near
+    // 10¹³ corpus tokens). One size() pass (no explode) + a |langs| agg
+    // + the broadcast schedule join.
+    "mix_token_budget" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("lang"), size(tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy("lang").agg(sum(col("n_tok")).as("n_tokens"))
+      val sched = epochSchedule(s, d).select(col("lang"), col("epochs_q6"))
+      toks.join(broadcast(sched), Seq("lang"))
+        .select(col("lang"), col("n_tokens"), col("epochs_q6"),
+          expr("CAST(CAST(n_tokens AS DECIMAL(38,0)) * epochs_q6" +
+            " DIV 1000000 AS BIGINT)").as("effective_tokens"))
+        .orderBy("lang")
+    }),
     // Sample-ratio-mismatch check (round 14c) — the FIRST gate every
     // experimentation platform runs before reading abtest_conversion's
     // funnel: if the observed A/B user split deviates from the designed
@@ -2300,6 +2321,20 @@ object TextStats {
         |                      AND last_purchase > first_click
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
         |FROM v GROUP BY variant ORDER BY variant""".stripMargin,
+    // the same sched CTE joined onto per-lang token sums; the product
+    // rides HUGEINT
+    "mix_token_budget" ->
+      s"""WITH $MixScheduleCtes,
+         |tk AS (
+         |  SELECT lang,
+         |         CAST(SUM(len(str_split(text, ' '))) AS BIGINT)
+         |           AS n_tokens
+         |  FROM documents GROUP BY lang)
+         |SELECT tk.lang, tk.n_tokens, sched.epochs_q6,
+         |       CAST(CAST(tk.n_tokens AS HUGEINT) * sched.epochs_q6
+         |            // 1000000 AS BIGINT) AS effective_tokens
+         |FROM tk JOIN sched ON tk.lang = sched.lang
+         |ORDER BY tk.lang""".stripMargin,
     // the same digits-21-24 fold over DISTINCT users; chi2 as the exact
     // two-equal-cell rational with the q6 critical-value literal
     "abtest_srm_check" -> {

@@ -990,6 +990,42 @@ object TierCAgg {
           to_date(col("o_orderdate")), col("o_orderstatus")))
         .orderBy("fd")
     }),
+    // C14d6 — referential-integrity coverage profile (round 14c): per
+    // declared FK, how many child rows actually resolve to a parent —
+    // the data-contract audit every DQ suite runs before anyone trusts a
+    // join (an orphan rate that drifts up is the first symptom of a
+    // broken upstream load; etl_delete_cascade_audit checks ONE delete
+    // batch, this profiles the standing relationship). NULL keys are
+    // reported separately — a NULL FK is "unknown", not an orphan. Per
+    // FK: one left-semi count against the parent key set (equi join —
+    // co-partitioned at 100 TB, broadcast when the parent is a dim) + a
+    // map-side null/row count; coverage_q6 by integer DIV over non-null
+    // rows. Report is |FKs| rows.
+    "profile_fk_coverage" -> ((s, d) => {
+      def fk(name: String, child: DataFrame, key: Column,
+          parent: DataFrame, pkey: Column): DataFrame = {
+        val ch = child.select(key.as("k"))
+        val base = ch.agg(count(lit(1)).as("n_rows"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null_key"))
+        val matched = ch.filter(col("k").isNotNull)
+          .join(parent.select(pkey.as("pk")),
+            col("k") === col("pk"), "left_semi")
+          .agg(count(lit(1)).as("n_matched"))
+        base.crossJoin(broadcast(matched))
+          .select(lit(name).as("fk"), col("n_rows"), col("n_null_key"),
+            col("n_matched"),
+            (col("n_rows") - col("n_null_key") - col("n_matched"))
+              .as("n_orphans"),
+            expr("n_matched * 1000000 DIV (n_rows - n_null_key)")
+              .as("coverage_q6"))
+      }
+      fk("orders.o_custkey->customer", orders(s, d), col("o_custkey"),
+          customer(s, d), col("c_custkey"))
+        .unionByName(
+          fk("lineitem.l_orderkey->orders", lineitem(s, d),
+            col("l_orderkey"), orders(s, d), col("o_orderkey")))
+        .orderBy("fk")
+    }),
     // C14d5 — frequent-values profile (round 14c): per column, the top-3
     // most common values with counts and mass share — the "what's
     // actually in this column" readout every data catalog shows next to
@@ -1900,6 +1936,38 @@ object TierCAgg {
         |  UNION ALL
         |  SELECT 'o_orderdate->o_orderstatus' AS fd, * FROM c3) u
         |ORDER BY fd""".stripMargin,
+    // each FK's counts from EXISTS subqueries — an independent
+    // construction of the Spark side's semi-join counts
+    "profile_fk_coverage" ->
+      """WITH f1 AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |           AS n_null_key,
+        |         SUM(CASE WHEN o_custkey IS NOT NULL AND EXISTS (
+        |               SELECT 1 FROM customer c
+        |               WHERE c.c_custkey = o.o_custkey)
+        |             THEN 1 ELSE 0 END) AS n_matched
+        |  FROM orders o),
+        |f2 AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |         SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+        |           AS n_null_key,
+        |         SUM(CASE WHEN l_orderkey IS NOT NULL AND EXISTS (
+        |               SELECT 1 FROM orders o
+        |               WHERE o.o_orderkey = l.l_orderkey)
+        |             THEN 1 ELSE 0 END) AS n_matched
+        |  FROM lineitem l)
+        |SELECT fk, n_rows, CAST(n_null_key AS BIGINT) AS n_null_key,
+        |       CAST(n_matched AS BIGINT) AS n_matched,
+        |       CAST(n_rows - n_null_key - n_matched AS BIGINT)
+        |         AS n_orphans,
+        |       CAST(n_matched * 1000000 // (n_rows - n_null_key)
+        |            AS BIGINT) AS coverage_q6
+        |FROM (
+        |  SELECT 'orders.o_custkey->customer' AS fk, * FROM f1
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey->orders' AS fk, * FROM f2) u
+        |ORDER BY fk""".stripMargin,
     // independent spelling: per-column counts as separate CTEs, the rank
     // and total as window functions over the union
     "profile_frequent_values" ->

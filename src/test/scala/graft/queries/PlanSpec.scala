@@ -767,7 +767,11 @@ class PlanSpec extends SparkSpec {
       // graph_triangles shape); embed_dim_stats reads quantizedVectors
       // (the shared 1-row broadcast scale); etl_delete_cascade_audit
       // crosses four 1-row audit aggregates
-      "graph_reciprocity", "embed_dim_stats", "etl_delete_cascade_audit")
+      "graph_reciprocity", "embed_dim_stats", "etl_delete_cascade_audit",
+      // r14c: profile_fk_coverage crosses each FK's two 1-row count
+      // aggregates; mix_token_budget shares epochSchedule's 1-row totals
+      // cross
+      "profile_fk_coverage", "mix_token_budget")
     // ETL/streaming queries run real side effects — planning-only audit
     // covers the analytic surface (list shared with ContractSpec).
     val sideEffecting = QuerySets.sideEffecting
