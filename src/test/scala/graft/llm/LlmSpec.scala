@@ -498,4 +498,25 @@ class LlmSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out == Set((1L, 2L)), s"got $out")
   }
+
+  test("r14c: shard assignment balances instances and conserves the repeat total") {
+    // the key's whole claim: md5('doc_id#copy') spreads a document's
+    // repeats across shards roughly uniformly. Deterministic fixture →
+    // deterministic counts, so the spread bound is a regression pin, not
+    // a flake: every shard within ±25% of the mean, and Σ instances over
+    // shards == Σ n_repeats from the published materialization (nothing
+    // dropped or double-assigned).
+    val shards = graft.SparkEntry.queries("mix_shard_assignment")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(shards.length == 8)
+    val counts = shards.map(_.getAs[Long]("n_instances"))
+    val mean = counts.sum.toDouble / counts.length
+    assert(counts.forall(c => math.abs(c - mean) <= 0.25 * mean),
+      s"shard spread beyond 25% of mean $mean: ${counts.mkString(",")}")
+    val totalRepeats = graft.SparkEntry.queries("mix_materialize_repeats")(
+      spark, "/root/testdata/sf0.01")
+      .agg(sum(col("n_repeats"))).head.getLong(0)
+    assert(counts.sum == totalRepeats,
+      s"instances ${counts.sum} != published repeats $totalRepeats")
+  }
 }
