@@ -238,7 +238,10 @@ object Scaling {
     // round 14c: SRM — one distinct pass + a 2-row rollup (linear-in-
     // scan); growth accounting — one distinct + a per-user window over
     // the distinct table (the engagement class, linear claim)
-    Q("abtest_srm_check", 64), Q("growth_accounting", 64))
+    Q("abtest_srm_check", 64), Q("growth_accounting", 64),
+    // round 14c: bounce rate — the sessionize_batch window class + a
+    // calendar-bounded day rollup; linear-in-events claim
+    Q("sessionize_bounce_rate", 64))
 
   /** orders/lineitem-family study (base sf0.1 — 150k orders / 600k
     * lineitem ⇒ 9.6M / 38.4M at 64×): the two round-12e keys whose input

@@ -3488,6 +3488,24 @@ object TierCWindow {
         .select(col("n_edges"), col("n_mutual"),
           expr("n_mutual * 1000000 DIV n_edges").as("reciprocity_q6"))
     }),
+    // Bounce rate per day (round 14c) — the share of single-event
+    // sessions, THE engagement-quality headline next to the counts the
+    // other session keys report (a rising bounce rate with flat DAU is
+    // the classic "traffic up, value down" signal). Shares
+    // staticSessions — the rate describes exactly the sessions the
+    // engine publishes; day = the session's START day (a session is one
+    // visit, counted once). One map-side day rollup over the session
+    // table; bounce_q6 by integer DIV.
+    "sessionize_bounce_rate" -> ((s, d) => {
+      staticSessions(s, d)
+        .groupBy(to_date(col("session_start")).as("day"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1, 1L).otherwise(0L))
+            .as("n_bounces"))
+        .select(col("day"), col("n_sessions"), col("n_bounces"),
+          expr("n_bounces * 1000000 DIV n_sessions").as("bounce_q6"))
+        .orderBy("day")
+    }),
     // Growth accounting (round 14c) — the daily new-vs-returning split
     // the DAU chart decomposes into (the growth-team view: is the line
     // held up by acquisition or retention?). One distinct (user, day)
@@ -4613,6 +4631,15 @@ object TierCWindow {
         |       CAST(n_mutual * 1000000 // n_edges AS BIGINT)
         |         AS reciprocity_q6
         |FROM m, t""".stripMargin,
+    // the shared session CTEs rolled up by start day
+    "sessionize_bounce_rate" ->
+      s"""WITH $SessionOracleCtes
+        |SELECT CAST(session_start AS DATE) AS day,
+        |       COUNT(*) AS n_sessions,
+        |       SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces,
+        |       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+        |            * 1000000 // COUNT(*) AS BIGINT) AS bounce_q6
+        |FROM ses GROUP BY day ORDER BY day""".stripMargin,
     "growth_accounting" ->
       """WITH ev AS (
         |  SELECT DISTINCT user_id,
