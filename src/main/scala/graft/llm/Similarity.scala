@@ -233,6 +233,27 @@ object Similarity {
     * probe's cell list + query vector ride an nprobe-row broadcast
     * through the cell EQUI-join (no nested-loop join); top-k is
     * TakeOrdered, row numbering happens over 10 rows. */
+  /** The exact top-10 cosine ranking of vec_id 0's neighbours — ONE
+    * definition shared by `knn_cosine_topk` (the published ranking) and
+    * `knn_ivf_recall_audit` (its recall denominator), factored after a
+    * review pass caught the audit carrying an inline clone: two copies
+    * of the reference ranking can desync silently while each still
+    * passes its own gate (the round-12h lesson). 4dp quantize + vec_id
+    * tiebreak; TakeOrdered then row numbering over 10 rows. */
+  private def exactTop10(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val sims = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("qv")), 4).as("sim"))
+    val w = Window.orderBy(desc("sim"), asc("vec_id"))
+    sims.orderBy(desc("sim"), asc("vec_id")).limit(10)
+      .withColumn("rn", row_number().over(w))
+      .select("rn", "vec_id")
+  }
+
   private def ivfSims(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     val unit = withUnitVec(embeddings(s, d), "embedding", "uv")
     val cent = unit.filter(col("vec_id") < 8)
@@ -740,24 +761,11 @@ object Similarity {
     // oracle-compared, not the raw double — and the sim is quantized to 1e-4
     // before ranking (both engines), so near-tied candidates fall to the
     // deterministic vec_id tiebreak instead of cross-engine rounding noise.
-    "knn_cosine_topk" -> ((s, d) => {
-      val emb = embeddings(s, d)
-      val q = emb.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qv"))
-      val sims = emb.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"),
-          round(cosine(col("embedding"), col("qv")), 4).as("sim"))
-      // top-k FIRST via orderBy.limit (TakeOrderedAndProject: per-partition
-      // heaps, driver merges k·p rows) — a global row_number window would
-      // funnel every candidate through one partition at scale. Numbering
-      // happens after, over k rows only.
-      val w = Window.orderBy(desc("sim"), asc("vec_id"))
-      sims.orderBy(desc("sim"), asc("vec_id")).limit(10)
-        .withColumn("rn", row_number().over(w))
-        .select("rn", "vec_id")
-        .orderBy("rn")
-    }),
+    // top-k FIRST via orderBy.limit (TakeOrderedAndProject: per-partition
+    // heaps, driver merges k·p rows) — a global row_number window would
+    // funnel every candidate through one partition at scale. Numbering
+    // happens after, over k rows only (the shared exactTop10 builder).
+    "knn_cosine_topk" -> ((s, d) => exactTop10(s, d).orderBy("rn")),
     // Matryoshka prefix-truncation recall (round 14; Kusupati et al.
     // 2022 "Matryoshka Representation Learning"): how much of the full-
     // dim exact top-10 survives when the search runs on the first
@@ -1012,14 +1020,7 @@ object Similarity {
     // scans (nprobe/K of the corpus each) + TakeOrdered heaps + a
     // 30-row join against the 10-row reference.
     "knn_ivf_recall_audit" -> ((s, d) => {
-      val emb = embeddings(s, d)
-      val q = emb.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qv"))
-      val ref = emb.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"),
-          round(cosine(col("embedding"), col("qv")), 4).as("sim"))
-        .orderBy(desc("sim"), asc("vec_id")).limit(10)
+      val ref = exactTop10(s, d)
         .select(col("vec_id")).withColumn("hit", lit(1L))
       // candidates scanned per nprobe — the COST side of the curve, and
       // the structural check that the nprobe cut works even where recall

@@ -1340,8 +1340,13 @@ object TextStats {
     // 10¹³ corpus tokens). One size() pass (no explode) + a |langs| agg
     // + the broadcast schedule join.
     "mix_token_budget" -> ((s, d) => {
+      // filter empty segments so the budget's token unit matches
+      // tokenizer_fertility's n_words on identical text (review find:
+      // a bare split() counts phantom tokens on doubled spaces)
       val toks = documents(s, d)
-        .select(col("lang"), size(tokens(col("text"))).cast("long").as("n_tok"))
+        .select(col("lang"),
+          size(filter(tokens(col("text")), x => x =!= ""))
+            .cast("long").as("n_tok"))
         .groupBy("lang").agg(sum(col("n_tok")).as("n_tokens"))
       val sched = epochSchedule(s, d).select(col("lang"), col("epochs_q6"))
       toks.join(broadcast(sched), Seq("lang"))
@@ -1372,7 +1377,11 @@ object TextStats {
           sum(when(col("variant") === "B", col("n")).otherwise(0L))
             .as("n_b"))
         .select(col("n_a"), col("n_b"),
-          expr("(n_a - n_b) * (n_a - n_b) * 1000000 DIV (n_a + n_b)")
+          // DECIMAL(38,0): a maximally-broken split — the one case the
+          // detector exists for — has (n_a−n_b)²·10⁶ past 2⁶³ at ~3·10⁶
+          // users; a long would wrap silently exactly then (review find)
+          expr("CAST(CAST(n_a - n_b AS DECIMAL(38,0)) * (n_a - n_b)" +
+            " * 1000000 DIV (n_a + n_b) AS BIGINT)")
             .as("chi2_q6"))
         .withColumn("srm_detected", col("chi2_q6") > 3841459L)
     }),
@@ -2327,7 +2336,8 @@ object TextStats {
       s"""WITH $MixScheduleCtes,
          |tk AS (
          |  SELECT lang,
-         |         CAST(SUM(len(str_split(text, ' '))) AS BIGINT)
+         |         CAST(SUM(len(list_filter(str_split(text, ' '),
+         |                                  x -> x <> ''))) AS BIGINT)
          |           AS n_tokens
          |  FROM documents GROUP BY lang)
          |SELECT tk.lang, tk.n_tokens, sched.epochs_q6,
@@ -2352,10 +2362,10 @@ object TextStats {
          |        SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS n_b
          |      FROM v)
          |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-         |       CAST((n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b)
-         |            AS BIGINT) AS chi2_q6,
-         |       (n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b)
-         |         > 3841459 AS srm_detected
+         |       CAST(CAST(n_a - n_b AS HUGEINT) * (n_a - n_b) * 1000000
+         |            // (n_a + n_b) AS BIGINT) AS chi2_q6,
+         |       CAST(n_a - n_b AS HUGEINT) * (n_a - n_b) * 1000000
+         |         // (n_a + n_b) > 3841459 AS srm_detected
          |FROM c""".stripMargin
     },
     "profile_entropy" ->

@@ -418,6 +418,11 @@ object TierA {
     // by the SCD2 interval partition, so the fact row count is preserved
     // (the oracle proves it by deriving each event's expected version
     // from the change predicates, never replaying the interval filter).
+    // The preservation claim rides one fixture invariant: no event
+    // predates the 2024-01-01 dim open (such a row would match NO
+    // interval and vanish where the oracle's CASE keeps it) — EtlSpec
+    // asserts it at gate scale so a fixture regeneration fails loudly,
+    // not as a silent oracle divergence (review find).
     // 100 TB: the fact side streams through one broadcast hash join (the
     // dim ships versions, still dimension-sized); no fact shuffle.
     "etl_dim_asof_join" -> ((s, d) => {

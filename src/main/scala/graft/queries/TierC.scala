@@ -1042,8 +1042,13 @@ object TierCAgg {
           .select(lit(name).as("column"), col("value"), col("n"))
       val counts = Seq("o_orderstatus", "o_orderpriority")
         .map(topOf).reduce(_ unionByName _)
+      // NULLS LAST explicitly: Spark's asc defaults NULLS FIRST, DuckDB's
+      // ORDER BY defaults NULLS LAST — a NULL value group tying at the
+      // top-3 boundary would otherwise rank differently per engine
+      // (latent on the current non-null columns; review find)
       val byCol = Window.partitionBy("column")
-      val rank = Window.partitionBy("column").orderBy(desc("n"), asc("value"))
+      val rank = Window.partitionBy("column")
+        .orderBy(desc("n"), asc_nulls_last("value"))
       counts.withColumn("tot", sum("n").over(byCol))
         .withColumn("rk", row_number().over(rank))
         .filter(col("rk") <= 3)
@@ -1984,7 +1989,8 @@ object TierCAgg {
         |  SELECT "column", value, n,
         |         SUM(n) OVER (PARTITION BY "column") AS tot,
         |         row_number() OVER (PARTITION BY "column"
-        |                            ORDER BY n DESC, value) AS rk
+        |                            ORDER BY n DESC, value NULLS LAST)
+        |           AS rk
         |  FROM u)
         |SELECT "column", rk, value, n,
         |       CAST(n * 1000000 // tot AS BIGINT) AS share_q6

@@ -403,6 +403,25 @@ class EtlSpec extends SparkSpec {
     } finally reader.close()
   }
 
+  test("r14c: the as-of join's row-preservation invariant holds — no event predates the dim open") {
+    // etl_dim_asof_join/stream_dim_asof derive their oracle from change
+    // predicates with no date lower bound, while the Spark interval join
+    // drops any event before the 2024-01-01 version open. The fixture
+    // satisfies 'min event day >= dim open' today; this pin turns that
+    // hidden invariant into a loud failure if the fixture regenerates
+    // with earlier timestamps, plus the row-count preservation itself.
+    import org.apache.spark.sql.functions._
+    val ev = graft.core.Tables.events(spark, sf)
+    val minDay = ev.agg(min(to_date(col("ts")))).head.getDate(0)
+    assert(!minDay.before(java.sql.Date.valueOf("2024-01-01")),
+      s"events predate the SCD2 open: min day $minDay")
+    val joined = graft.SparkEntry.queries("etl_dim_asof_join")(spark, sf).count()
+    val raw = ev.join(graft.core.Tables.customer(spark, sf),
+      col("user_id") === col("c_custkey")).count()
+    assert(joined == raw,
+      s"as-of join changed the fact row count: $joined vs $raw")
+  }
+
   test("A7c: visual-job compile rejects cycles, unknown nodes, unbound sources") {
     import VisualJob._
     val src = Map("orders" -> graft.core.Tables.orders(spark, sf))
