@@ -114,7 +114,10 @@ object Scaling {
     Q("dedup_rate_by_lang", 64),
     // round 14c: token budget — one size() pass + |langs| agg + the
     // schedule broadcast; scan-bound linear claim
-    Q("mix_token_budget", 64))
+    Q("mix_token_budget", 64),
+    // round 14c: phash banding calibration — band-bounded candidates on
+    // the shared fingerprints; expected to track multimodal_dedup_phash
+    Q("dedup_phash_calibration", 64))
 
   /** embeddings+events-family study (base sf0.1 — 2000 vecs / 100k events
     * ⇒ 128000 / 6.4M at 64×). The exact per-label pair operator is capped

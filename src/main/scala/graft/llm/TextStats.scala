@@ -170,6 +170,36 @@ object TextStats {
       .reduce(_ * 16 + _)
   }
 
+  /** The 48-bit payload SimHash fingerprint — ONE definition shared by
+    * `multimodal_dedup_phash` (the dedup verdicts) and
+    * `dedup_phash_calibration` (the banding audit), factored round 14c:
+    * an audit must describe the production fingerprints. md5 gram hashes
+    * keep every intermediate cross-engine-reproducible; one map-side
+    * 48-vote groupBy per doc. */
+  private def payloadPhash(s: SparkSession, d: String): DataFrame = {
+    val W = 48
+    val pay = documents(s, d)
+      .select(col("doc_id"), substring(col("text"), 1, 64).as("p"))
+    // one row per byte 4-gram; gh = first 12 md5 hex digits as a long
+    val grams = pay.select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), greatest(length(col("p")) - 3, lit(1))),
+          i => substring(col("p"), i, lit(4)))).as("g"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("g")), 1, 12), 16, 10).cast("long").as("gh"))
+    // per-bit ±1 majority votes: ONE map-side-combinable groupBy(doc)
+    val votes = grams.groupBy("doc_id").agg(
+      sum(when(shiftright(col("gh"), 0).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as("v0"),
+      (1 until W).map(b =>
+        sum(when(shiftright(col("gh"), b).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1)).as(s"v$b")): _*)
+    votes.select(col("doc_id"),
+      (0 until W).map(b =>
+        when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("ph"))
+  }
+
   /** The A/B variant assignment — ONE definition shared by
     * `abtest_conversion` (the funnel readout) and `abtest_srm_check`
     * (the assignment-health gate), so the SRM check can never audit a
@@ -1550,34 +1580,34 @@ object TextStats {
     // bucket occupancy flat as the corpus grows — the multi-index-hashing
     // layout. Verdict output (keeper = smallest close earlier doc) keeps
     // rows linear in docs however large a near-dup cluster is.
-    "multimodal_dedup_phash" -> ((s, d) => {
-      val W = 48; val bandBits = 16; val nBands = 3; val maxDist = 2
-      val pay = documents(s, d)
-        .select(col("doc_id"), substring(col("text"), 1, 64).as("p"))
-      // one row per byte 4-gram; gh = first 12 md5 hex digits as a long
-      val grams = pay.select(col("doc_id"),
-          explode(transform(
-            sequence(lit(1), greatest(length(col("p")) - 3, lit(1))),
-            i => substring(col("p"), i, lit(4)))).as("g"))
-        .select(col("doc_id"),
-          conv(substring(md5(col("g")), 1, 12), 16, 10).cast("long").as("gh"))
-      // per-bit ±1 majority votes: ONE map-side-combinable groupBy(doc)
-      val votes = grams.groupBy("doc_id").agg(
-        sum(when(shiftright(col("gh"), 0).bitwiseAND(lit(1L)) === 1L, 1)
-          .otherwise(-1)).as("v0"),
-        (1 until W).map(b =>
-          sum(when(shiftright(col("gh"), b).bitwiseAND(lit(1L)) === 1L, 1)
-            .otherwise(-1)).as(s"v$b")): _*)
-      val phash = votes.select(col("doc_id"),
-        (0 until W).map(b =>
-          when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("ph"))
+    "multimodal_dedup_phash" -> ((s, d) =>
       // exact pigeonhole pairing — operators.HammingBanding (planted
       // completeness/exclusion fuzz in HammingBandingSpec)
       graft.operators.HammingBanding
-        .closeVerdicts(phash, "doc_id", "ph", bandBits, nBands, maxDist)
-        .orderBy("doc_id")
-    }),
+        .closeVerdicts(payloadPhash(s, d), "doc_id", "ph",
+          bandBits = 16, nBands = 3, maxDist = 2)
+        .orderBy("doc_id")),
+    // Hamming-banding calibration audit (round 14c) — the phash family's
+    // twin of dedup_minhash_calibration: the exact Hamming-distance
+    // histogram of every band-collision candidate pair, on the SAME
+    // payloadPhash fingerprints and the SAME HammingBanding candidate
+    // generator the dedup key ships (shared builders — the audit cannot
+    // describe different production signatures). The readout: how much
+    // 2⁻¹⁶-band background noise the banding admits (the candidates with
+    // hd > maxDist that verification discards) vs the ≤2-ball it covers
+    // completely — the number that justifies, or re-sizes, the code/band
+    // width before trusting the layout at a bigger corpus. Candidates
+    // are band-bounded (3·n²/2¹⁶ background), the histogram is
+    // ≤49 rows, one map-side count agg.
+    "dedup_phash_calibration" -> ((s, d) =>
+      graft.operators.HammingBanding
+        .candidatePairs(payloadPhash(s, d), "doc_id", "ph",
+          bandBits = 16, nBands = 3)
+        .groupBy("hd")
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(col("hd"), col("n_pairs"),
+          (col("hd") <= 2).as("within_ball"))
+        .orderBy("hd")),
     // CROSS-CORPUS overlap matrix (round 11): distinct-word-3-gram Jaccard
     // between every pair of sources — the dataset-level contamination /
     // redundancy measurement run before mixing corpora (is source X
@@ -1758,6 +1788,39 @@ object TextStats {
       |           AS effective_chars
       |  FROM w, t)""".stripMargin
 
+  /** DuckDB spelling of [[payloadPhash]] as CTEs ending in `ph` —
+    * interpolated into both the dedup and the calibration oracles (one
+    * SQL definition of the fingerprint, mirroring the shared Scala
+    * builder). ((...(d1·16+d2)·16...)+d12): the 12-hex-digit fold of
+    * md5(g), matching Spark's conv(substring(md5(g),1,12),16,10); the
+    * fold seeds in BIGINT — 12 hex digits overflow INT32 arithmetic. */
+  private val PhashOracleCtes: String = {
+    def hexDigit(i: Int) =
+      s"(CASE WHEN ord(hx[$i:$i]) >= 97 THEN ord(hx[$i:$i]) - 87 " +
+        s"ELSE ord(hx[$i:$i]) - 48 END)"
+    val fold = (2 to 12).foldLeft(s"CAST(${hexDigit(1)} AS BIGINT)")(
+      (acc, i) => s"($acc * 16 + ${hexDigit(i)})")
+    s"""pay AS (SELECT doc_id, text[1:64] AS p FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, greatest(length(p) - 3, 1) + 1),
+       |                               i -> p[i:i+3])) AS g
+       |  FROM pay),
+       |gh AS (
+       |  SELECT doc_id, CAST($fold AS BIGINT) AS gh
+       |  FROM (SELECT doc_id, md5(g) AS hx FROM g)),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |         SUM(CASE WHEN (gh >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM gh CROSS JOIN (SELECT unnest(range(0, 48)) AS b) bb
+       |  GROUP BY doc_id, b),
+       |ph AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+       |                       ELSE 0 END) AS BIGINT) AS ph
+       |  FROM bits GROUP BY doc_id)""".stripMargin
+  }
+
   /** [[MixScheduleCtes]] extended to the `rep` CTE — the DuckDB spelling
     * of [[materializedRepeats]], interpolated into both the repeats and
     * the shard-assignment oracles (one definition on the SQL side too). */
@@ -1918,41 +1981,35 @@ object TextStats {
     // PAIRING is genuinely independent: brute-force all-pairs Hamming —
     // no bands, no pigeonhole — so the gate proves the banded cover finds
     // exactly the <=2-ball the quadratic scan finds.
-    "multimodal_dedup_phash" -> {
-      // ((...(d1*16+d2)*16...)+d12): the 12-hex-digit fold of md5(g),
-      // matching Spark's conv(substring(md5(g),1,12),16,10)
-      def hexDigit(i: Int) =
-        s"(CASE WHEN ord(hx[$i:$i]) >= 97 THEN ord(hx[$i:$i]) - 87 " +
-          s"ELSE ord(hx[$i:$i]) - 48 END)"
-      // seed the fold in BIGINT — 12 hex digits overflow INT32 arithmetic
-      val fold = (2 to 12).foldLeft(s"CAST(${hexDigit(1)} AS BIGINT)")(
-        (acc, i) => s"($acc * 16 + ${hexDigit(i)})")
-      s"""WITH pay AS (SELECT doc_id, text[1:64] AS p FROM documents),
-         |g AS (
-         |  SELECT doc_id,
-         |         unnest(list_transform(range(1, greatest(length(p) - 3, 1) + 1),
-         |                               i -> p[i:i+3])) AS g
-         |  FROM pay),
-         |gh AS (
-         |  SELECT doc_id, CAST($fold AS BIGINT) AS gh
-         |  FROM (SELECT doc_id, md5(g) AS hx FROM g)),
-         |bits AS (
-         |  SELECT doc_id, b,
-         |         SUM(CASE WHEN (gh >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-         |  FROM gh CROSS JOIN (SELECT unnest(range(0, 48)) AS b) bb
-         |  GROUP BY doc_id, b),
-         |ph AS (
-         |  SELECT doc_id,
-         |         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
-         |                       ELSE 0 END) AS BIGINT) AS ph
-         |  FROM bits GROUP BY doc_id),
+    // close pairs via the FULL n² cover — the oracle independently
+    // proves the pigeonhole banding loses nothing
+    "multimodal_dedup_phash" ->
+      s"""WITH $PhashOracleCtes,
          |close_pairs AS (
          |  SELECT a.doc_id AS d1, b.doc_id AS d2
          |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
          |  WHERE bit_count(xor(a.ph, b.ph)) <= 2)
          |SELECT d2 AS doc_id, MIN(d1) AS keeper, COUNT(*) AS n_close
-         |FROM close_pairs GROUP BY d2 ORDER BY doc_id""".stripMargin
-    },
+         |FROM close_pairs GROUP BY d2 ORDER BY doc_id""".stripMargin,
+    // the calibration REPLAYS the banding (an audit describes the
+    // production candidate generator), over the same shared ph CTEs
+    "dedup_phash_calibration" ->
+      s"""WITH $PhashOracleCtes,
+         |banded AS (
+         |  SELECT doc_id, t.k AS band,
+         |         (ph >> (CAST(t.k AS INT) * 16)) & 65535 AS bv
+         |  FROM ph, UNNEST(range(0, 3)) AS t(k)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+         |hds AS (
+         |  SELECT bit_count(xor(a.ph, b.ph)) AS hd
+         |  FROM cand JOIN ph a ON cand.d1 = a.doc_id
+         |            JOIN ph b ON cand.d2 = b.doc_id)
+         |SELECT CAST(hd AS INT) AS hd, COUNT(*) AS n_pairs,
+         |       hd <= 2 AS within_ball
+         |FROM hds GROUP BY hd ORDER BY hd""".stripMargin,
     "text_tokens_bpe" ->
       """SELECT doc_id,
         |       CAST(len(str_split(text, ' ')) AS INT) AS ws_tokens,

@@ -28,10 +28,12 @@ object HammingBanding {
     * to per-row verdicts: (id, keeper = min earlier close id, n_close).
     * Requires maxDist < nBands (the pigeonhole condition) and
     * nBands·bandBits ≤ 64. */
-  def closeVerdicts(ph: DataFrame, id: String, phCol: String,
-      bandBits: Int, nBands: Int, maxDist: Int): DataFrame = {
-    require(maxDist < nBands,
-      s"pigeonhole needs maxDist ($maxDist) < nBands ($nBands)")
+  /** Distinct band-collision candidate pairs with their exact Hamming
+    * distance: (d1 < d2, hd). Factored out of [[closeVerdicts]] (round
+    * 14c) so the calibration audit (`dedup_phash_calibration`) describes
+    * exactly the candidate generator the dedup key ships. */
+  def candidatePairs(ph: DataFrame, id: String, phCol: String,
+      bandBits: Int, nBands: Int): DataFrame = {
     require(nBands * bandBits <= 64, "bands exceed a 64-bit fingerprint")
     val base = ph.select(col(id).as("hb_id"), col(phCol).as("hb_ph"))
     val banded = base.select(col("hb_id"),
@@ -47,7 +49,16 @@ object HammingBanding {
     val pa = base.select(col("hb_id").as("d1"), col("hb_ph").as("ph1"))
     val pb = base.select(col("hb_id").as("d2"), col("hb_ph").as("ph2"))
     cand.join(pa, "d1").join(pb, "d2")
-      .filter(bit_count(col("ph1").bitwiseXOR(col("ph2"))) <= maxDist)
+      .select(col("d1"), col("d2"),
+        bit_count(col("ph1").bitwiseXOR(col("ph2"))).as("hd"))
+  }
+
+  def closeVerdicts(ph: DataFrame, id: String, phCol: String,
+      bandBits: Int, nBands: Int, maxDist: Int): DataFrame = {
+    require(maxDist < nBands,
+      s"pigeonhole needs maxDist ($maxDist) < nBands ($nBands)")
+    candidatePairs(ph, id, phCol, bandBits, nBands)
+      .filter(col("hd") <= maxDist)
       .groupBy(col("d2").as(id))
       .agg(min(col("d1")).as("keeper"), count(lit(1)).as("n_close"))
   }
