@@ -223,16 +223,6 @@ object Similarity {
       .select(col("vec_id"), col("uv"), col("c_id").as("cell"))
   }
 
-  /** The fixed-8-centroid multi-probe IVF top-10 ranking — ONE
-    * construction shared by `knn_ivf_multiprobe` (nprobe = 2, the
-    * shipped index read path) and `knn_ivf_recall_audit` (nprobe 1/2/4,
-    * the tuning curve), so the audit can never describe a different
-    * index than the one shipped. Deterministic scaffolding as
-    * knn_ivf_coarse: 4dp-quantized assignment scores with c_id
-    * tiebreaks make the nprobe cell set a pure fixture function; the
-    * probe's cell list + query vector ride an nprobe-row broadcast
-    * through the cell EQUI-join (no nested-loop join); top-k is
-    * TakeOrdered, row numbering happens over 10 rows. */
   /** The exact top-10 cosine ranking of vec_id 0's neighbours — ONE
     * definition shared by `knn_cosine_topk` (the published ranking) and
     * `knn_ivf_recall_audit` (its recall denominator), factored after a
@@ -254,6 +244,16 @@ object Similarity {
       .select("rn", "vec_id")
   }
 
+  /** The fixed-8-centroid multi-probe IVF similarity scores — ONE
+    * construction shared (via [[ivfTop10]]) by `knn_ivf_multiprobe`
+    * (nprobe = 2, the shipped index read path) and
+    * `knn_ivf_recall_audit` (nprobe 1/2/4, the tuning curve), so the
+    * audit can never describe a different index than the one shipped.
+    * Deterministic scaffolding as knn_ivf_coarse: 4dp-quantized
+    * assignment scores with c_id tiebreaks make the nprobe cell set a
+    * pure fixture function; the probe's cell list + query vector ride
+    * an nprobe-row broadcast through the cell EQUI-join (no
+    * nested-loop join). Returns (vec_id, sim) over the probed cells. */
   private def ivfSims(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     val unit = withUnitVec(embeddings(s, d), "embedding", "uv")
     val cent = unit.filter(col("vec_id") < 8)
@@ -272,13 +272,19 @@ object Similarity {
       .select(col("vec_id"), round(dotD(col("uv"), col("qv")), 4).as("sim"))
   }
 
-  private def ivfTop10(s: SparkSession, d: String, nprobe: Int): DataFrame = {
-    val sims = ivfSims(s, d, nprobe)
+  /** Top-10 of a (vec_id, sim) frame — TakeOrdered, row numbering over
+    * 10 rows. Factored off [[ivfTop10]] so knn_ivf_recall_audit can rank
+    * an already-materialized [[ivfSims]] pass instead of rebuilding it. */
+  private def ivfTop10From(sims: DataFrame): DataFrame = {
     val w = Window.orderBy(desc("sim"), asc("vec_id"))
     sims.orderBy(desc("sim"), asc("vec_id")).limit(10)
       .withColumn("rn", row_number().over(w))
       .select("rn", "vec_id")
   }
+
+  /** Top-10 of [[ivfSims]] — the knn_ivf_multiprobe read path. */
+  private def ivfTop10(s: SparkSession, d: String, nprobe: Int): DataFrame =
+    ivfTop10From(ivfSims(s, d, nprobe))
 
   /** Greedy maximal-marginal-relevance selection: pick `k` of the exact
     * top-`pool` candidates by query cosine, each step maximizing
@@ -1022,17 +1028,24 @@ object Similarity {
     "knn_ivf_recall_audit" -> ((s, d) => {
       val ref = exactTop10(s, d)
         .select(col("vec_id")).withColumn("hit", lit(1L))
+      // ONE ivfSims pass per nprobe, materialized (localCheckpoint —
+      // the multi-consumer discipline), feeding BOTH the ranking and
+      // the candidate count: the round-14 spelling rebuilt the IVF
+      // construction twice per nprobe (six centroid-assignment window
+      // passes over the corpus instead of three).
+      val simsByNp = Seq(1, 2, 4)
+        .map(np => np -> ivfSims(s, d, np).localCheckpoint())
       // candidates scanned per nprobe — the COST side of the curve, and
       // the structural check that the nprobe cut works even where recall
       // saturates (a 1-row map-side count per nprobe, broadcast onto the
       // 3-row recall table)
-      val cost = Seq(1, 2, 4)
-        .map(np => ivfSims(s, d, np)
-          .agg(lit(np).as("nprobe"), count(lit(1)).as("candidates")))
+      val cost = simsByNp
+        .map { case (np, sims) =>
+          sims.agg(lit(np).as("nprobe"), count(lit(1)).as("candidates")) }
         .reduce(_ unionByName _)
-      Seq(1, 2, 4)
-        .map(np => ivfTop10(s, d, np)
-          .select(lit(np).as("nprobe"), col("vec_id")))
+      simsByNp
+        .map { case (np, sims) =>
+          ivfTop10From(sims).select(lit(np).as("nprobe"), col("vec_id")) }
         .reduce(_ unionByName _)
         .join(broadcast(ref), Seq("vec_id"), "left")
         .groupBy("nprobe")
@@ -1051,7 +1064,10 @@ object Similarity {
     // divides the +127-shifted sum (DIV vs // diverge on negatives —
     // SURVEY §7.4), then shifts back exactly; the variance numerator
     // n·s2 − s1² is ≥ 0 by Cauchy-Schwarz. DECIMAL(38,0) products (n·s2
-    // passes 2⁶³ near 10⁹ vectors). 100 TB: one expression-level
+    // passes 2⁶³ near 10⁹ vectors; the mean numerator (s1+127n)·10⁶
+    // would pass it near 3.6·10¹⁰, so it rides DECIMAL too — round-15
+    // advice fix, same discipline for both moments). 100 TB: one
+    // expression-level
     // posexplode + a 64-group map-side-combinable agg — nothing wider
     // than (dim, x) shuffles, and only 64 aggregate rows survive.
     "embed_dim_stats" -> ((s, d) => {
@@ -1065,7 +1081,8 @@ object Similarity {
           max(col("x")).cast("long").as("max_q"))
         .select(col("dim"), col("n"), col("s1"), col("s2"),
           col("min_q"), col("max_q"),
-          expr("(s1 + 127 * n) * 1000000 DIV n - 1000000 * 127")
+          expr("CAST(CAST(s1 + 127 * n AS DECIMAL(38,0)) * 1000000 " +
+            "DIV n AS BIGINT) - 1000000 * 127")
             .as("mean_q6"),
           expr("CAST((CAST(n AS DECIMAL(38,0)) * s2 - " +
             "CAST(s1 AS DECIMAL(38,0)) * s1) * 1000000 DIV " +

@@ -942,17 +942,20 @@ object TierCAgg {
     // (n+1)·Σx) / (n·Σx), 1-indexed — all products in DECIMAL(38,0)
     // (i·xᵢ ≤ n²·max_cents passes 2⁶³ near n ≈ 10⁵ already), quantized
     // q6 by integer DIV; ties in cents leave Σ i·xᵢ invariant, the
-    // custkey tiebreak just makes row_number deterministic. Scale: one
-    // map-side-combinable per-customer agg, then a |customers|-bounded
-    // global rank — the same 2-pass prefix-rank note as the KS window
-    // applies beyond ~10⁸ customers.
+    // custkey tiebreak just makes the rank deterministic. Scale: one
+    // map-side-combinable per-customer agg, then the global rank via
+    // Prefix.runningAggs — the 2-pass partition-prefix scheme (range
+    // exchange + partition-local position + a ≤|partitions|-row offset
+    // window), so NO single task ever consumes the |customers| table
+    // (round 15: the promised primitive, built; PlanSpec pins the shape).
     "profile_gini" -> ((s, d) => {
       val rev = orders(s, d).filter(col("o_custkey").isNotNull)
         .groupBy("o_custkey")
         .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
           .cast("long")).as("cents"))
-      val w = Window.orderBy(asc("cents"), asc("o_custkey"))
-      rev.withColumn("i", row_number().over(w))
+      graft.operators.Prefix.runningAggs(rev,
+          Seq(col("cents").asc, col("o_custkey").asc), col("cents"),
+          rnOut = Some("i"))
         .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"),
           sum(expr("CAST(i AS DECIMAL(38,0)) * cents")).as("iw"))
         .select(col("n"), col("total_cents").cast("long").as("total_cents"),
@@ -1915,25 +1918,28 @@ object TierCAgg {
     "profile_funcdep" ->
       """WITH c1 AS (
         |  SELECT COUNT(*) AS n_det,
-        |         SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS n_violating,
+        |         CAST(SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_violating,
         |         MAX(ndep) AS max_dep
         |  FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS ndep
         |        FROM orders GROUP BY o_orderkey) t),
         |c2 AS (
         |  SELECT COUNT(*) AS n_det,
-        |         SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS n_violating,
+        |         CAST(SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_violating,
         |         MAX(ndep) AS max_dep
         |  FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS ndep
         |        FROM orders GROUP BY o_custkey) t),
         |c3 AS (
         |  SELECT COUNT(*) AS n_det,
-        |         SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS n_violating,
+        |         CAST(SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_violating,
         |         MAX(ndep) AS max_dep
         |  FROM (SELECT CAST(o_orderdate AS DATE) AS det,
         |               COUNT(DISTINCT o_orderstatus) AS ndep
         |        FROM orders GROUP BY det) t)
         |SELECT fd, n_det, n_violating, max_dep,
-        |       n_violating * 1000000 // n_det AS viol_rate_q6
+        |       CAST(n_violating * 1000000 // n_det AS BIGINT) AS viol_rate_q6
         |FROM (
         |  SELECT 'o_orderkey->o_custkey' AS fd, * FROM c1
         |  UNION ALL
@@ -2354,20 +2360,22 @@ object TierCWindow {
     // +1s at t permute c+1..c+k), and the surfaced per-day MAX and count
     // are multiset-invariant. Sessions cross midnight, so the running sum
     // is global by construction — over the 2·|sessions|-bounded boundary
-    // stream, never the event stream (the same |table|-bounded global
-    // window class as profile_gini's rank; 2-pass partition-prefix cumsum
-    // replaces it past ~5·10⁷ sessions). Day grouping after is map-side
-    // combinable. Shares staticSessions with sessionize_batch — the peak
-    // audits exactly the sessions the engine publishes.
+    // stream, never the event stream, and runs through
+    // Prefix.runningAggs (round 15): range exchange on (t, delta DESC) +
+    // partition-local cumsum + a ≤|partitions|-row offset window — no
+    // single task ever consumes the boundary stream. Day grouping after
+    // is map-side combinable. Shares staticSessions with
+    // sessionize_batch — the peak audits exactly the sessions the
+    // engine publishes.
     "sessions_concurrent_peak" -> ((s, d) => {
       val ses = staticSessions(s, d)
       val bounds = ses.select(col("session_start").as("t"),
           lit(1L).as("delta"))
         .unionByName(ses.select(col("session_end").as("t"),
           lit(-1L).as("delta")))
-      val sweep = Window.orderBy(asc("t"), desc("delta"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      bounds.withColumn("conc", sum("delta").over(sweep))
+      graft.operators.Prefix.runningAggs(bounds,
+          Seq(col("t").asc, col("delta").desc), col("delta"),
+          sumOut = Some("conc"))
         .groupBy(to_date(col("t")).as("day"))
         .agg(max(col("conc")).as("peak_concurrency"),
           count(lit(1)).as("n_boundaries"))
@@ -2517,20 +2525,21 @@ object TierCWindow {
     // sf0.1; the tightest product is the share's rev·10⁶ ≈ 2.3e18 (~4×
     // under 2⁶³ — beyond ~sf0.4 move the share numerator to
     // DECIMAL(38,0) or drop the quantizer to q4). 100 TB shape: the per-customer agg is
-    // the only fact shuffle; the ranking window runs GLOBAL but
-    // post-aggregation over |customers| rows (the profile_histogram
-    // justification — at extreme cardinality a range-partitioned sort +
-    // per-partition offsets replaces the single window); the 1-row total
-    // rides a broadcast crossJoin.
+    // the only fact shuffle; the running revenue share runs through
+    // Prefix.runningAggs (round 15 — the "range-partitioned sort +
+    // per-partition offsets" this comment used to merely name): range
+    // exchange on (rev DESC, custkey) + partition-local cumsum + a
+    // ≤|partitions|-row offset window, so no single task consumes the
+    // |customers| table; the 1-row total rides a broadcast crossJoin.
     "abc_classification" -> ((s, d) => {
       val cust = orders(s, d).groupBy("o_custkey")
         .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
           .cast("long")).as("rev"))
       val tot = cust.agg(sum(col("rev")).as("t"))
-      val wCum = Window.orderBy(desc("rev"), asc("o_custkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      cust.crossJoin(broadcast(tot))
-        .withColumn("cum", sum(col("rev")).over(wCum))
+      graft.operators.Prefix.runningAggs(cust,
+          Seq(col("rev").desc, col("o_custkey").asc), col("rev"),
+          sumOut = Some("cum"))
+        .crossJoin(broadcast(tot))
         .withColumn("cls",
           when(col("cum") * 100 <= col("t") * 80, "A")
             .when(col("cum") * 100 <= col("t") * 95, "B").otherwise("C"))
@@ -3747,7 +3756,7 @@ object TierCWindow {
         |                             ROWS UNBOUNDED PRECEDING) AS conc
         |  FROM bounds)
         |SELECT CAST(t AS DATE) AS day,
-        |       MAX(conc) AS peak_concurrency,
+        |       CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
         |       COUNT(*) AS n_boundaries
         |FROM sweep GROUP BY day ORDER BY day""".stripMargin,
     // same sid recurrence with event_id/page carried; entry/exit picks
@@ -4642,7 +4651,8 @@ object TierCWindow {
       s"""WITH $SessionOracleCtes
         |SELECT CAST(session_start AS DATE) AS day,
         |       COUNT(*) AS n_sessions,
-        |       SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces,
+        |       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_bounces,
         |       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
         |            * 1000000 // COUNT(*) AS BIGINT) AS bounce_q6
         |FROM ses GROUP BY day ORDER BY day""".stripMargin,
@@ -4654,10 +4664,10 @@ object TierCWindow {
         |f AS (SELECT user_id, MIN(day) AS first_day
         |      FROM ev GROUP BY user_id)
         |SELECT e.day,
-        |       SUM(CASE WHEN e.day = f.first_day THEN 1 ELSE 0 END)
-        |         AS n_new,
-        |       SUM(CASE WHEN e.day <> f.first_day THEN 1 ELSE 0 END)
-        |         AS n_returning,
+        |       CAST(SUM(CASE WHEN e.day = f.first_day THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_new,
+        |       CAST(SUM(CASE WHEN e.day <> f.first_day THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_returning,
         |       COUNT(*) AS n_active
         |FROM ev e JOIN f ON e.user_id = f.user_id
         |GROUP BY e.day ORDER BY e.day""".stripMargin,

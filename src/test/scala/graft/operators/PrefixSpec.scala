@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Equivalence tests for the 2-pass partition-prefix primitive: on any
+  * input whose sort key is a total order, Prefix.runningAggs must equal
+  * the single-partition `Window.orderBy` it replaces, row for row; on
+  * tied keys the cum values must form the same multiset. Inputs are
+  * deliberately skewed/small/negative to hit empty range slices,
+  * single-row partitions, and non-monotone running sums (the sweep-line
+  * −1 deltas). */
+class PrefixSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("unique keys: running sum and position equal the global window") {
+    // pseudo-random but fixed values, including negatives
+    val rows = (1L to 1000L).map(i => (i, ((i * 2654435761L) % 97L) - 48L))
+    val df = rows.toDF("id", "v")
+    val w = Window.orderBy(col("v").asc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df
+      .withColumn("cum", sum(col("v")).over(w))
+      .withColumn("i", count(lit(1)).over(w))
+      .select("id", "cum", "i").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = Prefix.runningAggs(df,
+        Seq(col("v").asc, col("id").asc), col("v"),
+        sumOut = Some("cum"), rnOut = Some("i"))
+      .select("id", "cum", "i").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
+  test("tied keys: cum values form the same multiset as the window's") {
+    // every key collides 10 ways — ties may stradde range boundaries,
+    // the guarantee is multiset equality of (key, cum) pairs
+    val df = (1L to 500L).map(i => (i % 50L, 1L)).toDF("k", "v")
+    val w = Window.orderBy(col("k").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def multiset(rows: Array[(Long, Long)]) =
+      rows.groupBy(identity).view.mapValues(_.length).toMap
+    val want = df.withColumn("cum", sum(col("v")).over(w))
+      .select("k", "cum").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = Prefix.runningAggs(df, Seq(col("k").asc), col("v"),
+        sumOut = Some("cum"))
+      .select("k", "cum").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(multiset(got) == multiset(want))
+  }
+
+  test("more partitions than rows: empty range slices contribute nothing") {
+    val df = Seq((1L, 5L), (2L, -3L), (3L, 7L)).toDF("id", "v")
+    val got = Prefix.runningAggs(df, Seq(col("id").asc), col("v"),
+        sumOut = Some("cum"), rnOut = Some("i"), partitions = Some(16))
+      .select("id", "cum", "i").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 5L, 1L), (2L, 2L, 2L), (3L, 9L, 3L)))
+  }
+
+  test("descending sort keys route correctly through the range exchange") {
+    val df = Seq((1L, 10L), (2L, 30L), (3L, 20L)).toDF("id", "v")
+    val got = Prefix.runningAggs(df,
+        Seq(col("v").desc, col("id").asc), col("v"), sumOut = Some("cum"))
+      .select("id", "cum").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 60L), (2L, 30L), (3L, 50L)))
+  }
+}

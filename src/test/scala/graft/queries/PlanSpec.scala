@@ -913,6 +913,57 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("r15: prefix-routed keys run no table-proportional global window") {
+    // profile_gini / abc_classification / sessions_concurrent_peak were
+    // the last three keys whose plan funneled a table-proportional input
+    // through ONE un-partitioned WindowExec task (the r14 verdict's
+    // named scale-weakness). They now route through
+    // Prefix.runningAggs: the only un-partitioned window allowed in
+    // their plans is the offset pass over the per-partition totals —
+    // an Aggregate grouped by __prefix_pid, ≤ |shuffle partitions| rows
+    // by construction. Any other un-partitioned window is a regression.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    for (name <- Seq("profile_gini", "abc_classification",
+        "sessions_concurrent_peak")) {
+      val lp = SparkEntryPlan(name).queryExecution.optimizedPlan
+      val wins = lp.collect { case w: LWindow => w }
+      assert(wins.nonEmpty, s"$name: expected window nodes in:\n$lp")
+      val unpartitioned = wins.filter(_.partitionSpec.isEmpty)
+      assert(unpartitioned.nonEmpty,
+        s"$name: the offset window should survive optimization:\n$lp")
+      unpartitioned.foreach { w =>
+        val pidBounded = w.child.collect { case a: Aggregate => a }.exists(
+          _.groupingExpressions.exists(
+            _.references.exists(_.name == "__prefix_pid")))
+        assert(pidBounded,
+          s"$name: un-partitioned window over non-pid-bounded input:\n$w")
+      }
+    }
+  }
+
+  test("r15: Prefix's two consumers share ONE materialized range exchange") {
+    // the local-cumsum pass and the per-partition totals both read the
+    // ranged slice; Catalyst/AQE must collapse them onto a single range
+    // shuffle (ReusedExchange / reused query stage) — otherwise the
+    // input is scanned and range-shuffled twice, and (worse) the two
+    // passes could in principle see different partition boundaries.
+    val df = SparkEntryPlan("profile_gini")
+    df.collect() // AQE finalizes exchange reuse only on execution
+    val full = df.queryExecution.executedPlan.toString
+    // the adaptive toString appends the initial (pre-reuse) plan — take
+    // only the final section
+    val finalPlan = full.split("== Initial Plan ==")(0)
+    val materialized = finalPlan.linesIterator.count(l =>
+      l.contains("Exchange rangepartitioning") &&
+        !l.contains("ReusedExchange"))
+    val reused = finalPlan.linesIterator.count(l =>
+      l.contains("ReusedExchange") && l.contains("rangepartitioning"))
+    assert(materialized == 1,
+      s"expected exactly one materialized range exchange, got $materialized in:\n$finalPlan")
+    assert(reused >= 1,
+      s"totals side must reuse the range exchange, not rebuild it:\n$finalPlan")
+  }
+
   test("whole-stage codegen covers the flagship aggregate") {
     // AQE only materializes codegen spans in the final plan — execute first.
     val df = SparkEntryPlan("agg_groupby_having")

@@ -48,10 +48,35 @@ def compare(name, sf_dir, out_dir, con):
     # TypeError on multi-column sorts (unhashable in factorize); ValueError
     # on single-column sorts (ndarray comparison is ambiguous in argsort)
     try:
-        spark.to_pandas().sort_values(by=sc)
-        oracle.to_pandas().sort_values(by=oc)
+        s_pd = spark.to_pandas().sort_values(by=sc)
+        o_pd = oracle.to_pandas().sort_values(by=oc)
     except (TypeError, ValueError) as e:
         return f"FAIL {name}: driver-style pandas sort would fail: {e}"
+    # Dtype probe (round 15): the driver's hash is dtype-KIND-sensitive —
+    # equal VALUES in different pandas dtype kinds still fail the gate.
+    # DuckDB types uncast SUM(int) as HUGEINT (arrow decimal128(38,0) →
+    # pandas object), while Spark emits int64 — the r14 board had four
+    # such reds that this value-compare passed. Width differences within
+    # a kind (int32 vs int64) hash identically at the driver (18 r14-green
+    # keys carry them), so compare pandas dtype.kind per column, and for
+    # object columns (where Decimal == int compares True in Python) also
+    # the python type of the first non-null cell.
+    for c in sc:
+        sd, od = s_pd[c].dtype.kind, o_pd[c].dtype.kind
+        if sd != od:
+            return (f"FAIL {name}: col {c} dtype kind spark={s_pd[c].dtype} oracle={o_pd[c].dtype} "
+                    f"(arrow: spark={spark.schema.field(c).type} "
+                    f"oracle={oracle.schema.field(c).type})")
+        if sd == "O":
+            sv = s_pd[c].dropna()
+            ov = o_pd[c].dropna()
+            if len(sv) and len(ov):
+                ta, tb = type(sv.iloc[0]).__name__, type(ov.iloc[0]).__name__
+                if ta != tb:
+                    return (f"FAIL {name}: col {c} object cell type "
+                            f"spark={ta} oracle={tb} (arrow: "
+                            f"spark={spark.schema.field(c).type} "
+                            f"oracle={oracle.schema.field(c).type})")
     s_rows = spark.select(sc).to_pylist()
     o_rows = oracle.select(oc).to_pylist()
     for i, (a, b) in enumerate(zip(s_rows, o_rows)):
