@@ -117,7 +117,11 @@ object Scaling {
     Q("mix_token_budget", 64),
     // round 14c: phash banding calibration — band-bounded candidates on
     // the shared fingerprints; expected to track multimodal_dedup_phash
-    Q("dedup_phash_calibration", 64))
+    Q("dedup_phash_calibration", 64),
+    // round 15 (LedgerSpec gate): contrastive negatives — partner fetch
+    // is ONE md5-derived equi-join against a broadcast count, no pair
+    // enumeration; linear-in-docs claim
+    Q("negative_pairs", 64))
 
   /** embeddings+events-family study (base sf0.1 — 2000 vecs / 100k events
     * ⇒ 128000 / 6.4M at 64×). The exact per-label pair operator is capped
@@ -318,7 +322,17 @@ object Scaling {
     Q("join_null_safe", 64),
     // round 14c: FK coverage — two semi-join count passes (child ×m,
     // parent ×m, equi keys); linear-in-scan claim
-    Q("profile_fk_coverage", 64))
+    Q("profile_fk_coverage", 64),
+    // round 15: the raw star join (lineitem⋈orders⋈customer + broadcast
+    // nation/region, 25-row output) under the NEW per-copy custkey remap
+    // — the claim under test is the measured BHJ→SMJ flip when the ×m
+    // customer side outgrows the 10 MB broadcast threshold (the
+    // etl_pseudonymize_join lesson on the star path proper)
+    Q("join_multiway", 64),
+    // round 15 (LedgerSpec gate): the basket pair expansion is MAP-SIDE
+    // over ≤7-item sorted basket arrays — ≤|brands|² keys after combine,
+    // never a pair join; linear-in-lineitem claim
+    Q("basket_brand_pairs", 64))
 
   case class Pt(query: String, mult: Int, inputRows: Long, outRows: Long,
       sec: Double)
@@ -570,15 +584,25 @@ object Scaling {
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
     }
     if (inflateTpch) {
-      // fact-table growth only: order keys offset per copy so the copies
-      // are row-disjoint, everything else byte-identical — the CUSUM
-      // daily table stays calendar-bounded and Space-Saving's (flag,
-      // suppkey) key domain is preserved (eviction churn intact) while
-      // the scanned row count grows ×m.
+      // fact-table growth: order keys offset per copy so the copies are
+      // row-disjoint — the CUSUM daily table stays calendar-bounded and
+      // Space-Saving's (flag, suppkey) key domain is preserved (eviction
+      // churn intact) while the scanned row count grows ×m. Round 15
+      // (r14 verdict #4): o_custkey is ALSO offset per copy, by the
+      // customer span, so copy-i orders reference copy-i customers —
+      // the star-join path (orders⋈customer) now measures real
+      // dim-side growth instead of joining every copy back to copy 0,
+      // and the BHJ→SMJ flip etl_pseudonymize_join measured on its
+      // token table is confirmed on the raw star join too. NULL
+      // custkeys stay NULL (lit-add propagates them).
+      val cSpanForOrders = spark.read
+        .parquet(s"$baseDir/customer.parquet")
+        .agg(max("c_custkey")).head.getLong(0) + 1
       val ord = spark.read.parquet(s"$baseDir/orders.parquet")
       val oSpan = ord.agg(max("o_orderkey")).head.getLong(0) + 1
       val oCopies = (0 until m).map { i =>
         ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * oSpan))
+          .withColumn("o_custkey", col("o_custkey") + lit(i * cSpanForOrders))
       }
       oCopies.reduce(_.union(_)).repartition(math.max(4, m))
         .write.mode("overwrite").parquet(s"$dir/orders.parquet")
@@ -590,8 +614,9 @@ object Scaling {
         .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
       // round 14: the customer DIM grows ×m too (key-offset copies) so
       // the SCD2 publish/snapshot pair and gini's |customers|-bounded
-      // rank measure real growth; orders keep referencing copy-0 keys,
-      // which none of the staged queries join through
+      // rank measure real growth; round 15: orders reference copy-i
+      // customers (o_custkey offset above by this same span), closing
+      // the star-join gap the r14 note left open
       val cust = spark.read.parquet(s"$baseDir/customer.parquet")
       val cSpan = cust.agg(max("c_custkey")).head.getLong(0) + 1
       val cCopies = (0 until m).map { i =>

@@ -253,24 +253,51 @@ object Similarity {
     * assignment scores with c_id tiebreaks make the nprobe cell set a
     * pure fixture function; the probe's cell list + query vector ride
     * an nprobe-row broadcast through the cell EQUI-join (no
-    * nested-loop join). Returns (vec_id, sim) over the probed cells. */
+    * nested-loop join). Returns (vec_id, sim) over the probed cells.
+    *
+    * Factored into parts (round 15) so the audit builds the expensive
+    * corpus ASSIGNMENT exactly once: [[ivfRanked]] (the 8-candidate
+    * window over all vectors — the only corpus-wide pass),
+    * [[ivfClusteredOf]] (arn = 1), [[ivfProbesOf]] (vec 0's ranked cell
+    * list — the vec_id filter pushes below the window, so this costs 8
+    * rows), and [[ivfSimsFrom]] (the candidate equi-join). Both the
+    * shipped read path and the audit compose the SAME four builders. */
   private def ivfSims(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    val ranked = ivfRanked(s, d)
+    ivfSimsFrom(ivfClusteredOf(ranked),
+      ivfProbesOf(ranked).filter(col("arn") <= nprobe).drop("arn"))
+  }
+
+  /** Every vector × 8 seed centroids, 4dp-quantized csim, arn = rank of
+    * the candidate cell (1 = assigned cell) — the corpus-wide pass. */
+  private def ivfRanked(s: SparkSession, d: String): DataFrame = {
     val unit = withUnitVec(embeddings(s, d), "embedding", "uv")
     val cent = unit.filter(col("vec_id") < 8)
       .select(col("vec_id").as("c_id"), col("uv").as("c_v"))
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("c_id"))
-    val ranked = unit.crossJoin(broadcast(cent))
+    unit.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("uv"),
         round(dotD(col("uv"), col("c_v")), 4).as("csim"), col("c_id"))
       .withColumn("arn", row_number().over(wAssign))
-    val clustered = ranked.filter(col("arn") === 1)
+  }
+
+  /** The index: each vector in its assigned cell. */
+  private def ivfClusteredOf(ranked: DataFrame): DataFrame =
+    ranked.filter(col("arn") === 1)
       .select(col("vec_id"), col("uv"), col("c_id").as("cell"))
-    val probe = ranked.filter(col("vec_id") === 0 && col("arn") <= nprobe)
-      .select(col("c_id").as("cell"), col("uv").as("qv"))
+
+  /** Vec 0's ranked probe-cell list (cell, qv, arn) — filter `arn <=
+    * nprobe` to pick the probe width. */
+  private def ivfProbesOf(ranked: DataFrame): DataFrame =
+    ranked.filter(col("vec_id") === 0)
+      .select(col("c_id").as("cell"), col("uv").as("qv"), col("arn"))
+
+  /** The candidate scan: probed cells equi-joined onto the index. */
+  private def ivfSimsFrom(clustered: DataFrame, probe: DataFrame)
+      : DataFrame =
     clustered.join(broadcast(probe), Seq("cell"))
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"), round(dotD(col("uv"), col("qv")), 4).as("sim"))
-  }
 
   /** Top-10 of a (vec_id, sim) frame — TakeOrdered, row numbering over
     * 10 rows. Factored off [[ivfTop10]] so knn_ivf_recall_audit can rank
@@ -1028,24 +1055,30 @@ object Similarity {
     "knn_ivf_recall_audit" -> ((s, d) => {
       val ref = exactTop10(s, d)
         .select(col("vec_id")).withColumn("hit", lit(1L))
-      // ONE ivfSims pass per nprobe, materialized (localCheckpoint —
-      // the multi-consumer discipline), feeding BOTH the ranking and
-      // the candidate count: the round-14 spelling rebuilt the IVF
-      // construction twice per nprobe (six centroid-assignment window
-      // passes over the corpus instead of three).
-      val simsByNp = Seq(1, 2, 4)
-        .map(np => np -> ivfSims(s, d, np).localCheckpoint())
+      // ONE corpus assignment pass total (round 15): the index
+      // (clustered) and vec 0's probe list are checkpointed once and
+      // every (nprobe × {ranking, count}) consumer re-derives its
+      // candidate join from those blocks — the round-14 spelling
+      // rebuilt the 8-candidate assignment window per consumer (six
+      // corpus-wide passes instead of one). Shared-builder discipline:
+      // these are the SAME ivfRanked/ivfClusteredOf/ivfProbesOf/
+      // ivfSimsFrom parts knn_ivf_multiprobe's ivfSims composes.
+      val ranked = ivfRanked(s, d)
+      val clustered = ivfClusteredOf(ranked).localCheckpoint()
+      val probes = ivfProbesOf(ranked).localCheckpoint() // 8 rows
+      def sims(np: Int) = ivfSimsFrom(clustered,
+        probes.filter(col("arn") <= np).drop("arn"))
       // candidates scanned per nprobe — the COST side of the curve, and
       // the structural check that the nprobe cut works even where recall
       // saturates (a 1-row map-side count per nprobe, broadcast onto the
       // 3-row recall table)
-      val cost = simsByNp
-        .map { case (np, sims) =>
-          sims.agg(lit(np).as("nprobe"), count(lit(1)).as("candidates")) }
+      val cost = Seq(1, 2, 4)
+        .map(np => sims(np)
+          .agg(lit(np).as("nprobe"), count(lit(1)).as("candidates")))
         .reduce(_ unionByName _)
-      simsByNp
-        .map { case (np, sims) =>
-          ivfTop10From(sims).select(lit(np).as("nprobe"), col("vec_id")) }
+      Seq(1, 2, 4)
+        .map(np =>
+          ivfTop10From(sims(np)).select(lit(np).as("nprobe"), col("vec_id")))
         .reduce(_ unionByName _)
         .join(broadcast(ref), Seq("vec_id"), "left")
         .groupBy("nprobe")

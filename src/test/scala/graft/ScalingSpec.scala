@@ -80,6 +80,25 @@ class ScalingSpec extends SparkSpec {
     val orphans = sl.join(so, sl("l_orderkey") === so("o_orderkey"),
       "left_anti").count()
     assert(orphans == 0, s"$orphans staged lineitem rows lost their order")
+    // round 15: the star-join contract — copy-i orders reference copy-i
+    // customers (o_custkey offset by the CUSTOMER span), so the
+    // orders⋈customer path measures real dim growth; FK coverage must be
+    // exactly preserved (no staged order loses its customer), and copy-1
+    // orders must sit one customer-span above copy 0
+    val sc = spark.read.parquet(s"$dir/customer.parquet")
+    val bc = spark.read.parquet(s"$sf/customer.parquet")
+    assert(sc.count() == 2 * bc.count(), "customer dim must scale ×m")
+    val cSpan = bc.agg(max("c_custkey")).head.getLong(0) + 1
+    assert(so.filter(col("o_orderkey") >= span)
+      .filter(col("o_custkey").isNotNull)
+      .filter(col("o_custkey") < cSpan).count() == 0,
+      "copy-1 orders must reference copy-1 customers")
+    val custOrphans = so.filter(col("o_custkey").isNotNull)
+      .join(sc, so("o_custkey") === sc("c_custkey"), "left_anti").count()
+    val baseOrphans = bo.filter(col("o_custkey").isNotNull)
+      .join(bc, bo("o_custkey") === bc("c_custkey"), "left_anti").count()
+    assert(custOrphans == 2 * baseOrphans,
+      s"staged FK coverage drifted: $custOrphans orphans vs base $baseOrphans×2")
   }
 
   test("staged embeddings: rotation preserves norms, ids offset") {

@@ -945,9 +945,16 @@ class PlanSpec extends SparkSpec {
     // the local-cumsum pass and the per-partition totals both read the
     // ranged slice; Catalyst/AQE must collapse them onto a single range
     // shuffle (ReusedExchange / reused query stage) — otherwise the
-    // input is scanned and range-shuffled twice, and (worse) the two
+    // checkpointed input is range-shuffled twice, and (worse) the two
     // passes could in principle see different partition boundaries.
-    val df = SparkEntryPlan("profile_gini")
+    // Driven at an EXPLICIT width: the adaptive default collapses the
+    // gate-scale fixtures to one slice, where no range exchange plans
+    // at all (also asserted below via profile_gini).
+    import spark.implicits._
+    val df = graft.operators.Prefix.runningAggs(
+      (1L to 10000L).map(i => (i, i % 97)).toDF("id", "v"),
+      Seq(col("v").asc, col("id").asc), col("v"),
+      sumOut = Some("cum"), partitions = Some(8))
     df.collect() // AQE finalizes exchange reuse only on execution
     val full = df.queryExecution.executedPlan.toString
     // the adaptive toString appends the initial (pre-reuse) plan — take
@@ -962,6 +969,14 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one materialized range exchange, got $materialized in:\n$finalPlan")
     assert(reused >= 1,
       s"totals side must reuse the range exchange, not rebuild it:\n$finalPlan")
+    // and at the adaptive default on a gate-scale fixture, the input
+    // collapses to ONE slice — no range exchange should plan at all
+    val gini = SparkEntryPlan("profile_gini")
+    gini.collect()
+    val gPlan = gini.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!gPlan.contains("Exchange rangepartitioning"),
+      s"gate-scale gini should adapt to one slice (no range exchange):\n$gPlan")
   }
 
   test("whole-stage codegen covers the flagship aggregate") {

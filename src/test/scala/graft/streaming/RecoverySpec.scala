@@ -101,4 +101,116 @@ class RecoverySpec extends SparkSpec {
         fullSorted.count(_._4 == "null"))
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  private def drainDedup(srcDir: String, ckpt: String, outDir: String)
+      : Array[Row] = {
+    val dd = graft.queries.TierD.dedupedEvents(
+      graft.core.Tables.eventsStreamFromDir(spark, srcDir))
+    val q = dd.select(col("event_id"), col("user_id"), col("ts"))
+      .writeStream.format("parquet")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .option("path", outDir)
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).collect()
+  }
+
+  test("dedup state restarted from checkpoint suppresses planted " +
+    "cross-restart duplicates exactly like the uninterrupted run") {
+    // Round 15 (r14 verdict #8): the second stateful-operator class under
+    // the crash gate — the DEDUP state store. The fixture's event_ids are
+    // unique, so a plain chunk replay would never touch the state across
+    // the restart; this test PLANTS duplicates: chunk 3' = (the 50
+    // latest-ts rows of chunk 2, byte-identical) ∪ chunk 3. Those rows'
+    // event time is chunk 2's max, which sits ABOVE the batch-3 watermark
+    // (global max of batches 1-2 minus the 1 h delay), so the late-data
+    // filter can NOT be what drops them — only the recovered dedup state
+    // can. A restart that lost state re-emits all 50 and fails the
+    // duplicate-free assertion below.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val allDir = Paths.get(
+        graft.core.Tables.chunkedEventsDir(spark, sf, chunks = 3))
+      val chunkFiles = {
+        val l = Files.list(allDir)
+        try {
+          import scala.jdk.CollectionConverters._
+          l.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+            .toSeq.sortBy(_.getFileName.toString)
+        } finally l.close()
+      }
+      assert(chunkFiles.size == 3, s"expected 3 staged chunks: $chunkFiles")
+
+      // synthesize chunk 3' with the planted duplicates (raw schema —
+      // eventsStreamFromDir applies the ts dispatch on read)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val c2 = spark.read.parquet(chunkFiles(1).toString)
+      val c3 = spark.read.parquet(chunkFiles(2).toString)
+      val planted = c2.orderBy(desc("ts"), desc("event_id")).limit(50)
+      val plantedIds = planted.select("event_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(plantedIds.size == 50, "planted-duplicate staging failed")
+      val synthPart = Paths.get(tmpDir("rec_dedup_part"))
+      planted.unionByName(c3).coalesce(1)
+        .write.mode("overwrite").parquet(synthPart.toString)
+      val synthFile = {
+        val l = Files.list(synthPart)
+        try {
+          import scala.jdk.CollectionConverters._
+          l.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+        } finally l.close()
+      }
+
+      def stage(files: Seq[java.nio.file.Path]): String = {
+        val d = Paths.get(tmpDir("rec_dedup_dir"))
+        files.zipWithIndex.foreach { case (f, i) =>
+          val t = d.resolve(f"chunk_${i + 1}%02d.parquet")
+          Files.copy(f, t, StandardCopyOption.REPLACE_EXISTING)
+          // the file source orders by mtime — keep arrival order pinned
+          Files.setLastModifiedTime(t, java.nio.file.attribute.FileTime
+            .fromMillis(1000000L + (i + 1) * 60000L))
+        }
+        d.toString
+      }
+
+      // reference: one uninterrupted 3-batch run over chunks 1, 2, 3'
+      val full = drainDedup(
+        stage(Seq(chunkFiles(0), chunkFiles(1), synthFile)),
+        tmpDir("rec_dd_ckpt_full"), tmpDir("rec_dd_out_full"))
+
+      // crashed run: chunks 1-2 drain, then 3' lands, restart resumes
+      val partDir = stage(Seq(chunkFiles(0), chunkFiles(1)))
+      val ckpt = tmpDir("rec_dd_ckpt_split")
+      val out = tmpDir("rec_dd_out_split")
+      val run1 = drainDedup(partDir, ckpt, out)
+      val t3 = Paths.get(partDir).resolve("chunk_03.parquet")
+      Files.copy(synthFile, t3, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(t3, java.nio.file.attribute.FileTime
+        .fromMillis(1000000L + 3 * 60000L))
+      val combined = drainDedup(partDir, ckpt, out)
+
+      assert(run1.nonEmpty, "run 1 emitted nothing — 2-batch drain failed")
+      assert(combined.length > run1.length,
+        "restart emitted nothing — chunk 3' was not processed")
+      // the planted ids were emitted BEFORE the crash...
+      val run1Ids = run1.map(_.getLong(0)).toSet
+      assert(plantedIds.subsetOf(run1Ids),
+        "planted duplicates not present in the pre-crash output")
+      // ...and across the restart NO event_id is ever emitted twice —
+      // the recovered state, not the late filter, suppressed the replant
+      val dupIds = combined.groupBy(_.getLong(0))
+        .filter(_._2.length > 1).keys.toSeq
+      assert(dupIds.isEmpty,
+        s"${dupIds.size} event_ids emitted twice across the restart " +
+          s"(state lost): ${dupIds.take(5)}")
+      // byte-for-byte: restarted output equals the uninterrupted run
+      val key = (r: Row) =>
+        (r.getLong(0), r.getLong(1), String.valueOf(r.get(2)))
+      assert(combined.map(key).sorted.toSeq == full.map(key).sorted.toSeq,
+        "restarted dedup output diverged from the uninterrupted run")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }
