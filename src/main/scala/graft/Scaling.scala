@@ -332,7 +332,11 @@ object Scaling {
     // round 15 (LedgerSpec gate): the basket pair expansion is MAP-SIDE
     // over ≤7-item sorted basket arrays — ≤|brands|² keys after combine,
     // never a pair join; linear-in-lineitem claim
-    Q("basket_brand_pairs", 64))
+    Q("basket_brand_pairs", 64),
+    // round 15: exact global percentiles via the Prefix 2-pass rank —
+    // one range shuffle of a 2-column projection + a 4-row broadcast
+    // probe; the global-sort cost class, linear claim
+    Q("agg_percentile_exact", 64))
 
   case class Pt(query: String, mult: Int, inputRows: Long, outRows: Long,
       sec: Double)

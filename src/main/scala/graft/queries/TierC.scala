@@ -725,6 +725,35 @@ object TierCAgg {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
     }),
+    // C14b' — exact GLOBAL percentiles at fact scale (round 15): the
+    // operation the comment above writes off for groups ("exact
+    // percentile inherently buffers") is tractable globally without any
+    // buffering: Prefix.runningAggs ranks the whole fact projection with
+    // the 2-pass partition-prefix scheme (range exchange + slice-local
+    // positions + a ≤|slices|-row offset pass — no task holds more than
+    // its ~1M-row slice), and each requested percentile is one EQUI-join
+    // probe against a 4-row broadcast of target ranks. The rank target
+    // is the shared ceil spelling ⌈n·pct/100⌉ = (n·pct + 99) DIV 100 in
+    // both engines; the (cents, o_orderkey) order is total, so each
+    // picked row is unique. 100 TB: one range shuffle of a 2-column
+    // projection + a broadcast probe — the cost class of a global sort,
+    // for an EXACT quantile where approx_percentile (C17) only bounds.
+    "agg_percentile_exact" -> ((s, d) => {
+      val cents = orders(s, d).select(col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      val ranked = graft.operators.Prefix.runningAggs(cents,
+        Seq(col("cents").asc, col("o_orderkey").asc), col("cents"),
+        rnOut = Some("i"))
+      val tot = cents.agg(count(lit(1)).as("n"))
+      val pcts = s.range(0, 1).select(
+        explode(array(lit(25), lit(50), lit(75), lit(99))).as("pct"))
+      val targets = pcts.crossJoin(broadcast(tot))
+        .select(col("pct"), expr("(n * pct + 99) DIV 100").as("i"))
+      ranked.join(broadcast(targets), Seq("i"))
+        .select(col("pct"), col("cents").as("value_cents"))
+        .orderBy("pct")
+    }),
     // C14c — sample variance/stddev from exact decimal moments: sum and
     // sum-of-squares are order-independent decimals, the final formula is
     // the same three IEEE ops in both engines.
@@ -1566,6 +1595,24 @@ object TierCAgg {
         |       list_sort(list(l_quantity))[CAST(greatest(ceil(0.9 * COUNT(*)), 1) AS INT)] AS p90_qty,
         |       COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the independent spelling: a window ROW_NUMBER rank replayed against
+    // the identical (n·pct + 99) // 100 target formula; // is DuckDB
+    // floor division (non-negative operands, = Spark's DIV)
+    "agg_percentile_exact" ->
+      """WITH c AS (
+        |  SELECT o_orderkey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |           AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (SELECT cents,
+        |             ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS i
+        |      FROM c),
+        |t AS (SELECT COUNT(*) AS n FROM c),
+        |p AS (SELECT * FROM (VALUES (25), (50), (75), (99)) AS v(pct))
+        |SELECT p.pct, r.cents AS value_cents
+        |FROM r, t, p
+        |WHERE r.i = (t.n * p.pct + 99) // 100
+        |ORDER BY p.pct""".stripMargin,
     // the same distinct-cents grid + lower-median pick; HUGEINT-free (the
     // 2·cum compare stays far inside BIGINT)
     "agg_weighted_median" ->

@@ -650,6 +650,10 @@ class PlanSpec extends SparkSpec {
       // 3-row df table; pagerank_clicks broadcasts the 1-row N aggregate
       // each iteration — linear broadcast passes, not pair explosions
       "retrieval_bm25", "pagerank_clicks",
+      // r15: agg_percentile_exact crosses the 4-row pct list with the
+      // 1-row count to derive target ranks — a 4-row broadcast, not a
+      // pair explosion
+      "agg_percentile_exact",
       // graph_triangles crosses three 1-row census aggregates;
       // text_bigram_lm broadcasts the 1-row vocabulary size;
       // retrieval_mmr crosses the broadcast query vector and the 20-row
