@@ -4,44 +4,51 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Distributed global running-sum / row-number — the 2-pass
-  * partition-prefix scheme that replaces the single-partition
-  * `Window.orderBy(...)` the profile_gini / abc_classification /
-  * sessions_concurrent_peak comments kept promising "beyond ~10⁸ rows"
-  * (round-15 verdict #3, now built instead of named).
+/** Distributed running-sum / row-number — the 2-pass partition-prefix
+  * scheme that replaces the single-partition `Window.orderBy(...)` the
+  * profile_gini / abc_classification / sessions_concurrent_peak comments
+  * kept promising "beyond ~10⁸ rows" (round-15 verdict #3, now built
+  * instead of named), plus the GROUPED variant the agg_weighted_median
+  * comment named at its ~5·10⁷-distinct-values cutover.
   *
-  * An un-partitioned window funnels the WHOLE input through one task:
-  * at 100 TB the plan is correct and never finishes. The classic fix is
-  * the two-pass prefix scan every distributed cumsum uses (e.g. MPI
-  * exscan, Spark's own zipWithIndex):
+  * An un-partitioned window funnels the WHOLE input through one task —
+  * and a key-partitioned window funnels each KEY's rows through one
+  * task, which is the same wall at scale when a single key's domain is
+  * huge. At 100 TB either plan is correct and never finishes. The
+  * classic fix is the two-pass prefix scan every distributed cumsum
+  * uses (e.g. MPI exscan, Spark's own zipWithIndex):
   *
-  *   1. range-repartition on the sort key so partition i holds a
+  *   1. range-repartition on (keys ++ sort) so partition i holds a
   *      contiguous, ordered slice (RangePartitioner — the same exchange
   *      a global sort plans), then compute the PARTITION-LOCAL running
-  *      sum / row count with `Window.partitionBy(spark_partition_id())`
-  *      — every partition scans in parallel;
-  *   2. aggregate one (sum, count) row per partition — a |partitions|-
-  *      row table, bounded by cluster width, NOT by the data — run the
-  *      only global window over THAT, and broadcast the resulting
+  *      sum / row count with `Window.partitionBy(spark_partition_id(),
+  *      keys…)` — every slice scans in parallel;
+  *   2. aggregate one (sum, count) row per (slice, key) — a table
+  *      bounded by |slices| + |keys seen across slice boundaries|, NOT
+  *      by the data — window THAT per key over pid, and join the
   *      exclusive offsets back onto the local pass.
   *
-  * global_cum(row) = local_cum(row) + offset(partition of row). The one
-  * remaining `Window.orderBy` consumes ≤ `partitions` rows by
-  * construction (PlanSpec pins this shape on all three rerouted keys).
+  * global_cum(row) = local_cum(row) + offset(slice, key of row). In the
+  * ungrouped form the offsets table is ≤ |slices| rows and rides a
+  * broadcast; the only remaining `Window.orderBy` consumes it
+  * (PlanSpec pins this shape on the rerouted keys). In the grouped form
+  * the offsets join is a plain equi-join on (pid, keys) — AQE
+  * broadcasts it when small — and no window anywhere is partitioned by
+  * less than (pid, keys) or consumes more than the offsets table.
   *
   * Both consumers of the ranged slice (the local window and the totals
   * agg) sit in one plan, so Catalyst's ReuseExchange collapses them onto
-  * a single range exchange — the input is read and shuffled ONCE
-  * (PlanSpec counts the exchanges).
+  * a single range exchange — the checkpointed input is range-shuffled
+  * ONCE (PlanSpec counts the exchanges).
   *
-  * Tie semantics: rows equal on the full `sortCols` may straddle a
-  * range boundary, so their cum values form the same deterministic
-  * MULTISET a single window would emit, permuted — exactly the
-  * guarantee the three callers already rely on (gini's tiebreak is a
-  * PK, so its order is total; the sweep line's per-day MAX and the ABC
-  * cut are multiset-invariant under equal-key permutation).
+  * Tie semantics: rows equal on the full (keys ++ sortCols) may
+  * straddle a range boundary, so their cum values form the same
+  * deterministic MULTISET a single window would emit, permuted —
+  * exactly the guarantee the callers rely on (gini's tiebreak is a PK,
+  * so its order is total; the sweep line's per-day MAX and the ABC cut
+  * are multiset-invariant under equal-key permutation).
   *
-  * `value` must be a LONG column (all three callers run the §7.4
+  * `value` must be a LONG column (all callers run the §7.4
   * exact-integer discipline; a DECIMAL variant would only need the two
   * sum dtypes widened).
   */
@@ -56,9 +63,31 @@ object Prefix {
     */
   def runningAggs(df: DataFrame, sortCols: Seq[Column], value: Column,
       sumOut: Option[String] = None, rnOut: Option[String] = None,
+      partitions: Option[Int] = None): DataFrame =
+    impl(df, Seq.empty, sortCols, value, sumOut, rnOut, partitions)
+
+  /** The grouped form: running aggregates over `sortCols` WITHIN each
+    * distinct value of `keyCols` (named columns), with no per-key
+    * single-task funnel — a key whose domain outgrows one partition
+    * spreads across range slices and its offsets stitch the slices
+    * back. Output per row is identical to
+    * `Window.partitionBy(keyCols).orderBy(sortCols)` (multiset-equal on
+    * ties). */
+  def runningAggsByKey(df: DataFrame, keyCols: Seq[String],
+      sortCols: Seq[Column], value: Column,
+      sumOut: Option[String] = None, rnOut: Option[String] = None,
       partitions: Option[Int] = None): DataFrame = {
+    require(keyCols.nonEmpty,
+      "Prefix.runningAggsByKey: keyCols empty — use runningAggs")
+    impl(df, keyCols, sortCols, value, sumOut, rnOut, partitions)
+  }
+
+  private def impl(df: DataFrame, keyCols: Seq[String],
+      sortCols: Seq[Column], value: Column,
+      sumOut: Option[String], rnOut: Option[String],
+      partitions: Option[Int]): DataFrame = {
     require(sumOut.nonEmpty || rnOut.nonEmpty,
-      "Prefix.runningAggs: request at least one of sumOut/rnOut")
+      "Prefix: request at least one of sumOut/rnOut")
     // Materialize the input ONCE before the range exchange: a
     // RangePartitioning shuffle runs a separate boundary-SAMPLING job
     // that re-executes its child, so an expensive upstream (the
@@ -68,8 +97,16 @@ object Prefix {
     // sampler, the shuffle AND the totals branch; at scale this is the
     // standard persist every 2-pass algorithm pays (the input here is
     // already the operator's reduced form — boundaries/aggregates, not
-    // the raw fact table).
-    val src = df.localCheckpoint()
+    // the raw fact table). If the CALLER already materialized (an input
+    // shared with other consumers, e.g. agg_weighted_median's grid also
+    // feeds its totals side), re-checkpointing would copy the blocks
+    // and — worse — leave the caller's other consumers recomputing the
+    // upstream from scratch, so detect a checkpointed/materialized
+    // input (LogicalRDD) and use it as-is.
+    val src =
+      if (df.queryExecution.analyzed.getClass.getSimpleName == "LogicalRDD")
+        df
+      else df.localCheckpoint()
     // Width is DATA-ADAPTIVE, not conf-fixed: the checkpoint makes an
     // exact count free, so small inputs collapse to one ~1M-row slice
     // (the fixed per-stage overhead of a 32-wide exchange tripled the
@@ -82,29 +119,35 @@ object Prefix {
       val cnt = src.count()
       math.max(1L, math.min(cnt / RowsPerSlice + 1, 200000L)).toInt
     }
-    val ranged = src.repartitionByRange(n, sortCols: _*)
+    val keys = keyCols.map(col)
+    val ranged = src.repartitionByRange(n, (keys ++ sortCols): _*)
       .withColumn("__prefix_pid", spark_partition_id())
       .withColumn("__prefix_v", value.cast("long"))
-    val wLocal = Window.partitionBy(col("__prefix_pid"))
+    val wLocal = Window.partitionBy(col("__prefix_pid") +: keys: _*)
       .orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = ranged
       .withColumn("__prefix_lsum", sum(col("__prefix_v")).over(wLocal))
       .withColumn("__prefix_lcnt", count(lit(1)).over(wLocal))
-    // pass 2: one row per partition; the ONLY global window runs here,
-    // over ≤ n rows. Empty range slices simply have no row — they
+    // pass 2: one row per (slice, key-run); the per-key offset window
+    // consumes only this table — ≤ n rows ungrouped, ≤ n + |boundary
+    // key runs| grouped. Empty range slices simply have no row — they
     // contribute 0 to every downstream offset by absence.
-    val wPid = Window.orderBy(col("__prefix_pid"))
+    val wPid = Window.partitionBy(keys: _*).orderBy(col("__prefix_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ranged.groupBy(col("__prefix_pid"))
+    val offsets = ranged.groupBy(col("__prefix_pid") +: keys: _*)
       .agg(sum(col("__prefix_v")).as("__prefix_tsum"),
         count(lit(1)).as("__prefix_tcnt"))
-      .select(col("__prefix_pid"),
+      .select(col("__prefix_pid") +: keys :+
         coalesce(sum(col("__prefix_tsum")).over(wPid), lit(0L))
-          .as("__prefix_osum"),
+          .as("__prefix_osum") :+
         coalesce(sum(col("__prefix_tcnt")).over(wPid), lit(0L))
-          .as("__prefix_ocnt"))
-    val joined = local.join(broadcast(offsets), Seq("__prefix_pid"))
+          .as("__prefix_ocnt"): _*)
+    // ungrouped: the ≤n-row offsets ride an explicit broadcast; grouped:
+    // a plain equi-join on (pid, keys) — AQE broadcasts it when small,
+    // shuffles it when a huge key domain makes it big (the point)
+    val offSide = if (keyCols.isEmpty) broadcast(offsets) else offsets
+    val joined = local.join(offSide, "__prefix_pid" +: keyCols)
     val withSum = sumOut.fold(joined)(o => joined.withColumn(o,
       col("__prefix_lsum") + col("__prefix_osum")))
     val withRn = rnOut.fold(withSum)(o => withSum.withColumn(o,

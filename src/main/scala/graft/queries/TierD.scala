@@ -40,11 +40,12 @@ object TierD {
         .select(col("w.start").as("wstart"), col("event_type"), col("cnt"))
         .orderBy("wstart", "event_type")
     }),
-    // D3 — session windows, 30-minute gap, per user.
+    // D3 — session windows, 30-minute gap, per user (the sessionCounts
+    // fragment — single-sourced so RecoverySpec's crash-restart gate
+    // drives the SAME session_window aggregation through the streaming
+    // engine's session state store).
     "stream_session" -> ((s, d) => {
-      events(s, d)
-        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
-        .agg(count(lit(1)).as("cnt"))
+      sessionCounts(events(s, d))
         .select(col("user_id"), col("w.start").as("session_start"), col("cnt"))
         .orderBy("user_id", "session_start")
     }),
@@ -466,6 +467,18 @@ object TierD {
         .agg(sum("cnt").as("cnt")).orderBy("event_type")
     })
   )
+
+  /** The stream_session aggregation over an arbitrary event frame —
+    * 30-minute-gap session windows per user. Single-sourced
+    * (package-private): the D3 key runs it through the batch engine,
+    * RecoverySpec runs it through the STREAMING engine (with a
+    * watermark, append mode) across a crash-restart cycle, where
+    * sessions straddling the crash boundary must merge from the
+    * restored session-window state store. */
+  private[graft] def sessionCounts(ev: DataFrame): DataFrame =
+    ev.groupBy(session_window(col("ts"), "30 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
 
   /** The stream_dedup_stateful operator over an arbitrary event stream —
     * watermarked dropDuplicates, the dedup state store. Single-sourced

@@ -58,6 +58,45 @@ class PrefixSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 5L, 1L), (2L, 2L, 2L), (3L, 9L, 3L)))
   }
 
+  test("grouped: per-key running sum and position equal the per-key window") {
+    // 7 groups × ~150 rows, forced to 8 slices so groups straddle slice
+    // boundaries (the stitch under test); negatives included
+    val rows = (1L to 1000L).map(i =>
+      (i % 7L, i, ((i * 2654435761L) % 97L) - 48L))
+    val df = rows.toDF("g", "id", "v")
+    val w = Window.partitionBy("g").orderBy(col("v").asc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df
+      .withColumn("cum", sum(col("v")).over(w))
+      .withColumn("i", count(lit(1)).over(w))
+      .select("g", "id", "cum", "i").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val got = Prefix.runningAggsByKey(df, Seq("g"),
+        Seq(col("v").asc, col("id").asc), col("v"),
+        sumOut = Some("cum"), rnOut = Some("i"), partitions = Some(8))
+      .select("g", "id", "cum", "i").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+  }
+
+  test("grouped: a single key spanning every slice stitches correctly") {
+    // ONE key, 500 rows, 16 slices — the per-group window would funnel
+    // all 500 through one task; the prefix must still match it exactly
+    val df = (1L to 500L).map(i => (42L, i, i % 13L)).toDF("g", "id", "v")
+    val w = Window.partitionBy("g").orderBy(col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("cum", sum(col("v")).over(w))
+      .select("id", "cum").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Prefix.runningAggsByKey(df, Seq("g"), Seq(col("id").asc),
+        col("v"), sumOut = Some("cum"), partitions = Some(16))
+      .select("id", "cum").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
   test("descending sort keys route correctly through the range exchange") {
     val df = Seq((1L, 10L), (2L, 30L), (3L, 20L)).toDF("id", "v")
     val got = Prefix.runningAggs(df,

@@ -928,13 +928,19 @@ class PlanSpec extends SparkSpec {
     // by construction. Any other un-partitioned window is a regression.
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     for (name <- Seq("profile_gini", "abc_classification",
-        "sessions_concurrent_peak")) {
+        "sessions_concurrent_peak", "agg_percentile_exact",
+        "agg_weighted_median")) {
       val lp = SparkEntryPlan(name).queryExecution.optimizedPlan
       val wins = lp.collect { case w: LWindow => w }
       assert(wins.nonEmpty, s"$name: expected window nodes in:\n$lp")
+      // the grouped form (weighted_median) has NO un-partitioned window
+      // at all — its offset window is keyed; everywhere else the offset
+      // window must survive optimization, and any un-partitioned window
+      // that exists must be pid-bounded
       val unpartitioned = wins.filter(_.partitionSpec.isEmpty)
-      assert(unpartitioned.nonEmpty,
-        s"$name: the offset window should survive optimization:\n$lp")
+      if (name != "agg_weighted_median")
+        assert(unpartitioned.nonEmpty,
+          s"$name: the offset window should survive optimization:\n$lp")
       unpartitioned.foreach { w =>
         val pidBounded = w.child.collect { case a: Aggregate => a }.exists(
           _.groupingExpressions.exists(

@@ -213,4 +213,93 @@ class RecoverySpec extends SparkSpec {
         "restarted dedup output diverged from the uninterrupted run")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  private def drainSessions(srcDir: String, ckpt: String, outDir: String)
+      : Array[Row] = {
+    val agg = graft.queries.TierD.sessionCounts(
+      graft.core.Tables.eventsStreamFromDir(spark, srcDir)
+        .withWatermark("ts", "1 hour"))
+    val q = agg
+      .select(col("user_id"), col("w.start").as("s_start"),
+        col("w.end").as("s_end"), col("cnt"))
+      .writeStream.format("parquet")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .option("path", outDir)
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).collect()
+  }
+
+  test("session-window state restarted from checkpoint merges " +
+    "crash-straddling sessions exactly like the uninterrupted run") {
+    // Round 15 (third stateful class under the crash gate): the
+    // SESSION-WINDOW state store. The chunk split is by global event
+    // time, so sessions of users active around the chunk-2/3 boundary
+    // have events on BOTH sides of the crash: the restarted query must
+    // merge chunk-3 events into the RESTORED partial sessions — a lost
+    // store would emit the fragments as separate (or double-counted)
+    // sessions and break the byte-equality below. Append mode only
+    // emits watermark-finalized sessions, identically in both runs, so
+    // the trailing unfinalized sessions drop out of BOTH sides equally.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val allDir = Paths.get(
+        graft.core.Tables.chunkedEventsDir(spark, sf, chunks = 3))
+      val chunkFiles = {
+        val l = Files.list(allDir)
+        try {
+          import scala.jdk.CollectionConverters._
+          l.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+            .toSeq.sortBy(_.getFileName.toString)
+        } finally l.close()
+      }
+      assert(chunkFiles.size == 3, s"expected 3 staged chunks: $chunkFiles")
+
+      // reference: one uninterrupted 3-batch run
+      val full = drainSessions(allDir.toString, tmpDir("rec_sw_ckpt_full"),
+        tmpDir("rec_sw_out_full"))
+
+      // crashed run: chunks 1-2, drain, then chunk 3 lands, restart
+      val partDir = Paths.get(tmpDir("rec_sw_dir"))
+      chunkFiles.take(2).foreach(f => Files.copy(f,
+        partDir.resolve(f.getFileName), StandardCopyOption.REPLACE_EXISTING))
+      val ckpt = tmpDir("rec_sw_ckpt_split")
+      val out = tmpDir("rec_sw_out_split")
+      val run1 = drainSessions(partDir.toString, ckpt, out)
+      Files.copy(chunkFiles(2), partDir.resolve(chunkFiles(2).getFileName),
+        StandardCopyOption.REPLACE_EXISTING)
+      val combined = drainSessions(partDir.toString, ckpt, out)
+
+      assert(run1.nonEmpty, "run 1 emitted nothing — 2-batch drain failed")
+      assert(combined.length > run1.length,
+        "restart emitted nothing — chunk 3 was not processed")
+      val key = (r: Row) => (r.getLong(0), String.valueOf(r.get(1)),
+        String.valueOf(r.get(2)), r.getLong(3))
+      assert(combined.map(key).sorted.toSeq == full.map(key).sorted.toSeq,
+        "restarted session output diverged from the uninterrupted run")
+      // non-vacuity: at least one finalized session STARTED at-or-before
+      // the crash boundary (chunk 2's max event time) and ENDED after it
+      // — i.e. the restart genuinely merged chunk-3 events into restored
+      // pre-crash session state rather than only finalizing old state.
+      // Boundary read handles both fixture ts vintages (raw ns longs /
+      // timestamp) at second precision — far finer than the 30-min gap.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val c2 = spark.read.parquet(chunkFiles(1).toString)
+      val tsCol = c2.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          (col("ts") / 1000000000L).cast("long").cast("timestamp")
+        case _ => col("ts").cast("timestamp")
+      }
+      val bound = c2.agg(max(tsCol)).head.getTimestamp(0)
+      val straddlers = combined.count { r =>
+        !r.getTimestamp(1).after(bound) && r.getTimestamp(2).after(bound)
+      }
+      assert(straddlers > 0,
+        s"no emitted session straddles the crash boundary ($bound) — " +
+          "the merge path was not exercised; re-chunk or widen the gap")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }
