@@ -599,14 +599,16 @@ object Scaling {
       // and the BHJ→SMJ flip etl_pseudonymize_join measured on its
       // token table is confirmed on the raw star join too. NULL
       // custkeys stay NULL (lit-add propagates them).
-      val cSpanForOrders = spark.read
-        .parquet(s"$baseDir/customer.parquet")
-        .agg(max("c_custkey")).head.getLong(0) + 1
+      val cust = spark.read.parquet(s"$baseDir/customer.parquet")
+      // ONE span feeds both the o_custkey remap and the customer-copy
+      // offsets — a drift between the two would silently break the
+      // star-join FK contract ScalingSpec asserts
+      val cSpan = cust.agg(max("c_custkey")).head.getLong(0) + 1
       val ord = spark.read.parquet(s"$baseDir/orders.parquet")
       val oSpan = ord.agg(max("o_orderkey")).head.getLong(0) + 1
       val oCopies = (0 until m).map { i =>
         ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * oSpan))
-          .withColumn("o_custkey", col("o_custkey") + lit(i * cSpanForOrders))
+          .withColumn("o_custkey", col("o_custkey") + lit(i * cSpan))
       }
       oCopies.reduce(_.union(_)).repartition(math.max(4, m))
         .write.mode("overwrite").parquet(s"$dir/orders.parquet")
@@ -621,8 +623,6 @@ object Scaling {
       // rank measure real growth; round 15: orders reference copy-i
       // customers (o_custkey offset above by this same span), closing
       // the star-join gap the r14 note left open
-      val cust = spark.read.parquet(s"$baseDir/customer.parquet")
-      val cSpan = cust.agg(max("c_custkey")).head.getLong(0) + 1
       val cCopies = (0 until m).map { i =>
         cust.withColumn("c_custkey", col("c_custkey") + lit(i * cSpan))
       }

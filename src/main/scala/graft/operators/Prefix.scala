@@ -20,9 +20,13 @@ import org.apache.spark.sql.functions._
   *
   *   1. range-repartition on (keys ++ sort) so partition i holds a
   *      contiguous, ordered slice (RangePartitioner — the same exchange
-  *      a global sort plans), then compute the PARTITION-LOCAL running
-  *      sum / row count with `Window.partitionBy(spark_partition_id(),
-  *      keys…)` — every slice scans in parallel;
+  *      a global sort plans), sort within slices, then compute the
+  *      SLICE-LOCAL running sum / row count with one imperative
+  *      mapPartitions scan — every slice in parallel, and NO second
+  *      exchange (a pid-partitioned Window here would re-shuffle the
+  *      whole stream on pid, which Catalyst cannot know is already
+  *      clustered — PlanSpec pins hashpartitioning(__prefix_pid) out
+  *      of the plans);
   *   2. aggregate one (sum, count) row per (slice, key) — a table
   *      bounded by |slices| + |keys seen across slice boundaries|, NOT
   *      by the data — window THAT per key over pid, and join the
@@ -123,22 +127,55 @@ object Prefix {
     val ranged = src.repartitionByRange(n, (keys ++ sortCols): _*)
       .withColumn("__prefix_pid", spark_partition_id())
       .withColumn("__prefix_v", value.cast("long"))
-    val wLocal = Window.partitionBy(col("__prefix_pid") +: keys: _*)
-      .orderBy(sortCols: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = ranged
-      .withColumn("__prefix_lsum", sum(col("__prefix_v")).over(wLocal))
-      .withColumn("__prefix_lcnt", count(lit(1)).over(wLocal))
+    // The slice-local running sum/position is ONE imperative pass over
+    // each already-range-partitioned slice (sortWithinPartitions + a
+    // mapPartitions scan — the canonical per-partition-imperative case).
+    // The round-15 first spelling used Window.partitionBy(pid, keys…),
+    // but Catalyst cannot know the rows are already pid-clustered, so
+    // EnsureRequirements inserted a SECOND full-data hash exchange on
+    // pid above the range exchange — every byte crossed the wire twice
+    // (the review finding PlanSpec now pins closed: no hashpartitioning
+    // on __prefix_pid may appear). Key runs are contiguous after the
+    // (keys ++ sort) sort, so a key change resets the accumulators; a
+    // NULL value adds nothing but still counts, matching the window
+    // semantics (sum skips nulls, count(1) doesn't).
+    val sorted = ranged.sortWithinPartitions((keys ++ sortCols): _*)
+    val inSchema = sorted.schema
+    val outSchema = inSchema
+      .add("__prefix_lsum", org.apache.spark.sql.types.LongType, false)
+      .add("__prefix_lcnt", org.apache.spark.sql.types.LongType, false)
+    val keyIdx = keyCols.map(inSchema.fieldIndex)
+    val vIdx = inSchema.fieldIndex("__prefix_v")
+    val local = sorted.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var first = true
+      var s = 0L
+      var c = 0L
+      it.map { row =>
+        val k = keyIdx.map(row.get)
+        if (first || k != curKey) { curKey = k; s = 0L; c = 0L; first = false }
+        if (!row.isNullAt(vIdx)) s += row.getLong(vIdx)
+        c += 1
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ s :+ c)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
     // pass 2: one row per (slice, key-run); the per-key offset window
     // consumes only this table — ≤ n rows ungrouped, ≤ n + |boundary
     // key runs| grouped. Empty range slices simply have no row — they
     // contribute 0 to every downstream offset by absence.
     val wPid = Window.partitionBy(keys: _*).orderBy(col("__prefix_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // offset keys are renamed so the join condition can be spelled
+    // NULL-SAFE (<=>): a NULL key value is a group to
+    // Window.partitionBy, the groupBy below AND the key-run scan above,
+    // so the stitch join must match it too — a plain equi-join silently
+    // dropped every NULL-keyed row (review finding, PrefixSpec-pinned)
     val offsets = ranged.groupBy(col("__prefix_pid") +: keys: _*)
       .agg(sum(col("__prefix_v")).as("__prefix_tsum"),
         count(lit(1)).as("__prefix_tcnt"))
-      .select(col("__prefix_pid") +: keys :+
+      .select(col("__prefix_pid").as("__prefix_opid") +:
+        keyCols.zipWithIndex.map { case (k, i) =>
+          col(k).as(s"__prefix_k_$i") } :+
         coalesce(sum(col("__prefix_tsum")).over(wPid), lit(0L))
           .as("__prefix_osum") :+
         coalesce(sum(col("__prefix_tcnt")).over(wPid), lit(0L))
@@ -147,12 +184,17 @@ object Prefix {
     // a plain equi-join on (pid, keys) — AQE broadcasts it when small,
     // shuffles it when a huge key domain makes it big (the point)
     val offSide = if (keyCols.isEmpty) broadcast(offsets) else offsets
-    val joined = local.join(offSide, "__prefix_pid" +: keyCols)
+    val cond = keyCols.zipWithIndex
+      .map { case (k, i) => col(k) <=> col(s"__prefix_k_$i") }
+      .foldLeft(col("__prefix_pid") === col("__prefix_opid"))(_ && _)
+    val joined = local.join(offSide, cond)
     val withSum = sumOut.fold(joined)(o => joined.withColumn(o,
       col("__prefix_lsum") + col("__prefix_osum")))
     val withRn = rnOut.fold(withSum)(o => withSum.withColumn(o,
       col("__prefix_lcnt") + col("__prefix_ocnt")))
-    withRn.drop("__prefix_pid", "__prefix_v", "__prefix_lsum",
-      "__prefix_lcnt", "__prefix_osum", "__prefix_ocnt")
+    withRn.drop("__prefix_pid" +: "__prefix_opid" +: "__prefix_v" +:
+      "__prefix_lsum" +: "__prefix_lcnt" +: "__prefix_osum" +:
+      "__prefix_ocnt" +:
+      keyCols.indices.map(i => s"__prefix_k_$i"): _*)
   }
 }

@@ -81,6 +81,24 @@ class PrefixSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("grouped: NULL key values form a group, exactly like the window") {
+    // review finding: the offsets equi-join silently dropped NULL-keyed
+    // rows until it was spelled null-safe (<=>); this pins the
+    // Window.partitionBy equivalence on a nullable key
+    val df = Seq((Some(1L), 1L, 10L), (None, 2L, 20L), (Some(1L), 3L, 30L),
+      (None, 4L, 40L)).toDF("g", "id", "v")
+    val w = Window.partitionBy("g").orderBy(col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def keyOf(r: org.apache.spark.sql.Row) =
+      (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1), r.getLong(2))
+    val want = df.withColumn("cum", sum(col("v")).over(w))
+      .select("g", "id", "cum").collect().map(keyOf).toSet
+    val got = Prefix.runningAggsByKey(df, Seq("g"), Seq(col("id").asc),
+        col("v"), sumOut = Some("cum"), partitions = Some(3))
+      .select("g", "id", "cum").collect().map(keyOf).toSet
+    assert(got == want, s"got $got want $want")
+  }
+
   test("grouped: a single key spanning every slice stitches correctly") {
     // ONE key, 500 rows, 16 slices — the per-group window would funnel
     // all 500 through one task; the prefix must still match it exactly

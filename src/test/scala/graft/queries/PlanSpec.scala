@@ -979,6 +979,20 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one materialized range exchange, got $materialized in:\n$finalPlan")
     assert(reused >= 1,
       s"totals side must reuse the range exchange, not rebuild it:\n$finalPlan")
+    // the round-15 review finding, pinned: the slice-local pass is a
+    // mapPartitions scan over the range slices — a pid-partitioned
+    // Window there would make EnsureRequirements re-shuffle the whole
+    // stream on __prefix_pid. (The offsets branch still hash-exchanges
+    // pid legitimately: that shuffle carries one PARTIAL-AGG row per
+    // task, not the data.)
+    assert(finalPlan.contains("MapPartitions graft.operators.Prefix"),
+      s"slice-local pass is not the mapPartitions scan:\n$finalPlan")
+    val localWindowOnPid = finalPlan.linesIterator.exists(l =>
+      l.contains("windowspecdefinition(__prefix_pid") &&
+        l.contains("currentrow"))
+    assert(!localWindowOnPid,
+      s"a pid-partitioned running window re-appeared (full-data " +
+        s"re-shuffle):\n$finalPlan")
     // and at the adaptive default on a gate-scale fixture, the input
     // collapses to ONE slice — no range exchange should plan at all
     val gini = SparkEntryPlan("profile_gini")

@@ -130,6 +130,8 @@ class RecoverySpec extends SparkSpec {
     // can. A restart that lost state re-emits all 50 and fails the
     // duplicate-free assertion below.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNanos =
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val allDir = Paths.get(
@@ -211,7 +213,17 @@ class RecoverySpec extends SparkSpec {
         (r.getLong(0), r.getLong(1), String.valueOf(r.get(2)))
       assert(combined.map(key).sorted.toSeq == full.map(key).sorted.toSeq,
         "restarted dedup output diverged from the uninterrupted run")
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      // restore the reader flag the duplicate staging set (review
+      // finding: leaving it flipped makes later suites order-dependent)
+      prevNanos match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None =>
+          spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
+    }
   }
 
   private def drainSessions(srcDir: String, ckpt: String, outDir: String)
@@ -244,6 +256,8 @@ class RecoverySpec extends SparkSpec {
     // emits watermark-finalized sessions, identically in both runs, so
     // the trailing unfinalized sessions drop out of BOTH sides equally.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNanos =
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val allDir = Paths.get(
@@ -300,6 +314,14 @@ class RecoverySpec extends SparkSpec {
       assert(straddlers > 0,
         s"no emitted session straddles the crash boundary ($bound) — " +
           "the merge path was not exercised; re-chunk or widen the gap")
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevNanos match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None =>
+          spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
+    }
   }
 }
