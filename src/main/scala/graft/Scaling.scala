@@ -335,8 +335,9 @@ object Scaling {
     Q("basket_brand_pairs", 64),
     // round 15: exact global percentiles via the Prefix 2-pass rank —
     // one range shuffle of a 2-column projection + a 4-row broadcast
-    // probe; the global-sort cost class, linear claim
-    Q("agg_percentile_exact", 64))
+    // probe; the global-sort cost class, linear claim. The grouped
+    // sibling ranks WITHIN flags over lineitem — same class
+    Q("agg_percentile_exact", 64), Q("agg_percentile_exact_group", 64))
 
   case class Pt(query: String, mult: Int, inputRows: Long, outRows: Long,
       sec: Double)

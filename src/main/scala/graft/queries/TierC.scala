@@ -755,6 +755,39 @@ object TierCAgg {
         .select(col("pct"), col("cents").as("value_cents"))
         .orderBy("pct")
     }),
+    // C14b''' — exact PER-GROUP percentiles at fact scale (round 15):
+    // the grouped companion of agg_percentile_exact, and the scale
+    // answer to agg_percentile_disc's buffering (sortedPick collects
+    // each group's values — fine at |group| ≤ memory, a wall past it).
+    // Prefix.runningAggsByKey ranks every lineitem row WITHIN its
+    // return flag (range slices + per-(slice, flag) offset stitching —
+    // no flag ever funnels through one task), per-flag counts ride a
+    // 3-row broadcast crossed with the 4-row pct list, and each
+    // (flag, pct) picks its row by ONE equi-join on (flag, rank). The
+    // same ceil spelling ⌈n·pct/100⌉ = (n·pct+99) DIV 100 as the global
+    // key; the (qc, orderkey, linenumber) order is total, so every pick
+    // is unique and the result hash-exact.
+    "agg_percentile_exact_group" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_returnflag"),
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity").cast("decimal(18,2)") * 100)
+          .cast("long").as("qc"))
+        .localCheckpoint() // feeds the rank AND the counts — one scan
+      val ranked = graft.operators.Prefix.runningAggsByKey(li,
+        Seq("l_returnflag"),
+        Seq(col("qc").asc, col("l_orderkey").asc, col("l_linenumber").asc),
+        col("qc"), rnOut = Some("i"))
+      val counts = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      val pcts = s.range(0, 1).select(
+        explode(array(lit(25), lit(50), lit(75), lit(99))).as("pct"))
+      val targets = counts.crossJoin(pcts)
+        .select(col("l_returnflag"), col("pct"),
+          expr("(n * pct + 99) DIV 100").as("i"))
+      ranked.join(broadcast(targets), Seq("l_returnflag", "i"))
+        .select(col("l_returnflag"), col("pct"),
+          col("qc").as("value_cents"))
+        .orderBy("l_returnflag", "pct")
+    }),
     // C14c — sample variance/stddev from exact decimal moments: sum and
     // sum-of-squares are order-independent decimals, the final formula is
     // the same three IEEE ops in both engines.
@@ -1623,6 +1656,26 @@ object TierCAgg {
         |FROM r, t, p
         |WHERE r.i = (t.n * p.pct + 99) // 100
         |ORDER BY p.pct""".stripMargin,
+    // the grouped replay: a per-flag ROW_NUMBER rank + per-flag counts
+    // against the identical ceil target formula
+    "agg_percentile_exact_group" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber,
+        |         CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+        |           AS BIGINT) AS qc
+        |  FROM lineitem),
+        |r AS (SELECT l_returnflag, qc,
+        |             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |               ORDER BY qc, l_orderkey, l_linenumber) AS i
+        |      FROM c),
+        |t AS (SELECT l_returnflag, COUNT(*) AS n FROM c
+        |      GROUP BY l_returnflag),
+        |p AS (SELECT * FROM (VALUES (25), (50), (75), (99)) AS v(pct))
+        |SELECT r.l_returnflag, p.pct, r.qc AS value_cents
+        |FROM r
+        |JOIN t ON r.l_returnflag = t.l_returnflag, p
+        |WHERE r.i = (t.n * p.pct + 99) // 100
+        |ORDER BY r.l_returnflag, p.pct""".stripMargin,
     // the same distinct-cents grid + lower-median pick; HUGEINT-free (the
     // 2·cum compare stays far inside BIGINT)
     "agg_weighted_median" ->

@@ -650,10 +650,10 @@ class PlanSpec extends SparkSpec {
       // 3-row df table; pagerank_clicks broadcasts the 1-row N aggregate
       // each iteration — linear broadcast passes, not pair explosions
       "retrieval_bm25", "pagerank_clicks",
-      // r15: agg_percentile_exact crosses the 4-row pct list with the
-      // 1-row count to derive target ranks — a 4-row broadcast, not a
-      // pair explosion
-      "agg_percentile_exact",
+      // r15: the exact-percentile pair cross tiny lists to derive
+      // target ranks (4-row pct x 1-row count / 3-row per-group counts)
+      // — bounded broadcasts, not pair explosions
+      "agg_percentile_exact", "agg_percentile_exact_group",
       // graph_triangles crosses three 1-row census aggregates;
       // text_bigram_lm broadcasts the 1-row vocabulary size;
       // retrieval_mmr crosses the broadcast query vector and the 20-row
@@ -929,7 +929,7 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     for (name <- Seq("profile_gini", "abc_classification",
         "sessions_concurrent_peak", "agg_percentile_exact",
-        "agg_weighted_median")) {
+        "agg_weighted_median", "agg_percentile_exact_group")) {
       val lp = SparkEntryPlan(name).queryExecution.optimizedPlan
       val wins = lp.collect { case w: LWindow => w }
       assert(wins.nonEmpty, s"$name: expected window nodes in:\n$lp")
@@ -938,7 +938,8 @@ class PlanSpec extends SparkSpec {
       // window must survive optimization, and any un-partitioned window
       // that exists must be pid-bounded
       val unpartitioned = wins.filter(_.partitionSpec.isEmpty)
-      if (name != "agg_weighted_median")
+      if (name != "agg_weighted_median" &&
+          name != "agg_percentile_exact_group")
         assert(unpartitioned.nonEmpty,
           s"$name: the offset window should survive optimization:\n$lp")
       unpartitioned.foreach { w =>
