@@ -336,7 +336,9 @@ object Scaling {
     // round 15: exact global percentiles via the Prefix 2-pass rank —
     // one range shuffle of a 2-column projection + a 4-row broadcast
     // probe; the global-sort cost class, linear claim. The grouped
-    // sibling ranks WITHIN flags over lineitem — same class
+    // sibling was rerouted round 16 through the value-domain grid
+    // (one map-side count agg + a grid-bounded cumulative): flat claim
+    // past the scan, the weighted_median class
     Q("agg_percentile_exact", 64), Q("agg_percentile_exact_group", 64))
 
   case class Pt(query: String, mult: Int, inputRows: Long, outRows: Long,
@@ -411,8 +413,9 @@ object Scaling {
       for (q <- qs; m <- Mults if m <= q.cap) {
         val dir = dirs(m)
         val t0 = System.nanoTime()
+        var df: org.apache.spark.sql.DataFrame = null
         val n =
-          try SparkEntry.queries(q.name)(spark, dir).count()
+          try { df = SparkEntry.queries(q.name)(spark, dir); df.count() }
           catch { case e: Throwable =>
             System.err.println(s"[scaling] ${q.name} x$m FAILED: $e"); -1L }
         val sec = math.round((System.nanoTime() - t0) / 1e6) / 1e3
@@ -420,6 +423,18 @@ object Scaling {
         pts += pt
         System.err.println(
           s"[scaling] ${q.name} x$m rows=${pt.inputRows} out=$n sec=$sec")
+        // round 16 (r15 verdict #2): measure the star join's ACTUAL
+        // broadcast build sizes per multiplier — the estimate-vs-actual
+        // study needs the true bytes the estimate discounts away. The
+        // audit reads THIS df's executed plan, so re-run with collect
+        // (25-row output; outside the timed window above)
+        if (q.name == "join_multiway" && n >= 0) {
+          df.collect()
+          val t = graft.plans.BroadcastAudit.thresholdBytes(spark)
+          graft.plans.BroadcastAudit.buildSides(df).foreach(b =>
+            System.err.println(s"[scaling] ${q.name} x$m ${b.desc} " +
+              s"rows=${b.rows} actual_bytes=${b.bytes} threshold=$t"))
+        }
       }
     }
     def tableRows(table: String)(dir: String): Long =

@@ -52,9 +52,24 @@ import org.apache.spark.sql.functions._
   * so its order is total; the sweep line's per-day MAX and the ABC cut
   * are multiset-invariant under equal-key permutation).
   *
-  * `value` must be a LONG column (all callers run the §7.4
-  * exact-integer discipline; a DECIMAL variant would only need the two
-  * sum dtypes widened).
+  * `value` accepts LONG-castable integrals (all current callers run
+  * the §7.4 exact-integer discipline) AND decimals: a DecimalType
+  * value rides a DECIMAL(38, scale) accumulator through both sum
+  * passes (round 16 — the r15 verdict #6 widening), so money-typed
+  * cumulatives beyond cents-longs route through the primitive too.
+  *
+  * Determinism requirement (why the stitch is sound): the local pass
+  * and the offsets pass MUST observe identical range-partition
+  * boundaries. That holds because (a) the input is materialized
+  * (checkpointed by this operator, or by the caller) so the boundary
+  * sampler, the shuffle and the totals branch all read the same frozen
+  * blocks, and (b) both consumers sit in ONE plan whose range exchange
+  * Catalyst/AQE deduplicates (ReuseExchange) — they don't merely
+  * compute the same boundaries, they share the one materialized
+  * exchange. PlanSpec pins the single-materialized-exchange shape for
+  * BOTH the ungrouped and the grouped form. (RangePartitioner's
+  * boundary sampling is also seed-deterministic per RDD id, but the
+  * exchange reuse means correctness never rests on that alone.)
   */
 object Prefix {
 
@@ -106,11 +121,14 @@ object Prefix {
     // feeds its totals side), re-checkpointing would copy the blocks
     // and — worse — leave the caller's other consumers recomputing the
     // upstream from scratch, so detect a checkpointed/materialized
-    // input (LogicalRDD) and use it as-is.
-    val src =
-      if (df.queryExecution.analyzed.getClass.getSimpleName == "LogicalRDD")
-        df
-      else df.localCheckpoint()
+    // input (LogicalRDD) and use it as-is. The detection matches the
+    // LogicalRDD TYPE (a checkpoint/cached-materialization scan), not a
+    // class-name string — the round-15 spelling compared
+    // getClass.getSimpleName, brittle across Spark versions (ADVICE r15).
+    val src = df.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => df
+      case _ => df.localCheckpoint()
+    }
     // Width is DATA-ADAPTIVE, not conf-fixed: the checkpoint makes an
     // exact count free, so small inputs collapse to one ~1M-row slice
     // (the fixed per-stage overhead of a 32-wide exchange tripled the
@@ -123,10 +141,22 @@ object Prefix {
       val cnt = src.count()
       math.max(1L, math.min(cnt / RowsPerSlice + 1, 200000L)).toInt
     }
+    // Sum dtype follows the value column (round 16): a DecimalType
+    // value accumulates as DECIMAL(38, scale) through the slice-local
+    // scan, the offsets agg AND the final stitch — money-typed
+    // cumulatives beyond cents-longs need no hand-rolled window.
+    // Everything else runs the original LONG path.
+    val vType: org.apache.spark.sql.types.DataType =
+      src.select(value).schema.head.dataType match {
+        case dt: org.apache.spark.sql.types.DecimalType =>
+          org.apache.spark.sql.types.DecimalType(38, dt.scale)
+        case _ => org.apache.spark.sql.types.LongType
+      }
+    val isDec = vType.isInstanceOf[org.apache.spark.sql.types.DecimalType]
     val keys = keyCols.map(col)
     val ranged = src.repartitionByRange(n, (keys ++ sortCols): _*)
       .withColumn("__prefix_pid", spark_partition_id())
-      .withColumn("__prefix_v", value.cast("long"))
+      .withColumn("__prefix_v", value.cast(vType))
     // The slice-local running sum/position is ONE imperative pass over
     // each already-range-partitioned slice (sortWithinPartitions + a
     // mapPartitions scan — the canonical per-partition-imperative case).
@@ -142,7 +172,7 @@ object Prefix {
     val sorted = ranged.sortWithinPartitions((keys ++ sortCols): _*)
     val inSchema = sorted.schema
     val outSchema = inSchema
-      .add("__prefix_lsum", org.apache.spark.sql.types.LongType, false)
+      .add("__prefix_lsum", vType, false)
       .add("__prefix_lcnt", org.apache.spark.sql.types.LongType, false)
     val keyIdx = keyCols.map(inSchema.fieldIndex)
     val vIdx = inSchema.fieldIndex("__prefix_v")
@@ -150,13 +180,21 @@ object Prefix {
       var curKey: Seq[Any] = null
       var first = true
       var s = 0L
+      var sd = java.math.BigDecimal.ZERO
       var c = 0L
       it.map { row =>
         val k = keyIdx.map(row.get)
-        if (first || k != curKey) { curKey = k; s = 0L; c = 0L; first = false }
-        if (!row.isNullAt(vIdx)) s += row.getLong(vIdx)
+        if (first || k != curKey) {
+          curKey = k; s = 0L; sd = java.math.BigDecimal.ZERO; c = 0L
+          first = false
+        }
+        if (!row.isNullAt(vIdx)) {
+          if (isDec) sd = sd.add(row.getDecimal(vIdx))
+          else s += row.getLong(vIdx)
+        }
         c += 1
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ s :+ c)
+        org.apache.spark.sql.Row.fromSeq(
+          row.toSeq :+ (if (isDec) sd else s) :+ c)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
     // pass 2: one row per (slice, key-run); the per-key offset window
@@ -176,7 +214,7 @@ object Prefix {
       .select(col("__prefix_pid").as("__prefix_opid") +:
         keyCols.zipWithIndex.map { case (k, i) =>
           col(k).as(s"__prefix_k_$i") } :+
-        coalesce(sum(col("__prefix_tsum")).over(wPid), lit(0L))
+        coalesce(sum(col("__prefix_tsum")).over(wPid), lit(0L).cast(vType))
           .as("__prefix_osum") :+
         coalesce(sum(col("__prefix_tcnt")).over(wPid), lit(0L))
           .as("__prefix_ocnt"): _*)
@@ -188,8 +226,12 @@ object Prefix {
       .map { case (k, i) => col(k) <=> col(s"__prefix_k_$i") }
       .foldLeft(col("__prefix_pid") === col("__prefix_opid"))(_ && _)
     val joined = local.join(offSide, cond)
+    // the stitch add is exact by caller contract (the true cumulative
+    // fits vType); the cast pins the output dtype — decimal ADDITION
+    // would otherwise promote (38,s)+(38,s) to precision 39 and let the
+    // precision-loss rule renegotiate the scale
     val withSum = sumOut.fold(joined)(o => joined.withColumn(o,
-      col("__prefix_lsum") + col("__prefix_osum")))
+      (col("__prefix_lsum") + col("__prefix_osum")).cast(vType)))
     val withRn = rnOut.fold(withSum)(o => withSum.withColumn(o,
       col("__prefix_lcnt") + col("__prefix_ocnt")))
     withRn.drop("__prefix_pid" +: "__prefix_opid" +: "__prefix_v" +:

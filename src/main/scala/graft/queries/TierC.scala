@@ -755,37 +755,42 @@ object TierCAgg {
         .select(col("pct"), col("cents").as("value_cents"))
         .orderBy("pct")
     }),
-    // C14b''' — exact PER-GROUP percentiles at fact scale (round 15):
-    // the grouped companion of agg_percentile_exact, and the scale
-    // answer to agg_percentile_disc's buffering (sortedPick collects
-    // each group's values — fine at |group| ≤ memory, a wall past it).
-    // Prefix.runningAggsByKey ranks every lineitem row WITHIN its
-    // return flag (range slices + per-(slice, flag) offset stitching —
-    // no flag ever funnels through one task), per-flag counts ride a
-    // 3-row broadcast crossed with the 4-row pct list, and each
-    // (flag, pct) picks its row by ONE equi-join on (flag, rank). The
-    // same ceil spelling ⌈n·pct/100⌉ = (n·pct+99) DIV 100 as the global
-    // key; the (qc, orderkey, linenumber) order is total, so every pick
-    // is unique and the result hash-exact.
+    // C14b''' — exact PER-GROUP percentiles via the VALUE-DOMAIN grid
+    // (rerouted round 16, the r15 verdict's top item): the grouped
+    // companion of agg_percentile_exact, and the scale answer to
+    // agg_percentile_disc's buffering (sortedPick collects each group's
+    // values — fine at |group| ≤ memory, a wall past it). The round-15
+    // spelling ranked every raw fact row (38.4M at x64, 24.1 s) when the
+    // IDENTICAL exact answer falls out of the bounded distinct grid —
+    // the agg_weighted_median discipline: pre-aggregate to (flag, qc)
+    // counts (one map-side-combinable agg), Prefix.runningAggsByKey the
+    // counts per flag, and the pct-p pick is min(qc) where
+    // cum ≥ ⌈n·pct/100⌉ = (n·pct+99) DIV 100 (the shared ceil spelling).
+    // Equivalence: rank i lands inside the run of equal-qc rows whose
+    // cumulative count first reaches i, so the grid pick IS the per-row
+    // rank pick — no tiebreak columns needed, the grid order on qc is
+    // total. 100 TB: the cumulative's input drops from |fact| to
+    // |distinct (flag, qc)| — value-domain-bounded, constant under row
+    // growth — and only the count agg ever touches the fact table.
     "agg_percentile_exact_group" -> ((s, d) => {
-      val li = lineitem(s, d).select(col("l_returnflag"),
-        col("l_orderkey"), col("l_linenumber"),
+      val grid = lineitem(s, d).select(col("l_returnflag"),
         (col("l_quantity").cast("decimal(18,2)") * 100)
           .cast("long").as("qc"))
-        .localCheckpoint() // feeds the rank AND the counts — one scan
-      val ranked = graft.operators.Prefix.runningAggsByKey(li,
-        Seq("l_returnflag"),
-        Seq(col("qc").asc, col("l_orderkey").asc, col("l_linenumber").asc),
-        col("qc"), rnOut = Some("i"))
-      val counts = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .groupBy("l_returnflag", "qc").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // feeds the cumulative AND the totals — one agg
+      val counts = grid.groupBy("l_returnflag").agg(sum("cnt").as("n"))
+      val cum = graft.operators.Prefix.runningAggsByKey(grid,
+        Seq("l_returnflag"), Seq(col("qc").asc), col("cnt"),
+        sumOut = Some("cum"))
       val pcts = s.range(0, 1).select(
         explode(array(lit(25), lit(50), lit(75), lit(99))).as("pct"))
       val targets = counts.crossJoin(pcts)
         .select(col("l_returnflag"), col("pct"),
           expr("(n * pct + 99) DIV 100").as("i"))
-      ranked.join(broadcast(targets), Seq("l_returnflag", "i"))
-        .select(col("l_returnflag"), col("pct"),
-          col("qc").as("value_cents"))
+      cum.join(broadcast(targets), Seq("l_returnflag"))
+        .filter(col("cum") >= col("i"))
+        .groupBy("l_returnflag", "pct")
+        .agg(min(col("qc")).as("value_cents"))
         .orderBy("l_returnflag", "pct")
     }),
     // C14c — sample variance/stddev from exact decimal moments: sum and

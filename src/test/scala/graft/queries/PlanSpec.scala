@@ -1004,6 +1004,34 @@ class PlanSpec extends SparkSpec {
       s"gate-scale gini should adapt to one slice (no range exchange):\n$gPlan")
   }
 
+  test("r16: the GROUPED Prefix form shares ONE materialized range " +
+      "exchange too") {
+    // ADVICE r15: the exchange-reuse assertion covered only the
+    // ungrouped shape — the determinism of the grouped stitch rests on
+    // the same property (local pass and offsets pass must observe
+    // identical range boundaries, guaranteed by sharing the ONE
+    // materialized exchange, not by recomputing it), so pin it for
+    // runningAggsByKey as well.
+    import spark.implicits._
+    val df = graft.operators.Prefix.runningAggsByKey(
+      (1L to 10000L).map(i => (i % 7L, i, i % 97L)).toDF("g", "id", "v"),
+      Seq("g"), Seq(col("v").asc, col("id").asc), col("v"),
+      sumOut = Some("cum"), partitions = Some(8))
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val materialized = finalPlan.linesIterator.count(l =>
+      l.contains("Exchange rangepartitioning") &&
+        !l.contains("ReusedExchange"))
+    val reused = finalPlan.linesIterator.count(l =>
+      l.contains("ReusedExchange") && l.contains("rangepartitioning"))
+    assert(materialized == 1,
+      s"expected exactly one materialized range exchange, got " +
+        s"$materialized in:\n$finalPlan")
+    assert(reused >= 1,
+      s"grouped offsets side must reuse the range exchange:\n$finalPlan")
+  }
+
   test("whole-stage codegen covers the flagship aggregate") {
     // AQE only materializes codegen spans in the final plan — execute first.
     val df = SparkEntryPlan("agg_groupby_having")

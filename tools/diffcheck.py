@@ -68,12 +68,18 @@ def compare(name, sf_dir, out_dir, con):
                     f"(arrow: spark={spark.schema.field(c).type} "
                     f"oracle={oracle.schema.field(c).type})")
         if sd == "O":
+            # compare the SET of cell python types over the whole column
+            # (ADVICE r15: a mixed-type object column — Decimal in some
+            # rows, int in others — passed the first-cell probe yet fails
+            # the driver hash; Decimal(5) == 5 is True so the value loop
+            # can never catch it)
             sv = s_pd[c].dropna()
             ov = o_pd[c].dropna()
             if len(sv) and len(ov):
-                ta, tb = type(sv.iloc[0]).__name__, type(ov.iloc[0]).__name__
+                ta = sorted({type(v).__name__ for v in sv})
+                tb = sorted({type(v).__name__ for v in ov})
                 if ta != tb:
-                    return (f"FAIL {name}: col {c} object cell type "
+                    return (f"FAIL {name}: col {c} object cell types "
                             f"spark={ta} oracle={tb} (arrow: "
                             f"spark={spark.schema.field(c).type} "
                             f"oracle={oracle.schema.field(c).type})")
