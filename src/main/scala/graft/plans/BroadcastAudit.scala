@@ -57,13 +57,17 @@ object BroadcastAudit {
     * silently-empty results. */
   def buildSides(df: DataFrame): Seq[BuildSide] = {
     val root = df.queryExecution.executedPlan
-    val flat = flatten(root)
     require(!root.isInstanceOf[AdaptiveSparkPlanExec] ||
-      flat.exists(_.isInstanceOf[QueryStageExec]),
+      flatten(root).exists(_.isInstanceOf[QueryStageExec]),
       "BroadcastAudit.buildSides: plan has not executed yet — run an " +
         "action (count/collect) first; adaptive metrics are only " +
         "populated on the final plan")
-    val exchanges = flat.collect { case b: BroadcastExchangeExec => b }
+    buildSidesOf(root)
+  }
+
+  private def buildSidesOf(root: SparkPlan): Seq[BuildSide] = {
+    val exchanges = flatten(root)
+      .collect { case b: BroadcastExchangeExec => b }
     // dedupe by plan identity: the same exchange reached through a
     // QueryStage AND a ReusedExchange is one physical build
     val seen = java.util.Collections.newSetFromMap(
@@ -99,5 +103,56 @@ object BroadcastAudit {
       case _ => p.children.flatMap(flatten)
     }
     (p +: below) ++ p.subqueries.flatMap(flatten)
+  }
+
+  /** The ALWAYS-ON form of the guard: a QueryExecutionListener that
+    * audits every completed action's final plan and records builds over
+    * k× the threshold. Metrics are already collected by the time
+    * onSuccess fires, so the audit is a metadata walk — no re-execution,
+    * no measurable overhead — and it sees EVERY query of the session,
+    * including ones a deployment-gate replay would never enumerate.
+    * Install with [[install]]; in production, page on [[violations]]
+    * draining non-empty (the listener also WARN-logs each hit as it
+    * lands). Listener delivery is asynchronous (Spark's execution
+    * listener bus) — a test that asserts right after an action should
+    * poll briefly. */
+  final class Listener(k: Double)
+      extends org.apache.spark.sql.util.QueryExecutionListener
+      with org.apache.spark.internal.Logging {
+    private val hits =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, BuildSide)]()
+
+    /** Violations recorded so far as (action name, build). */
+    def violations: Seq[(String, BuildSide)] = {
+      import scala.jdk.CollectionConverters._
+      hits.iterator().asScala.toSeq
+    }
+
+    override def onSuccess(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        durationNs: Long): Unit = {
+      val t = thresholdBytes(qe.sparkSession)
+      if (t > 0) buildSidesOf(qe.executedPlan)
+        .filter(_.bytes > k * t)
+        .foreach { b =>
+          hits.add(funcName -> b)
+          logWarning(s"BroadcastAudit: $funcName built ${b.desc} at " +
+            s"${b.bytes} bytes — over ${k}x the ${t}-byte threshold " +
+            s"(rows=${b.rows}); the estimate that allowed the broadcast " +
+            "does not reflect the true build size")
+        }
+    }
+
+    override def onFailure(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        exception: Exception): Unit = ()
+  }
+
+  /** Register an always-on audit listener on the session; returns it so
+    * the caller can drain [[Listener.violations]]. */
+  def install(spark: SparkSession, k: Double = 4.0): Listener = {
+    val l = new Listener(k)
+    spark.listenerManager.register(l)
+    l
   }
 }

@@ -81,6 +81,36 @@ class BroadcastAuditSpec extends SparkSpec {
     assert(builds.forall(_.rows == 100L), s"$builds")
   }
 
+  test("the always-on listener records an oversize build and stays " +
+      "silent on in-bound ones") {
+    val listener = BroadcastAudit.install(spark, k = 4.0)
+    try {
+      withThreshold("4KB") {
+        val dim = (1L to 4000L).map(i => (i, "z" * 64)).toDF("k", "payload")
+        val fact = (1L to 8000L).map(i => (i % 4000L, i)).toDF("k", "v")
+        fact.join(broadcast(dim), "k").collect()
+        // listener delivery is async AND the audit reads the session's
+        // CURRENT threshold (it is a live monitor, not a plan-time
+        // capture) — poll while the scoped threshold is still in force
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (listener.violations.isEmpty && System.nanoTime() < deadline)
+          Thread.sleep(100)
+      }
+      val v = listener.violations
+      assert(v.nonEmpty, "listener never recorded the oversize build")
+      assert(v.forall(_._2.desc.contains("payload")),
+        s"only the oversize dim should be recorded: $v")
+      assert(v.forall(_._2.rows == 4000L), s"$v")
+      // a clean query through the same listener must add nothing
+      val smallDim = (1L to 20L).map(i => (i, s"s$i")).toDF("k", "name")
+      val smallFact = (1L to 200L).map(i => (i % 20L, i)).toDF("k", "v")
+      smallFact.join(broadcast(smallDim), "k").collect()
+      Thread.sleep(1000) // let the async bus drain
+      assert(listener.violations.size == v.size,
+        s"the in-bound build was wrongly recorded: ${listener.violations}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("deployment gate: the engine's broadcast-heavy keys build within " +
       "bounds at gate scale") {
     // the board-wide form of the guard — any key that ships a build side
