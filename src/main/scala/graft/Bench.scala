@@ -74,6 +74,10 @@ object Bench {
       // inflated most). false is also the documented recommendation for
       // real clusters — partitions sized to data, not to the core count.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // broadcast decisions read actual-bytes-calibrated estimates
+      // (measured 6.3× row-format blowup — see GraftSession)
+      .config("spark.sql.sources.fileCompressionFactor",
+        GraftSession.FileCompressionFactor)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: benign per-query WARNs (e.g. WindowExec's bounded

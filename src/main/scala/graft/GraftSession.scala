@@ -94,6 +94,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * functions registered). A user of the reference pipeline starts here.
   */
 object GraftSession {
+  /** Broadcast-decision calibration (r16 verdict #1). Spark decides
+    * BroadcastHashJoin from the ESTIMATED build size = file bytes ×
+    * column-pruning ratio, but the build that actually lands on the
+    * driver and every executor is the row-format serialized relation —
+    * the BroadcastAudit study measured the gap at 6.3× on the star
+    * join's pruned customer dim (actual ≈ 43 B/row vs the pruned
+    * estimate's ≈ 6.8 B/row, SCALING.md `join_multiway`), so the
+    * estimate crossed the 10 MB threshold at m≈103 while the actual
+    * bytes crossed at m≈16 — a 1-4× over-threshold build shipped
+    * across the whole window. `fileCompressionFactor` is Spark's own
+    * knob for exactly this bias: it multiplies every file-scan size
+    * estimate (the pruning ratio composes on top), moving the
+    * broadcast flip to where the ACTUAL bytes cross the threshold.
+    * Erring high is safe — broadcast is an optimization; a shuffle
+    * join of a genuinely small side costs little, while an oversize
+    * broadcast is a driver/executor OOM at scale. */
+  val FileCompressionFactor = "6.3"
+
   def builder(master: String = "local[*]",
       shufflePartitions: Int = Runtime.getRuntime.availableProcessors())
       : SparkSession.Builder =
@@ -108,6 +126,7 @@ object GraftSession {
       // default parallelismFirst=true pins every small shuffle to one tiny
       // partition per core; sizing to data is the scale-correct default
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.sources.fileCompressionFactor", FileCompressionFactor)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 

@@ -45,10 +45,15 @@ import org.apache.spark.sql.functions._
 object Scaling {
 
   /** (query, cap): cap bounds the multiplier so the deliberately-quadratic
-    * references stay inside a local-run budget. */
+    * references stay inside a local-run budget. Caps above 64 (r16
+    * verdict #2) extend the headline sub-quadratic twins one point past
+    * the staging range every 100×-scale claim had rested on: 128 for the
+    * docs-family twins (the 156-bijection content-disjointness bound),
+    * 256 for the TPC-H-family percentile keys (key-offset copies are
+    * unbounded; the 2-3-column projections they shuffle fit the host). */
   case class Q(name: String, cap: Int)
 
-  private val Mults = Seq(1, 4, 16, 64)
+  private val Mults = Seq(1, 4, 16, 64, 128, 256)
 
   /** documents-family study (base sf0.01 — 500 docs ⇒ 32000 at 64×):
     * the exact-vs-bucketed dedup pairings on the doc corpus. */
@@ -56,20 +61,20 @@ object Scaling {
     Q("dedup_near_jaccard", 64), Q("dedup_ngram_jaccard", 64),
     Q("dedup_clusters", 64),
     Q("dedup_exact_text", 64), Q("dedup_minhash_lsh", 64),
-    Q("dedup_minhash_banded", 64), Q("dedup_containment", 64),
+    Q("dedup_minhash_banded", 64), Q("dedup_containment", 128),
     Q("multimodal_dedup_bytes", 64), Q("multimodal_dedup_phash", 64),
     Q("dedup_substring_window", 64),
     // round-11 additions: the two-stage LSH→verify dedup (star candidates —
     // must track the linear banded sibling, not the pair family), the
     // novelty profile (digest-only first-occurrence), and the source-pair
     // overlap matrix (distinct-first, posting-bounded self-join)
-    Q("dedup_minhash_verified", 64), Q("dedup_ngram_novelty", 64),
+    Q("dedup_minhash_verified", 128), Q("dedup_ngram_novelty", 64),
     Q("corpus_overlap_ngram", 64),
     // round 12: winnowing profile (digest-only shuffle — linear claim),
     // and the keeper-policy pairing: exact keep_best inherits the
     // quadratic pair-gen, the LSH sibling must track minhash_verified
     Q("dedup_winnow_fingerprint", 64),
-    Q("dedup_cluster_keep_best", 64), Q("dedup_cluster_keep_best_lsh", 64),
+    Q("dedup_cluster_keep_best", 64), Q("dedup_cluster_keep_best_lsh", 128),
     // round 12b: DSIR (one explode pass + 256-row broadcast lr join), the
     // CCNet tertiles (histogram ranking), and the per-doc bigram LM score
     // (instance stream × broadcast type table) — all claim linear
@@ -121,7 +126,12 @@ object Scaling {
     // round 15 (LedgerSpec gate): contrastive negatives — partner fetch
     // is ONE md5-derived equi-join against a broadcast count, no pair
     // enumeration; linear-in-docs claim
-    Q("negative_pairs", 64))
+    Q("negative_pairs", 64),
+    // round 17 (LedgerSpec's widened net): context-window chunking is a
+    // per-row sequence() explode — zero shuffle before the final sort,
+    // linear-in-docs claim; measured here so the `overlap`-named key
+    // carries the sub-quadratic curve the gate demands
+    Q("text_chunk_overlap", 64))
 
   /** embeddings+events-family study (base sf0.1 — 2000 vecs / 100k events
     * ⇒ 128000 / 6.4M at 64×). The exact per-label pair operator is capped
@@ -328,7 +338,7 @@ object Scaling {
     // — the claim under test is the measured BHJ→SMJ flip when the ×m
     // customer side outgrows the 10 MB broadcast threshold (the
     // etl_pseudonymize_join lesson on the star path proper)
-    Q("join_multiway", 64),
+    Q("join_multiway", 128),
     // round 15 (LedgerSpec gate): the basket pair expansion is MAP-SIDE
     // over ≤7-item sorted basket arrays — ≤|brands|² keys after combine,
     // never a pair join; linear-in-lineitem claim
@@ -339,7 +349,7 @@ object Scaling {
     // sibling was rerouted round 16 through the value-domain grid
     // (one map-side count agg + a grid-bounded cumulative): flat claim
     // past the scan, the weighted_median class
-    Q("agg_percentile_exact", 64), Q("agg_percentile_exact_group", 64))
+    Q("agg_percentile_exact", 256), Q("agg_percentile_exact_group", 256))
 
   case class Pt(query: String, mult: Int, inputRows: Long, outRows: Long,
       sec: Double)
@@ -352,6 +362,13 @@ object Scaling {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // broadcast decisions read actual-bytes-calibrated estimates
+      // (measured 6.3× row-format blowup — see GraftSession); the
+      // join_multiway study below verifies the flip now lands where
+      // the ACTUAL build bytes cross the threshold (m≈16), not at the
+      // discounted estimate's m≈103
+      .config("spark.sql.sources.fileCompressionFactor",
+        GraftSession.FileCompressionFactor)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -369,20 +386,31 @@ object Scaling {
       .map(_.split(",").map(_.trim).toSet)
     def selected(qs: Seq[Q]): Seq[Q] =
       qs.filter(q => only.forall(_.contains(q.name)))
+    // stage only the multipliers some selected query of the family will
+    // read: the >64 points exist for a handful of headline twins, and
+    // inflating every corpus to x128/x256 for queries capped at 64 would
+    // multiply staging cost (and scratch) for nothing
+    def neededMults(qss: Seq[Q]*): Seq[Int] = {
+      val maxCap = qss.flatten.map(_.cap).foldLeft(0)(math.max)
+      Mults.filter(_ <= maxCap)
+    }
     val docsDirs =
       if (selected(DocsQueries).isEmpty) Map.empty[Int, String]
-      else Mults.map(m => m -> stageFamily(spark, docsBase, m,
-        inflateDocs = true, inflateEmbEvents = false)).toMap
+      else neededMults(selected(DocsQueries)).map(m => m ->
+        stageFamily(spark, docsBase, m,
+          inflateDocs = true, inflateEmbEvents = false)).toMap
     val eeDirs =
       if (selected(EmbQueries).isEmpty && selected(GraphQueries).isEmpty)
         Map.empty[Int, String]
-      else Mults.map(m => m -> stageFamily(spark, eeBase, m,
-        inflateDocs = false, inflateEmbEvents = true)).toMap
+      else neededMults(selected(EmbQueries), selected(GraphQueries)).map(m => m ->
+        stageFamily(spark, eeBase, m,
+          inflateDocs = false, inflateEmbEvents = true)).toMap
     val tpchDirs =
       if (selected(TpchQueries).isEmpty) Map.empty[Int, String]
-      else Mults.map(m => m -> stageFamily(spark, eeBase, m,
-        inflateDocs = false, inflateEmbEvents = false,
-        inflateTpch = true)).toMap
+      else neededMults(selected(TpchQueries)).map(m => m ->
+        stageFamily(spark, eeBase, m,
+          inflateDocs = false, inflateEmbEvents = false,
+          inflateTpch = true)).toMap
     System.err.println(
       s"[scaling] staged ${(docsDirs.size + eeDirs.size)} corpora")
 
@@ -506,18 +534,26 @@ object Scaling {
     * produces no char-3-gram). Length and whitespace structure stay
     * byte-identical (n_chars remains truthful). */
   private[graft] def alphaPerm(i: Int): String = {
-    require(i < 78, s"only 78 distinct letter bijections available, got $i")
+    require(i < 156, s"only 156 distinct letter bijections available, got $i")
     val rot = (0 until 26).map(x => (x + i % 26) % 26)
-    // derangement chosen by search (seed-42 shuffle, trial 5) so that NO
+    // base permutations chosen by search (seed-42 shuffles) so that NO
     // multi-letter token of the three-SF union vocabulary lies inside any
     // bijection pair's agreement set — ScalingSpec pins this against the
     // live fixture (a keyboard-order permutation let "agg" survive four
-    // family-2 pairs intact)
-    val mixed = "zhjlswgxqbkapyiormctnvfued"
+    // family-2 pairs intact). Families 3-5 landed round 17 to admit
+    // x128 docs staging (r16 verdict #2: the headline twins needed a
+    // point past x64; 78 bijections capped m at 78) — the same search,
+    // re-verified pairwise over all 156 bijections × the full
+    // three-SF vocabulary.
+    val bases = Seq(
+      "zhjlswgxqbkapyiormctnvfued",
+      "dhoaypnfgizbrqumjlwscketvx",
+      "zycglmrwjfdaupsnqbviekotxh",
+      "hlfikcsopeanrmyvqxbjdwtguz")
     val fam = i / 26 match {
       case 0 => rot
       case 1 => rot.map(25 - _)
-      case _ => rot.map(x => mixed.charAt(x) - 'a')
+      case f => rot.map(x => bases(f - 2).charAt(x) - 'a')
     }
     fam.map(x => ('a' + x).toChar).mkString
   }

@@ -15,6 +15,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       // size post-shuffle partitions to data, not core count (see Bench)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // broadcast decisions read actual-bytes-calibrated estimates
+      // (measured 6.3× row-format blowup — see GraftSession)
+      .config("spark.sql.sources.fileCompressionFactor",
+        GraftSession.FileCompressionFactor)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -33,7 +33,12 @@ import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExc
   * that for the engine's own keys), and page on the flagged joins —
   * the fix per join is an explicit `.hint("merge")`/`.hint("shuffle_hash")`
   * on the offending build side or real table stats, both of which move
-  * the decision off the discounted estimate.
+  * the decision off the discounted estimate. The engine-wide remedy
+  * (applied r17, per this audit's own x64 measurement) is
+  * `GraftSession.FileCompressionFactor`: the 6.3× measured
+  * estimate-to-actual gap is fed back into every file-scan size
+  * estimate, so the broadcast flip lands where the ACTUAL bytes cross
+  * the threshold — re-measured in SCALING.md `join_multiway`.
   */
 object BroadcastAudit {
 
@@ -57,9 +62,14 @@ object BroadcastAudit {
     * silently-empty results. */
   def buildSides(df: DataFrame): Seq[BuildSide] = {
     val root = df.queryExecution.executedPlan
-    require(!root.isInstanceOf[AdaptiveSparkPlanExec] ||
-      flatten(root).exists(_.isInstanceOf[QueryStageExec]),
-      "BroadcastAudit.buildSides: plan has not executed yet — run an " +
+    // ADVICE r16: gate on isFinalPlan, not on the presence of a
+    // QueryStageExec — an AQE root that materializes no exchange stages
+    // (e.g. adaptive applied only for subqueries) is fully executed yet
+    // stage-free, and the old guard spuriously rejected it.
+    require(root match {
+      case a: AdaptiveSparkPlanExec => a.isFinalPlan
+      case _ => true
+    }, "BroadcastAudit.buildSides: plan has not executed yet — run an " +
         "action (count/collect) first; adaptive metrics are only " +
         "populated on the final plan")
     buildSidesOf(root)
@@ -83,8 +93,12 @@ object BroadcastAudit {
   /** Builds whose ACTUAL size exceeds k× the session threshold — the
     * deployment-gate form. Empty when the threshold is disabled (-1):
     * with auto-broadcast off, every broadcast is an explicit hint and
-    * the caller owns it. */
-  def violations(df: DataFrame, k: Double = 4.0): Seq[BuildSide] = {
+    * the caller owns it. Default k = 2.0 (r16 verdict #1): with the
+    * estimate calibrated to actual bytes (GraftSession's
+    * fileCompressionFactor) the worst in-engine build sits at ~1× the
+    * threshold, so 2× is real headroom, not a bar set over the worst
+    * measured point. */
+  def violations(df: DataFrame, k: Double = 2.0): Seq[BuildSide] = {
     val t = thresholdBytes(df.sparkSession)
     if (t <= 0) Seq.empty
     else buildSides(df).filter(_.bytes > k * t)
@@ -150,7 +164,7 @@ object BroadcastAudit {
 
   /** Register an always-on audit listener on the session; returns it so
     * the caller can drain [[Listener.violations]]. */
-  def install(spark: SparkSession, k: Double = 4.0): Listener = {
+  def install(spark: SparkSession, k: Double = 2.0): Listener = {
     val l = new Listener(k)
     spark.listenerManager.register(l)
     l

@@ -12,11 +12,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * fails the build.
   *
   * The suspect net is name-based by design — `_near_`/`pairs`/`jaccard`/
-  * `cluster` are the vocabulary every pair-join key in this repo uses —
-  * so a new pair key either inherits the vocabulary (and meets the
-  * gate) or dodges it (and the §2b "no exact quadratic exists outside
-  * this table" sentence makes that a reviewable lie, the same way the
-  * ContractSpec unit-only list works).
+  * `cluster`/`containment`/`overlap`/`semantic`/`mutual`/`ann` (the r17
+  * widening, r16 verdict #5) are the vocabulary every pair-join key in
+  * this repo uses — so a new pair key either inherits the vocabulary
+  * (and meets the gate) or dodges it (and the §2b "no exact quadratic
+  * exists outside this table" sentence makes that a reviewable lie, the
+  * same way the ContractSpec unit-only list works).
   */
 class LedgerSpec extends AnyFunSuite {
 
@@ -76,23 +77,50 @@ class LedgerSpec extends AnyFunSuite {
       s"ledger rows without a production twin: $twinless")
   }
 
+  /** The suspect net, widened r17 (r16 verdict #5): beyond the original
+    * `_near_`/`pairs`/`jaccard`/`cluster` vocabulary, pair-shaped keys
+    * also arrive named by their similarity family —
+    * `containment`/`overlap`/`semantic`/`mutual`/`ann` (the last as a
+    * `_`-delimited token, not a substring: `channel`/`scanned` must not
+    * trip it). */
+  private val SuspectRe =
+    ("_near_|pairs|jaccard|cluster|containment|overlap|semantic|mutual|" +
+      "(^|_)ann($|_)").r
+
+  private def isSuspect(k: String): Boolean =
+    SuspectRe.findFirstIn(k).isDefined
+
+  /** A suspect key is accounted iff ledger-entered (table or prose — the
+    * managed-weakness path) or measured sub-quadratic: tail slope ≤ 1.1
+    * in SCALING.md (1.0 = linear; the 0.1 headroom is this host's
+    * measured noise, far under the 1.3+ signature the quadratic
+    * references show). */
+  private def isAccounted(k: String): Boolean =
+    ledgerMentioned.contains(k) || scalingTail(k).exists(_ <= 1.1)
+
   test("every pair-join-suspect key is ledger-entered or " +
     "sub-quadratic-curved in SCALING.md") {
-    val suspects = SparkEntry.queries.keySet.filter(k =>
-      k.contains("_near_") || k.contains("pairs") ||
-        k.contains("jaccard") || k.contains("cluster")).toSeq.sorted
+    val suspects = SparkEntry.queries.keySet.filter(isSuspect).toSeq.sorted
     assert(suspects.nonEmpty, "suspect net went empty — pattern rotted")
-    val unaccounted = suspects.filterNot { k =>
-      // ledger-entered (table or prose) — the managed-weakness path
-      ledgerMentioned.contains(k) ||
-        // or measured sub-quadratic: tail slope ≤ 1.1 in SCALING.md
-        // (1.0 = linear; the 0.1 headroom is this host's measured noise,
-        // far under the 1.3+ signature the quadratic references show)
-        scalingTail(k).exists(_ <= 1.1)
-    }
+    val unaccounted = suspects.filterNot(isAccounted)
     assert(unaccounted.isEmpty,
       s"pair-join-suspect keys with neither a §2b ledger entry nor a " +
         s"sub-quadratic SCALING.md curve: $unaccounted " +
         s"(tails: ${unaccounted.map(k => k -> scalingTail(k))})")
+  }
+
+  test("the widened net catches a synthetic unregistered pair key") {
+    // negative control (r16 verdict #5): a future key named by the
+    // overlap vocabulary but absent from §2b and SCALING.md must be
+    // classified suspect AND unaccounted — i.e. it would fail the gate
+    for (ghost <- Seq("foo_overlap_pairs", "dedup_span_containment",
+        "knn_mutual_reach", "emb_semantic_blocks", "probe_ann_buckets")) {
+      assert(isSuspect(ghost), s"$ghost dodged the suspect net")
+      assert(!isAccounted(ghost),
+        s"$ghost is spuriously accounted — the gate would not fire")
+    }
+    // and the token-boundary guard: ann-as-substring must NOT trip
+    for (clean <- Seq("scan_channel_meta", "plan_annotate", "banner_scan"))
+      assert(!isSuspect(clean), s"$clean wrongly caught by the ann token")
   }
 }

@@ -119,8 +119,8 @@ class ScalingSpec extends SparkSpec {
       s"copy norm sums diverge: ${sums.toSeq}")
   }
 
-  test("letter bijections are pairwise distinct across the 78-family") {
-    val perms = (0 until 78).map(Scaling.alphaPerm)
+  test("letter bijections are pairwise distinct across the 156-family") {
+    val perms = (0 until 156).map(Scaling.alphaPerm)
     assert(perms.distinct.size == perms.size, "bijection family collided")
     // each is a true bijection of the alphabet
     perms.foreach(p => assert(p.sorted == "abcdefghijklmnopqrstuvwxyz", p))
@@ -128,23 +128,30 @@ class ScalingSpec extends SparkSpec {
 
   test("no multi-letter fixture token survives any bijection pair intact") {
     // the content-disjointness premise of every curve (alphaPerm scaladoc):
-    // distinct bijections may agree on up to 4 letters (reflection/
+    // distinct bijections may agree on a few letters (reflection/
     // derangement families), so check the property that actually matters
     // against the REAL vocabulary — a token collides across copies i,j
     // iff every one of its letters lies in the i-vs-j agreement set. Only
     // the single-letter token "a" is permitted to (documented-harmless).
+    // Bitmask form: 156 bijections = 12090 pairs; a token survives pair
+    // (i,j) iff its 26-bit letter mask ⊆ the pair's agreement mask.
     import spark.implicits._
     val vocab = spark.read.parquet(s"$sf/documents.parquet")
       .select(explode(split(col("text"), " ")).as("t"))
       .filter(length(col("t")) >= 2)
       .distinct().as[String].collect()
     assert(vocab.nonEmpty, "fixture vocabulary unexpectedly empty")
-    val perms = (0 until 78).map(Scaling.alphaPerm)
+    def maskOf(s: String): Int =
+      s.foldLeft(0)((m, c) =>
+        if (c >= 'a' && c <= 'z') m | (1 << (c - 'a')) else m)
+    val vocabMasks = vocab.map(t => t -> maskOf(t)).filter(_._2 != 0)
+    val perms = (0 until 156).map(Scaling.alphaPerm)
     val offenders = for {
-      i <- 0 until 78; j <- (i + 1) until 78
+      i <- 0 until 156; j <- (i + 1) until 156
       agree = (0 until 26).filter(c => perms(i)(c) == perms(j)(c))
-        .map(c => ('a' + c).toChar).toSet
-      t <- vocab if t.forall(agree)
+        .foldLeft(0)((m, c) => m | (1 << c))
+      if agree != 0
+      (t, m) <- vocabMasks if (m & ~agree) == 0
     } yield (i, j, t)
     assert(offenders.isEmpty,
       s"tokens collide across copies: ${offenders.take(10)}")

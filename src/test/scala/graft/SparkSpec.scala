@@ -10,6 +10,10 @@ trait SparkSpec extends AnyFunSuite {
     .master("local[8]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "8")
+    // broadcast decisions read actual-bytes-calibrated estimates
+    // (measured 6.3× row-format blowup — see GraftSession)
+    .config("spark.sql.sources.fileCompressionFactor",
+      GraftSession.FileCompressionFactor)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()

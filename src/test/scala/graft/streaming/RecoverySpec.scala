@@ -482,7 +482,10 @@ class RecoverySpec extends SparkSpec {
       val c3 = spark.read.parquet(chunkFiles(2).toString)
       val isRawLong = c2.schema("ts").dataType ==
         org.apache.spark.sql.types.LongType
-      val tsOrd = if (isRawLong) col("ts")
+      // ADVICE r16: under the INT64-nanos vintage the raw column is
+      // NANOSECONDS while session_start_s/session_end_s downstream are
+      // seconds — convert here so boundS compares in the same unit.
+      val tsOrd = if (isRawLong) (col("ts") / lit(1000000000L)).cast("long")
         else col("ts").cast("timestamp").cast("long")
       val lastRow = c2.orderBy(desc("ts"), desc("event_id")).limit(1)
       val maxId = c3.agg(max("event_id")).head.getLong(0)
