@@ -1,6 +1,78 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
+/** Hypervisor-steal measurement for the bench launch (r16 verdict #4).
+  * Round 16 measured that this host's steal is DEMAND-TRIGGERED: an
+  * 8-core probe reads ~0% while 32-core saturation reads ~7% (commit
+  * 30fd5b8), so a bench gated on ambient load or a narrow probe still
+  * lands on a contended window and the official artifact mis-signals —
+  * r16's committed BENCH showed two "regressions" that no quiet run
+  * reproduced. The launch therefore saturates ALL benched cores while
+  * reading /proc/stat's steal counter, retries until the window is
+  * quiet, and the run itself samples steal every 10 s so the committed
+  * detail carries the contention evidence inline. */
+object Steal {
+  /** (steal, total) jiffies from /proc/stat's aggregate cpu line, or
+    * None off-Linux. Fields: user nice system idle iowait irq softirq
+    * steal [guest guest_nice]. */
+  def counters(): Option[(Long, Long)] =
+    try {
+      val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+      Some((f(7), f.sum))
+    } catch { case _: Throwable => None }
+
+  /** Integrated steal share (percent) across a counter delta; -1 when
+    * unreadable or the window is empty. */
+  def pct(c0: Option[(Long, Long)], c1: Option[(Long, Long)]): Double =
+    (c0, c1) match {
+      case (Some((s0, t0)), Some((s1, t1))) if t1 > t0 =>
+        math.round((s1 - s0) * 10000.0 / (t1 - t0)) / 100.0
+      case _ => -1.0
+    }
+
+  /** Saturate `threads` cores for `seconds` and return the steal share
+    * the hypervisor charged during the window. Demand-triggered steal
+    * only shows under saturation, so the probe must be FULL-WIDTH —
+    * the same parallelism the bench itself will drive. */
+  def probe(threads: Int, seconds: Int): Double = {
+    val c0 = counters()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val ts = (0 until threads).map { _ =>
+      val t = new Thread(() => {
+        var x = 0L
+        while (!stop.get()) { x += 1; if (x == Long.MaxValue) x = 0 }
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    Thread.sleep(seconds * 1000L)
+    stop.set(true); ts.foreach(_.join(1000))
+    pct(c0, counters())
+  }
+
+  /** Background 10 s sampler; `series` drains (epoch-sec, steal-pct)
+    * ticks, `integrated` the whole-run share. */
+  final class Sampler {
+    private val start = counters()
+    private var last = start
+    private val buf = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+    @volatile private var stopped = false
+    private val t = new Thread(() => {
+      while (!stopped) {
+        Thread.sleep(10000)
+        val now = counters()
+        buf.add(pct(last, now)); last = now
+      }
+    })
+    t.setDaemon(true); t.start()
+    def finish(): (Double, Seq[Double]) = {
+      stopped = true
+      import scala.jdk.CollectionConverters._
+      (pct(start, counters()), buf.iterator().asScala.toSeq)
+    }
+  }
+}
+
 object Bench {
 
   /** Where the per-query timing detail lands (JSON, one object). The driver
@@ -23,14 +95,18 @@ object Bench {
     * was load" is an untestable explanation (r6/r7 verdicts).
     */
   def summaryLine(total: Double, n: Int, failed: Int, sf: String,
-      loadStart: Double = -1.0, loadEnd: Double = -1.0): String =
-    s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"failed":$failed,"sf":"$sf","loadavg":$loadEnd,"loadavg_start":$loadStart,"detail":"$DetailPath"}"""
+      loadStart: Double = -1.0, loadEnd: Double = -1.0,
+      stealProbe: Double = -1.0, stealRun: Double = -1.0): String =
+    s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"failed":$failed,"sf":"$sf","loadavg":$loadEnd,"loadavg_start":$loadStart,"steal_probe_pct":$stealProbe,"steal_pct":$stealRun,"detail":"$DetailPath"}"""
 
   def detailJson(results: Seq[(String, Double)], sf: String,
-      loadStart: Double = -1.0, loadEnd: Double = -1.0): String = {
+      loadStart: Double = -1.0, loadEnd: Double = -1.0,
+      stealProbe: Double = -1.0, stealRun: Double = -1.0,
+      stealTicks: Seq[Double] = Seq.empty): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    s"""{"metric":"per_query","unit":"sec","sf":"$sf","loadavg":$loadEnd,"loadavg_start":$loadStart,"queries":$qs}"""
+    val ticks = stealTicks.mkString("[", ",", "]")
+    s"""{"metric":"per_query","unit":"sec","sf":"$sf","loadavg":$loadEnd,"loadavg_start":$loadStart,"steal_probe_pct":$stealProbe,"steal_pct":$stealRun,"steal_ticks_10s_pct":$ticks,"queries":$qs}"""
   }
 
   /** 1-minute system load average, rounded to 2 decimals (-1.0 where the
@@ -63,6 +139,26 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Steal-aware launch (r16 verdict #4): saturate the benched width and
+    // retry until the hypervisor-steal window is quiet, so the OFFICIAL
+    // per-round artifact is itself a quiet point rather than needing a
+    // parallel quiet-run trail. Defaults: gate 3%, 10 retries spaced 60 s
+    // (≈11 min worst case, then run anyway — the driver must always get
+    // its artifact; the recorded probe value flags a forced-through run).
+    val stealMax = sys.env.getOrElse("SPARK_GRAFT_STEAL_MAX", "3.0").toDouble
+    val stealTries = sys.env.getOrElse("SPARK_GRAFT_STEAL_TRIES", "10").toInt
+    var probeSteal = -1.0
+    var attempt = 0
+    var quiet = false
+    while (!quiet && attempt < stealTries) {
+      attempt += 1
+      probeSteal = Steal.probe(cpus.toInt, 8)
+      System.err.println(
+        s"[bench] full-width steal probe $attempt/$stealTries: " +
+          s"$probeSteal% (gate $stealMax%)")
+      if (probeSteal < 0 || probeSteal <= stealMax) quiet = true
+      else Thread.sleep(60000)
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -90,6 +186,7 @@ object Bench {
     // keeps runs comparable.
     val loadStart = loadAvg() // ambient, before warmup adds our own load
     warmup(spark, sfDir)
+    val sampler = new Steal.Sampler // 10 s steal ticks across the timed loop
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // A crashed query reports -1.0, never a normal-looking elapsed time.
@@ -99,7 +196,9 @@ object Bench {
       name -> math.round(sec * 1000) / 1000.0
     }
     val loadEnd = loadAvg() // 1-min window ≈ the run itself at 32 threads
-    val detail = detailJson(results, sfDir, loadStart, loadEnd)
+    val (stealRun, stealTicks) = sampler.finish()
+    val detail = detailJson(results, sfDir, loadStart, loadEnd,
+      probeSteal, stealRun, stealTicks)
     // Detail goes ONLY to files. Printing it (even to stderr) is unsafe:
     // the driver captures stdout+stderr combined, and 3.5 KB of per-query
     // detail eats most of the bounded tail window the summary must fit in.
@@ -117,7 +216,7 @@ object Bench {
     // line from shutdown) can print after the line the driver parses.
     try spark.stop() catch { case _: Throwable => () }
     println(summaryLine(total, results.size, results.size - ok.size, sfDir,
-      loadStart, loadEnd))
+      loadStart, loadEnd, probeSteal, stealRun))
   }
 
   private def warmup(spark: org.apache.spark.sql.SparkSession,
