@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Scale-stress harness: measures rows-vs-seconds scaling curves for the
   * operators whose SURVEY §2 "100 TB design" notes claim a complexity class
   * (linear / candidate-bounded vs quadratic-in-block), by inflating the
-  * driver fixtures 1-64× into scratch (NEVER touching /root/testdata —
+  * driver fixtures 1-256× into scratch (NEVER touching /root/testdata —
   * TESTDATA.md:4-5) and timing each query at every multiplier.
   *
   * Inflation is NOT naive duplication — a copy that byte-duplicates every

@@ -2310,6 +2310,32 @@ object TierCWindow {
             .cast("double").as("running_total"))
         .orderBy("o_orderkey")
     }),
+    // C24b — GLOBAL money-typed running revenue through the Prefix 2-pass
+    // rank (round 17, r16 verdict #6): the DECIMAL(38,4) accumulator path
+    // gets an oracle-checked caller instead of only PrefixSpec parity.
+    // win_running_sum's per-customer frame never funnels (the key is
+    // high-cardinality); a GLOBAL cumulative is exactly the shape that
+    // would — `Window.orderBy` with no partition is one task at any
+    // scale — so it routes through Prefix.runningAggs: range-shuffle on
+    // the total order (shipdate, then the PK for a deterministic total
+    // order), slice-local decimal sums, slice-offset stitch. The value
+    // column is the 4-decimal revenue product as DECIMAL — NOT the ×100
+    // cents-long discipline — so the decimal branch of the accumulator
+    // (sd, DECIMAL(38,4)) carries every row end-to-end; the final cast
+    // to DOUBLE is presentation only (cum quanta ≤ 1.8e14 at sf0.1,
+    // inside double's 2^53 — both engines emit identical IEEE bits).
+    "win_running_revenue_dec" -> ((s, d) => {
+      val li = lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+        dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      graft.operators.Prefix.runningAggs(li,
+          Seq(col("l_shipdate").asc, col("l_orderkey").asc,
+            col("l_linenumber").asc),
+          col("rev"), sumOut = Some("cum"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("cum").cast("double").as("cum_revenue"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
     // C25 — moving average over ROWS BETWEEN 3 PRECEDING AND CURRENT ROW.
     "win_moving_avg" -> ((s, d) => {
       val w4 = byCust.rowsBetween(-3, 0)
@@ -3789,6 +3815,14 @@ object TierCWindow {
          |            $overCust ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |            AS DOUBLE) AS running_total
          |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "win_running_revenue_dec" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |                     AS DECIMAL(18,4)))
+        |            OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS DOUBLE) AS cum_revenue
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "win_moving_avg" ->
       s"""SELECT o_orderkey, o_custkey,
          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
