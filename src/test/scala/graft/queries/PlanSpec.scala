@@ -846,6 +846,32 @@ class PlanSpec extends SparkSpec {
       s"prefix rank filter does not precede the postings join:\n$lp")
   }
 
+  test("r17: containment dedup — no corpus-proportional side is a broadcast build") {
+    // the x128 scaling probe caught the r16 plan broadcasting three
+    // corpus-growing sides (dfreq vocabulary, exploded postings, docs
+    // gram arrays): Catalyst sizes Generate/Aggregate outputs from the
+    // child SCAN estimate, so a 15M-row postings build estimated under
+    // the 10 MB threshold and shipped as a ~240 MB hashed relation —
+    // an executor OOM at cluster scale. The shipped plan pins `merge`
+    // hints on exactly those three joins; this test keeps them pinned:
+    // no broadcast join may key on gh (dfreq + postings joins) or on
+    // d_src (the docs gram-array join-back). The batch-derived d_new
+    // join may still broadcast — the ingest delta is bounded per batch
+    // by the operator's contract.
+    // string-level over the FINAL adaptive plan (a plain collect cannot
+    // see through query-stage wrappers): every BroadcastHashJoin line
+    // names its keys as `[gh#686L], [gh#707L]` — none may be gh/d_src
+    val df = SparkEntryPlan("dedup_containment")
+    df.collect() // final adaptive plan
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val offending = finalPlan.linesIterator.filter(_.contains("BroadcastHashJoin"))
+      .filter(l => "\\[(gh|d_src)#".r.findFirstIn(l).isDefined).toSeq
+    assert(offending.isEmpty,
+      s"a corpus-proportional containment side rides broadcast:\n" +
+        offending.mkString("\n"))
+  }
+
   test("r11: phash dedup — no fingerprint rides the band candidate join") {
     // HammingBanding's scale contract: candidate generation joins on
     // (band, bv) with ids only — the fingerprint re-joins by id AFTER the
@@ -929,7 +955,8 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     for (name <- Seq("profile_gini", "abc_classification",
         "sessions_concurrent_peak", "agg_percentile_exact",
-        "agg_weighted_median", "agg_percentile_exact_group")) {
+        "agg_weighted_median", "agg_percentile_exact_group",
+        "win_running_revenue_dec")) {
       val lp = SparkEntryPlan(name).queryExecution.optimizedPlan
       val wins = lp.collect { case w: LWindow => w }
       assert(wins.nonEmpty, s"$name: expected window nodes in:\n$lp")
