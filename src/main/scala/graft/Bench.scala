@@ -102,11 +102,15 @@ object Bench {
   def detailJson(results: Seq[(String, Double)], sf: String,
       loadStart: Double = -1.0, loadEnd: Double = -1.0,
       stealProbe: Double = -1.0, stealRun: Double = -1.0,
-      stealTicks: Seq[Double] = Seq.empty): String = {
+      stealTicks: Seq[Double] = Seq.empty,
+      bcastViolations: Seq[String] = Seq.empty): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val ticks = stealTicks.mkString("[", ",", "]")
-    s"""{"metric":"per_query","unit":"sec","sf":"$sf","loadavg":$loadEnd,"loadavg_start":$loadStart,"steal_probe_pct":$stealProbe,"steal_pct":$stealRun,"steal_ticks_10s_pct":$ticks,"queries":$qs}"""
+    val bv = bcastViolations.map(s => "\"" +
+      s.replace("\\", "\\\\").replace("\"", "\\\"").take(200) + "\"")
+      .mkString("[", ",", "]")
+    s"""{"metric":"per_query","unit":"sec","sf":"$sf","loadavg":$loadEnd,"loadavg_start":$loadStart,"steal_probe_pct":$stealProbe,"steal_pct":$stealRun,"steal_ticks_10s_pct":$ticks,"bcast_violations":$bv,"queries":$qs}"""
   }
 
   /** 1-minute system load average, rounded to 2 decimals (-1.0 where the
@@ -174,6 +178,10 @@ object Bench {
       // (measured 6.3× row-format blowup — see GraftSession)
       .config("spark.sql.sources.fileCompressionFactor",
         GraftSession.FileCompressionFactor)
+      // faithful broadcast dataSize metrics for the audit below: without
+      // this the big-heap default page size (32 MiB) floors every build's
+      // dataSize at one allocated page (see GraftSession.BufferPageSize)
+      .config("spark.buffer.pageSize", GraftSession.BufferPageSize)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: benign per-query WARNs (e.g. WindowExec's bounded
@@ -186,6 +194,13 @@ object Bench {
     // keeps runs comparable.
     val loadStart = loadAvg() // ambient, before warmup adds our own load
     warmup(spark, sfDir)
+    // Board-wide broadcast audit (r16 verdict #1 operationalized): the
+    // always-on listener reads every completed action's FINAL plan and
+    // records any broadcast build whose ACTUAL bytes exceed 2× the
+    // threshold — the estimate-blind hazard class the containment dedup's
+    // x128 probe caught. A metadata walk over already-collected metrics;
+    // zero timing impact. Hits land in the committed detail artifact.
+    val auditor = graft.plans.BroadcastAudit.install(spark)
     val sampler = new Steal.Sampler // 10 s steal ticks across the timed loop
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -197,8 +212,13 @@ object Bench {
     }
     val loadEnd = loadAvg() // 1-min window ≈ the run itself at 32 threads
     val (stealRun, stealTicks) = sampler.finish()
+    Thread.sleep(1000) // execution-listener bus is async — let it drain
+    val bcast = auditor.violations.map { case (action, b) =>
+      s"$action ${b.desc} rows=${b.rows} bytes=${b.bytes}"
+    }
+    bcast.foreach(v => System.err.println(s"[bench] BCAST VIOLATION: $v"))
     val detail = detailJson(results, sfDir, loadStart, loadEnd,
-      probeSteal, stealRun, stealTicks)
+      probeSteal, stealRun, stealTicks, bcast)
     // Detail goes ONLY to files. Printing it (even to stderr) is unsafe:
     // the driver captures stdout+stderr combined, and 3.5 KB of per-query
     // detail eats most of the bounded tail window the summary must fit in.

@@ -112,6 +112,20 @@ object GraftSession {
     * broadcast is a driver/executor OOM at scale. */
   val FileCompressionFactor = "6.3"
 
+  /** Tungsten memory page size (r17, BroadcastAudit fidelity + memory
+    * pressure). Spark's default page size scales with heap/cores and on a
+    * big-heap driver reaches 32-64 MiB; `BytesToBytesMap` allocates a
+    * full first page, so every broadcast build's `dataSize` metric — the
+    * number BroadcastAudit reads — has a 32 MiB allocation FLOOR there,
+    * drowning the 10 MB threshold in false 2x violations (measured:
+    * 61/61 builds of a bench sweep read 32 MiB + real bytes). 2 MiB is
+    * what Spark's own formula yields on a production executor shape
+    * (heap/cores/16 with many cores sharing the heap); it makes
+    * `dataSize` faithful to ±2 MiB and caps per-task first-page waste at
+    * 32 threads × 2 MiB instead of × 32 MiB. Page acquisition is
+    * bookkeeping-cheap, so sort/agg hot paths are unaffected. */
+  val BufferPageSize = "2m"
+
   def builder(master: String = "local[*]",
       shufflePartitions: Int = Runtime.getRuntime.availableProcessors())
       : SparkSession.Builder =
@@ -127,6 +141,9 @@ object GraftSession {
       // partition per core; sizing to data is the scale-correct default
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.sources.fileCompressionFactor", FileCompressionFactor)
+      // faithful broadcast dataSize metrics + bounded first-page waste
+      // (see [[BufferPageSize]])
+      .config("spark.buffer.pageSize", BufferPageSize)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 

@@ -369,6 +369,8 @@ object Scaling {
       // discounted estimate's m≈103
       .config("spark.sql.sources.fileCompressionFactor",
         GraftSession.FileCompressionFactor)
+      // faithful broadcast dataSize metrics (see GraftSession.BufferPageSize)
+      .config("spark.buffer.pageSize", GraftSession.BufferPageSize)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

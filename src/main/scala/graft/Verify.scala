@@ -19,6 +19,8 @@ object Verify {
       // (measured 6.3× row-format blowup — see GraftSession)
       .config("spark.sql.sources.fileCompressionFactor",
         GraftSession.FileCompressionFactor)
+      // faithful broadcast dataSize metrics (see GraftSession.BufferPageSize)
+      .config("spark.buffer.pageSize", GraftSession.BufferPageSize)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -47,14 +47,25 @@ object Colocate {
 
   /** Salted inner equi-join: big side gets a deterministic salt in [0, S)
     * derived from a discriminator column (NOT from rand() — oracle and
-    * retry determinism, SURVEY §7.4.5); small side is replicated S ways. */
+    * retry determinism, SURVEY §7.4.5); small side is replicated S ways.
+    *
+    * The join is PINNED to the shuffled-hash path. Salting presupposes
+    * the "small" side is too big to broadcast — if it fit the broadcast
+    * threshold there would be no skew problem to salt away — yet at
+    * staging scale Catalyst's estimate still picks BroadcastHashJoin,
+    * which replicates the salt fan-out into the build for nothing (the
+    * r17 board-wide BroadcastAudit measured the ×4-replicated build at
+    * 2-3× the threshold at sf0.1 — the exact oversize-build class the
+    * audit exists to catch). `shuffle_hash` rather than `merge`: the
+    * per-(key, salt) build partitions are small by construction, and a
+    * hash build skips sorting the splintered big side. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       discriminator: Column, salts: Int): DataFrame = {
     val saltedBig = big.withColumn("graft_salt",
       pmod(xxhash64(discriminator), lit(salts)).cast("int"))
     val saltedSmall = small.withColumn("graft_salt",
       explode(array((0 until salts).map(lit): _*)))
-    saltedBig.join(saltedSmall, Seq(key, "graft_salt"))
+    saltedBig.join(saltedSmall.hint("shuffle_hash"), Seq(key, "graft_salt"))
       .drop("graft_salt")
   }
 }

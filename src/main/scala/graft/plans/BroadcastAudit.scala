@@ -39,6 +39,16 @@ import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExc
   * estimate-to-actual gap is fed back into every file-scan size
   * estimate, so the broadcast flip lands where the ACTUAL bytes cross
   * the threshold — re-measured in SCALING.md `join_multiway`.
+  *
+  * Measurement caveat: `dataSize` is the hashed relation's
+  * `estimatedSize` = ALLOCATED memory, which includes the
+  * `BytesToBytesMap` first page. On a big-heap driver Spark's derived
+  * page size reaches 32-64 MiB, flooring every build's reading there
+  * and turning a 10 MB-threshold audit into all-noise (measured: 61/61
+  * builds of a bench sweep read 32 MiB + real bytes). Sessions that
+  * feed this audit must pin `spark.buffer.pageSize` to a small page —
+  * `GraftSession.BufferPageSize` (2 MiB, the production-executor shape)
+  * does; every graft driver surface sets it.
   */
 object BroadcastAudit {
 

@@ -872,6 +872,29 @@ class PlanSpec extends SparkSpec {
         offending.mkString("\n"))
   }
 
+  test("r17: salted skew join is a shuffled hash join — the replicated " +
+      "side never broadcasts") {
+    // salting presupposes the small side is NOT broadcastable (a
+    // broadcast join has no skew problem), yet Catalyst's estimate
+    // picked BroadcastHashJoin for the ×4-replicated orders side at
+    // staging scale — measured by the board-wide BroadcastAudit at 2-3×
+    // the threshold at sf0.1, and fact-sized (an OOM) at cluster scale.
+    // Colocate.saltedJoin pins shuffle_hash; this keeps it pinned, and
+    // keeps the build on the replicated side (BuildRight), not the
+    // splintered big side.
+    val df = SparkEntryPlan("join_salted_skew")
+    df.collect() // final adaptive plan
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("ShuffledHashJoin"),
+      s"salted join must shuffle-hash:\n$finalPlan")
+    val salted = finalPlan.linesIterator
+      .filter(l => l.contains("Join") && l.contains("graft_salt")).toSeq
+    assert(salted.nonEmpty, s"no join keyed on graft_salt in:\n$finalPlan")
+    assert(salted.forall(l => !l.contains("BroadcastHashJoin")),
+      s"the salt-replicated side rides broadcast:\n${salted.mkString("\n")}")
+  }
+
   test("r11: phash dedup — no fingerprint rides the band candidate join") {
     // HammingBanding's scale contract: candidate generation joins on
     // (band, bv) with ids only — the fingerprint re-joins by id AFTER the
