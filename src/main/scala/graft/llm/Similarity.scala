@@ -752,7 +752,16 @@ object Similarity {
         .join(sampled.select(col("v").as("pivot"), col("u").as("b")), Seq("pivot"))
         .filter(col("a") < col("b"))
         .select(col("a").as("p1"), col("b").as("p2")).distinct()
-      val fresh = cand.join(scored.select("p1", "p2"),
+      // the already-scored pair set grows with every round (~n·cap²
+      // cumulative — 213k rows / 23 MB actual at sf0.1, GB-scale at
+      // x64) and is checkpoint-backed, so its actual-size estimate
+      // stays under the broadcast threshold long past the point where
+      // replicating it to every executor is sane; the r17 board-wide
+      // BroadcastAudit flagged exactly this build. shuffle_hash pins
+      // the anti-join to hash-partitioned slices of the pair set —
+      // each build partition stays bounded no matter how many rounds
+      // have accumulated
+      val fresh = cand.join(scored.select("p1", "p2").hint("shuffle_hash"),
         Seq("p1", "p2"), "left_anti")
       scored = scored.unionAll(scorePairs(fresh)).localCheckpoint()
       nbr = topK(

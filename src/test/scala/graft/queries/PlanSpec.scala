@@ -895,6 +895,28 @@ class PlanSpec extends SparkSpec {
       s"the salt-replicated side rides broadcast:\n${salted.mkString("\n")}")
   }
 
+  test("r17: NN-Descent's cumulative scored-pair set never broadcasts") {
+    // the r17 board-wide BroadcastAudit caught the anti-join building a
+    // broadcast hash of the checkpoint-backed scored set (23 MB actual
+    // at sf0.1, growing ~n·cap² per round — GB at x64); the fix pins
+    // shuffle_hash on it. The loop's localCheckpoints cut lineage, so a
+    // final-plan string can't see the per-round joins — instead an
+    // audit listener at k=0 records EVERY broadcast build of every
+    // intermediate action, and none may be the bare (p1, p2) pair set.
+    // (The unit-vector sides may broadcast: checkpoint-actual-driven
+    // and corpus-bounded per join — the pair set is the one that
+    // accumulates.)
+    val listener = graft.plans.BroadcastAudit.install(spark, k = 0.0)
+    try {
+      graft.SparkEntry.queries("knn_nndescent")(spark, sf).collect()
+      Thread.sleep(1000) // async listener bus
+      val pairBuilds = listener.violations
+        .filter(_._2.desc == "bcast[p1,p2]")
+      assert(pairBuilds.isEmpty,
+        s"the scored pair set rode broadcast: $pairBuilds")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("r11: phash dedup — no fingerprint rides the band candidate join") {
     // HammingBanding's scale contract: candidate generation joins on
     // (band, bv) with ids only — the fingerprint re-joins by id AFTER the
