@@ -59,6 +59,12 @@ private[graft] object GraftFunctions {
       SqlArgs.arity("canonical_url", exprs, 1, 1)
       CanonicalUrl(exprs.head)
     }),
+    ("winnow_fps", classOf[WinnowFingerprints], { exprs: Seq[Expression] =>
+      SqlArgs.arity("winnow_fps", exprs, 3, 3)
+      WinnowFingerprints(exprs.head,
+        SqlArgs.foldableInt("winnow_fps", exprs, 1, "k"),
+        SqlArgs.foldableInt("winnow_fps", exprs, 2, "w"))
+    }),
     // runtime-filter surface (wrappers over Spark's internal
     // BloomFilterAggregate / BloomFilterMightContain — see BloomPrefilter)
     ("bloom_agg",

@@ -99,4 +99,61 @@ class WinnowSpec extends SparkSpec {
     assert(got == want,
       s"diff: ${got.toSet.diff(want.toSet)} vs ${want.toSet.diff(got.toSet)}")
   }
+
+  test("native winnow_fps equals the composable transform/slice/array_min " +
+      "spelling on the fixture corpus") {
+    // round 17: the kernel moved from the interpreted HOF chain to the
+    // native WinnowFingerprints expression (O(n) deque vs O(n·w) slice
+    // mins). This pins byte-for-byte parity of the SELECTED SETS on the
+    // real documents table — the strongest corpus the recurrence sees —
+    // by running both spellings side by side.
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sf)
+      .filter(length(col("text")) >= K).select("doc_id", "text")
+    val composable = docs
+      .withColumn("keys", expr(
+        s"""transform(sequence(1, length(text) - $K + 1),
+           |  p -> concat(md5(substring(text, p, $K)),
+           |              lpad(cast(3000000 - p as string), 7, '0')))"""
+          .stripMargin))
+      .select(col("doc_id"), expr(
+        s"""array_distinct(
+           |  CASE WHEN size(keys) >= $W
+           |  THEN transform(sequence($W, size(keys)),
+           |         i -> substring(array_min(slice(keys, i - $W + 1, $W)),
+           |                        1, 32))
+           |  ELSE array(substring(array_min(keys), 1, 32)) END)"""
+          .stripMargin).as("ref_fps"))
+    val native = docs.select(col("doc_id"),
+      graft.functions.WinnowFingerprints.winnow_fps(col("text"), K, W)
+        .as("fps"))
+    val diff = native.join(composable, "doc_id")
+      .filter(not(array_sort(col("fps")) <=> array_sort(col("ref_fps"))))
+      .count()
+    assert(diff == 0L, s"$diff docs diverge from the composable reference")
+  }
+
+  test("multi-byte UTF-8 grams are CHARACTER windows, matching substring") {
+    // the charOff path: 2- and 3-byte chars shift byte offsets away from
+    // char positions, so a byte-window kernel would hash different grams
+    // than the composable (character-based substring) spelling
+    val docs = Seq(
+      1L -> "наши дела идут хорошо и стабильно всегда",  // cyrillic, 2-byte
+      2L -> "日本語のテキストで試験をするための文章です",   // CJK, 3-byte
+      3L -> ("mixed ascii and ünïcödé tëxt wïth äccents " * 3))
+    val got = run(docs)
+    assert(got == expected(docs), s"got $got want ${expected(docs)}")
+  }
+
+  test("long tie-heavy docs slide full windows through the deque") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 8L).map { id =>
+      val len = 150 + rnd.nextInt(150)
+      id -> Seq.fill(len)(if (rnd.nextBoolean()) 'a' else 'b').mkString
+    }
+    val got = run(docs)
+    val want = expected(docs)
+    assert(got == want,
+      s"diff: ${got.toSet.diff(want.toSet)} vs ${want.toSet.diff(got.toSet)}")
+  }
 }
