@@ -205,8 +205,23 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // A crashed query reports -1.0, never a normal-looking elapsed time.
+      // The timed action is a NOOP WRITE, not count() (round 17): count
+      // lets Catalyst prune everything cardinality-neutral — window
+      // functions whose outputs count doesn't read, aggregate-side
+      // expressions above the group keys, left-join-attached branches
+      // (distinct-key inference), even the scan's column materialization
+      // — so a key's heaviest stage could be silently unmeasured
+      // (measured: dedup_minhash_calibration's exact-verify 46.6 s vs a
+      // 5.4 s count; window keys read as bare scans; full A/B in
+      // BENCH_ACTION_AB_r17.tsv, same-tree totals 349 s count vs 424 s
+      // noop). The noop sink materializes EVERY output column through
+      // the full plan and discards rows executor-side — no driver
+      // collect, no disk — the honest per-key cost.
       val sec =
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
         catch { case _: Throwable => -1.0 }
       name -> math.round(sec * 1000) / 1000.0
     }

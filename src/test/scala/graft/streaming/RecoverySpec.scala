@@ -70,13 +70,11 @@ class RecoverySpec extends SparkSpec {
       // after batch 2"), then chunk 3 lands and a NEW query restarts from
       // the SAME checkpoint into the SAME sink
       val partDir = Paths.get(tmpDir("rec_stream_dir"))
-      chunkFiles.take(2).foreach(f => Files.copy(f,
-        partDir.resolve(f.getFileName), StandardCopyOption.REPLACE_EXISTING))
+      copyChunks(chunkFiles.take(2), partDir) // monotone-mtime copies
       val ckpt = tmpDir("rec_ckpt_split")
       val out = tmpDir("rec_out_split")
       val run1 = drain(partDir.toString, ckpt, out)
-      Files.copy(chunkFiles(2), partDir.resolve(chunkFiles(2).getFileName),
-        StandardCopyOption.REPLACE_EXISTING)
+      copyChunks(chunkFiles.drop(2), partDir)
       val combined = drain(partDir.toString, ckpt, out)
 
       // the restart must actually resume, not replay: batches 1-2 are
@@ -278,13 +276,11 @@ class RecoverySpec extends SparkSpec {
 
       // crashed run: chunks 1-2, drain, then chunk 3 lands, restart
       val partDir = Paths.get(tmpDir("rec_sw_dir"))
-      chunkFiles.take(2).foreach(f => Files.copy(f,
-        partDir.resolve(f.getFileName), StandardCopyOption.REPLACE_EXISTING))
+      copyChunks(chunkFiles.take(2), partDir) // monotone-mtime copies
       val ckpt = tmpDir("rec_sw_ckpt_split")
       val out = tmpDir("rec_sw_out_split")
       val run1 = drainSessions(partDir.toString, ckpt, out)
-      Files.copy(chunkFiles(2), partDir.resolve(chunkFiles(2).getFileName),
-        StandardCopyOption.REPLACE_EXISTING)
+      copyChunks(chunkFiles.drop(2), partDir)
       val combined = drainSessions(partDir.toString, ckpt, out)
 
       assert(run1.nonEmpty, "run 1 emitted nothing — 2-batch drain failed")
@@ -344,10 +340,26 @@ class RecoverySpec extends SparkSpec {
     } finally l.close()
   }
 
+  /** Monotone mtime stamp shared by every staged copy in this spec:
+    * FileStreamSource orders per-file batches by modification time, and
+    * Files.copy stamps the copy time — two copies landing in the same
+    * millisecond tie, and the tie falls to listing order (observed once
+    * as a contention flake: chunk 2 drained before chunk 1, shifting
+    * every first-batch snapshot against the uninterrupted reference).
+    * The dedup test pins literal mtimes for the same reason; this is
+    * the shared form for the tests that keep original filenames. */
+  private val mtimeTick =
+    new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
+
   private def copyChunks(files: Seq[java.nio.file.Path],
       into: java.nio.file.Path): Unit =
-    files.foreach(f => Files.copy(f, into.resolve(f.getFileName),
-      StandardCopyOption.REPLACE_EXISTING))
+    files.foreach { f =>
+      val dst = into.resolve(f.getFileName)
+      Files.copy(f, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          mtimeTick.addAndGet(2000L)))
+    }
 
   private def drainCustomState(srcDir: String, ckpt: String,
       outDir: String): Array[Row] = {
