@@ -764,15 +764,29 @@ object TextStats {
     // map-side-combinable agg keyed by doc_id. Docs shorter than 2 tokens
     // surface as n_bigrams = 0 / ll_q6 = 0 rather than dropping out.
     "perplexity_bigram_doc" -> ((s, d) => {
-      val toks = documents(s, d).select(col("doc_id"),
-        posexplode(tokens(col("text"))).as(Seq("pos", "w")))
-      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-      val big = toks.withColumn("w2", lead(col("w"), 1).over(byDoc))
-        .filter(col("w2").isNotNull)
-        .select(col("doc_id"), col("w").as("w1"), col("w2"))
+      // r17 optimization (guide §2.4, remove shuffles outright): bigram
+      // instances used to come from a per-doc lead() window — posexplode
+      // every token, hash-shuffle + sort the full token stream by
+      // (doc_id, pos), lead(1) — but adjacency is already explicit in the
+      // token ARRAY, so the identical pair multiset expands MAP-SIDE with
+      // zero exchanges (the basket_brand_pairs array-expansion precedent;
+      // array subscripts are 0-based, so pair i is (ts[i], ts[i+1])).
+      // The instance table is checkpointed once for its three consumers
+      // (c12, c1, the per-doc sum join) instead of re-deriving per
+      // consumer. Warm sf0.1 noop: 1.8-2.0 s → ~0.6 s.
+      val big = documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+        .select(col("doc_id"), explode(expr(
+          """transform(slice(ts, 1, size(ts) - 1),
+            |  (x, i) -> struct(x AS w1, ts[i + 1] AS w2))""".stripMargin))
+          .as("p"))
+        .select(col("doc_id"), col("p.w1"), col("p.w2"))
+        .localCheckpoint()
       val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
-      val vocab = toks.agg(count_distinct(col("w")).as("v"))
+      val vocab = documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .agg(count_distinct(col("w")).as("v"))
       val lp = c12.join(c1, "w1").crossJoin(broadcast(vocab))
         .select(col("w1"), col("w2"),
           floor(log((col("c12") + 1).cast("double") /
@@ -1707,9 +1721,18 @@ object TextStats {
     // once and reused across corpus shards.
     "dsir_importance" -> ((s, d) => {
       val B = 256
+      // ONE tokenize+hash pass feeds both the bucket-count agg and the
+      // per-doc score join (r17 optimization: without the lineage cut the
+      // explode+md5Fold subtree ran twice — measured 4.2 s warm at sf0.1
+      // under noop; checkpointing the 3-narrow-column (doc_id, lang, b)
+      // projection, with the token string dropped, tokenizes once). The
+      // materialized rows are 3 small values per token — the §2.3
+      // "shuffle keys, not payloads" discipline applied to a reuse point.
       val toks = documents(s, d).select(col("doc_id"), col("lang"),
         explode(tokens(col("text"))).as("tok"))
         .withColumn("b", md5Fold(col("tok"), 25) % B)
+        .select("doc_id", "lang", "b")
+        .localCheckpoint()
       val counts = toks.groupBy("b").agg(
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_t"),
         count(lit(1)).as("n_r"))

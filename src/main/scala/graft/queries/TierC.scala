@@ -2360,6 +2360,12 @@ object TierCWindow {
     // median aggregate as an independent implementation (2·median of
     // bigints is integer-exact in double far below 2^53).
     "win_rolling_median" -> ((s, d) => {
+      // r17 optimization NEGATIVE RESULT, kept as-is: replacing the
+      // sliding collect_list with six lag() offsets (+ per-row 7-array
+      // sort) was measured SLOWER warm at sf0.1 under noop — 2.2-2.3 s
+      // here vs 2.9-3.3 s for both lag variants (filter-HOF and
+      // nulls-sort-last) — each offset maintains its own frame cursor
+      // while the sliding buffer is one cheap add/remove per row.
       val w7 = byCust.rowsBetween(-6, 0)
       val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long")
@@ -3330,8 +3336,10 @@ object TierCWindow {
       // triangle side delegated to operators.Triangles (round 11): the
       // degree-oriented wedge enumeration — e1.t < e2.t normalized, closed
       // by a pure EQUI-join — now lives in ONE place, shared with
-      // graph_clustering_coeff's per-node corner counts
-      val und = ClickGraph.und(s, d)
+      // graph_clustering_coeff's per-node corner counts; checkpointed
+      // (r17 optimization) for the same reason as there: five consumers
+      // otherwise re-derive the edge list from raw events
+      val und = ClickGraph.und(s, d).localCheckpoint()
       val deg = und.select(col("u").as("node"))
         .unionAll(und.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("d"))
@@ -3358,7 +3366,12 @@ object TierCWindow {
     // enumeration's bounds (see Triangles scaladoc) plus one explode to
     // 3 corner rows per triangle and two map-side-combinable aggs.
     "graph_clustering_coeff" -> ((s, d) => {
-      val und = ClickGraph.und(s, d)
+      // checkpointed (r17 optimization): und feeds the degree agg here
+      // plus THREE reads inside Triangles.enumerate (its own degree agg,
+      // the orientation join, the wedge-closing semi-join) — each re-ran
+      // the events scan + per-user window + distinct without the lineage
+      // cut (the graph_modularity precedent)
+      val und = ClickGraph.und(s, d).localCheckpoint()
       val deg = und.select(col("u").as("node"))
         .unionAll(und.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("d"))
