@@ -36,6 +36,11 @@ private[graft] object GraftFunctions {
       SqlArgs.arity("minhash_array", exprs, 2, 2)
       MinHashArray(exprs(0), SqlArgs.foldableInt("minhash_array", exprs, 1, "k"))
     }),
+    ("md5_minhashes", classOf[Md5MinHashes], { exprs: Seq[Expression] =>
+      SqlArgs.arity("md5_minhashes", exprs, 2, 2)
+      Md5MinHashes(exprs(0),
+        SqlArgs.foldableInt("md5_minhashes", exprs, 1, "k"))
+    }),
     ("token_ngram_hashes", classOf[TokenNgramHashes], { exprs: Seq[Expression] =>
       SqlArgs.arity("token_ngram_hashes", exprs, 2, 2)
       TokenNgramHashes(exprs(0),
