@@ -304,12 +304,15 @@ object TierCJoins {
     // by construction), and the pair counts combine map-side into the
     // second shuffle. A distinct + per-order self-join would pay a third
     // shuffle and rebuild the same pair space the array expansion gets
-    // for free. A/B-measured at sf0.1/local[32]: self-join wins warm by
-    // ~20% (1.1s vs 1.35s — HOF lambdas don't whole-stage-codegen), but
-    // it re-shuffles the full (order, brand) table twice more while both
-    // variants' pair shuffles map-side-combine to ≤|brands|² keys — at
-    // 100 TB the two extra full-data exchanges dominate, so the HOF shape
-    // stands. Counts are exact longs; top-25 by (support, b1, b2).
+    // for free (r12 A/B: the self-join's warm local win never justified
+    // its two extra full-data exchanges at scale). Round 17: the
+    // expansion itself moved from the interpreted
+    // flatten(transform(..transform(slice..))) HOF chain to TWO Generate
+    // nodes — posexplode(bs) then explode(slice(bs, i + 2, size(bs))) —
+    // the identical ordered-pair multiset (x at 0-based i pairs with
+    // every later y), but Generate whole-stage-codegens where HOF
+    // lambdas interpret: warm sf0.1 noop 2.2-3.0 → 1.5-1.8 s, same two
+    // shuffles. Counts are exact longs; top-25 by (support, b1, b2).
     "basket_brand_pairs" -> ((s, d) => {
       val baskets = lineitem(s, d)
         .join(broadcast(part(s, d)),
@@ -317,12 +320,10 @@ object TierCJoins {
         .groupBy("l_orderkey")
         .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
       baskets
-        .select(explode(expr(
-          """flatten(transform(bs, (x, i) ->
-            |  transform(slice(bs, i + 2, size(bs)),
-            |            y -> struct(x AS b1, y AS b2))))""".stripMargin))
-          .as("p"))
-        .groupBy(col("p.b1").as("b1"), col("p.b2").as("b2"))
+        .select(col("bs"), posexplode(col("bs")).as(Seq("i", "b1")))
+        .select(col("b1"),
+          explode(slice(col("bs"), col("i") + 2, size(col("bs")))).as("b2"))
+        .groupBy("b1", "b2")
         .agg(count(lit(1)).as("n_orders"))
         .orderBy(desc("n_orders"), asc("b1"), asc("b2")).limit(25)
     }),
@@ -357,12 +358,10 @@ object TierCJoins {
       val baskets = ib.groupBy("l_orderkey")
         .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
       val pairs = baskets
-        .select(explode(expr(
-          """flatten(transform(bs, (x, i) ->
-            |  transform(slice(bs, i + 2, size(bs)),
-            |            y -> struct(x AS b1, y AS b2))))""".stripMargin))
-          .as("p"))
-        .groupBy(col("p.b1").as("b1"), col("p.b2").as("b2"))
+        .select(col("bs"), posexplode(col("bs")).as(Seq("i", "b1")))
+        .select(col("b1"),
+          explode(slice(col("bs"), col("i") + 2, size(col("bs")))).as("b2"))
+        .groupBy("b1", "b2")
         .agg(count(lit(1)).as("supp"))
       val brandN = ib.groupBy("p_brand").agg(count(lit(1)).as("nb"))
       // the basket total reads the checkpointed ib, not the collect_set
