@@ -94,10 +94,19 @@ object Bench {
     * (SURVEY §7.4e), and without the sample in the committed summary "it
     * was load" is an untestable explanation (r6/r7 verdicts).
     */
+  /** The timed action's name, embedded in the summary line and detail JSON
+    * (r17 verdict #1): the round-17 count()→noop switch made totals
+    * incomparable across rounds and the driver's `bench_harness_changed`
+    * flag missed it — a 15.5% phantom regression. With the action TAGGED
+    * in both artifacts, a cross-action comparison is machine-detectable:
+    * totals are comparable iff the `action` fields match (the r16→r17
+    * bridge is BENCH_ACTION_AB_r17.tsv). */
+  val TimedAction = "noop"
+
   def summaryLine(total: Double, n: Int, failed: Int, sf: String,
       loadStart: Double = -1.0, loadEnd: Double = -1.0,
       stealProbe: Double = -1.0, stealRun: Double = -1.0): String =
-    s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"failed":$failed,"sf":"$sf","loadavg":$loadEnd,"loadavg_start":$loadStart,"steal_probe_pct":$stealProbe,"steal_pct":$stealRun,"detail":"$DetailPath"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"failed":$failed,"sf":"$sf","action":"$TimedAction","loadavg":$loadEnd,"loadavg_start":$loadStart,"steal_probe_pct":$stealProbe,"steal_pct":$stealRun,"detail":"$DetailPath"}"""
 
   def detailJson(results: Seq[(String, Double)], sf: String,
       loadStart: Double = -1.0, loadEnd: Double = -1.0,
@@ -110,7 +119,7 @@ object Bench {
     val bv = bcastViolations.map(s => "\"" +
       s.replace("\\", "\\\\").replace("\"", "\\\"").take(200) + "\"")
       .mkString("[", ",", "]")
-    s"""{"metric":"per_query","unit":"sec","sf":"$sf","loadavg":$loadEnd,"loadavg_start":$loadStart,"steal_probe_pct":$stealProbe,"steal_pct":$stealRun,"steal_ticks_10s_pct":$ticks,"bcast_violations":$bv,"queries":$qs}"""
+    s"""{"metric":"per_query","unit":"sec","sf":"$sf","action":"$TimedAction","loadavg":$loadEnd,"loadavg_start":$loadStart,"steal_probe_pct":$stealProbe,"steal_pct":$stealRun,"steal_ticks_10s_pct":$ticks,"bcast_violations":$bv,"queries":$qs}"""
   }
 
   /** 1-minute system load average, rounded to 2 decimals (-1.0 where the

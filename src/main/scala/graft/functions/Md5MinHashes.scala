@@ -36,11 +36,19 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class Md5MinHashes(child: Expression, k: Int) extends UnaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"md5_minhashes requires array<string>, got ${other.simpleString}")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    // k is part of the plan (a foldable literal via the SQL shim), so a
+    // bad value must fail analysis with the function's name — not surface
+    // as a NegativeArraySizeException from `prefixes` at eval time
+    // (ADVICE r17); k = 0 would silently yield NULL for every row.
+    if (k < 1)
+      TypeCheckResult.TypeCheckFailure(
+        s"md5_minhashes requires k >= 1, got $k")
+    else child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"md5_minhashes requires array<string>, got ${other.simpleString}")
+    }
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true

@@ -272,13 +272,26 @@ object TextStats {
     * and finalTypes = (w, c, seg) with seg the space-delimited symbol
     * string after all 8 merges. Word types are filtered to ^[a-z]+$ (the
     * documented segmentation contract — the delimiter can then never
-    * occur inside a symbol). Each round localCheckpoints the 1-row argmax
-    * and the re-segmented type table — the loop's lineage cut. */
+    * occur inside a symbol). Lineage discipline (r18): the base type table
+    * is checkpointed once and each round checkpoints only its 1-row
+    * argmax; the re-segmentation chain stays lazy (see the loop note). */
   private def bpeLearn(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val words = documents(s, d)
       .select(explode(tokens(col("text"))).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+    // r18: ONE scheduled job per merge round instead of two. The previous
+    // spelling eagerly checkpointed the 1-row argmax AND the re-segmented
+    // type table separately (16 jobs per bpeLearn); on a Heaps-law-
+    // sublinear type table the per-job scheduling floor, not data,
+    // dominated. The argmax now stays lazy and rides INTO the vocab
+    // checkpoint as three constant columns (a, b, cnt — ~a dozen bytes per
+    // vocab row): the broadcast executes exactly once, inside that round's
+    // checkpoint job, and the merge report reads the constants back from
+    // the materialized table (limit(1) on a checkpoint — no recompute, no
+    // broadcast replay). A lazy-chain variant (no vocab checkpoints at
+    // all) measured SLOWER: every later round re-executed every earlier
+    // round's broadcast exchange (~28 tiny collect jobs per learn).
     var v = words.select(col("w"), col("c"),
       concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("seg"))
       .localCheckpoint()
@@ -292,16 +305,18 @@ object TextStats {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum("c").as("cnt"))
         .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1)
-        .localCheckpoint()
-      v = v.crossJoin(broadcast(best))
+      // drop the previous round's constants before the next crossJoin so
+      // (a, b, cnt) stay unambiguous
+      v = v.select("w", "c", "seg").crossJoin(broadcast(best))
         .select(col("w"), col("c"), expr(
           "replace(seg, concat(' ', a, ' ', b, ' '), " +
-            "concat(' ', a, b, ' '))").as("seg"))
+            "concat(' ', a, b, ' '))").as("seg"),
+          col("a"), col("b"), col("cnt"))
         .localCheckpoint()
-      best.select(lit(k).as("step"), col("a").as("lhs"),
+      v.limit(1).select(lit(k).as("step"), col("a").as("lhs"),
         col("b").as("rhs"), col("cnt"))
     }
-    (merges.reduce(_ unionAll _), v)
+    (merges.reduce(_ unionAll _), v.select("w", "c", "seg"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -149,6 +149,11 @@ class ContractSpec extends SparkSpec {
     assert(line.contains("\"loadavg\":"),
       "summary must carry the 1-min load average (r7 verdict #1: " +
         "bench drift is unadjudicable without it)")
+    assert(line.contains("\"action\":\"noop\""),
+      "summary must tag the timed action (r17 verdict #1: the " +
+        "count()->noop switch made totals cross-action-incomparable and " +
+        "nothing machine-readable said so; comparisons are valid iff the " +
+        "action fields match)")
     assert(!line.contains("\"queries\""),
       "per-query detail must never be inlined into the summary line")
   }

@@ -80,6 +80,19 @@ class Md5MinHashSpec extends SparkSpec {
     assert(a(1).drop(1).forall(_ == null) && a(2).drop(1).forall(_ == null))
   }
 
+  test("k < 1 fails analysis with the function's name (ADVICE r17)") {
+    graft.GraftSession.register(spark)
+    val df = Seq((1L, Seq("x", "y"))).toDF("id", "toks")
+    df.createOrReplaceTempView("mmh_bad_k")
+    for (k <- Seq(-1, 0)) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT md5_minhashes(toks, $k) FROM mmh_bad_k").collect()
+      }
+      assert(e.getMessage.contains("md5_minhashes requires k >= 1"),
+        s"k=$k: ${e.getMessage.take(200)}")
+    }
+  }
+
   test("the SQL registration round-trips") {
     graft.GraftSession.register(spark) // the late-registration path
     val df = Seq((1L, Seq("x", "y"))).toDF("id", "toks")

@@ -813,13 +813,15 @@ class PlanSpec extends SparkSpec {
     // already-prefix-filtered side (the row_number-over-df window runs
     // BELOW it — otherwise every gram of every batch doc would probe the
     // posting lists and the filter would be decorative).
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
     import org.apache.spark.sql.types.ArrayType
     val lp = SparkEntryPlan("dedup_containment").queryExecution.optimizedPlan
     val ghJoins = lp.collect {
       case j: Join if j.condition.exists(_.references.exists(_.name == "gh")) => j
     }
-    assert(ghJoins.size >= 2, s"expected dfreq + postings gh joins in:\n$lp")
+    // r18: the dfreq gh join lives inside the checkpointed prefix table
+    // now, so the final plan shows only the postings candidate join
+    assert(ghJoins.size >= 1, s"expected the postings gh join in:\n$lp")
     ghJoins.foreach { j =>
       val arrays = j.output.filter(_.dataType.isInstanceOf[ArrayType])
       assert(arrays.isEmpty,
@@ -838,12 +840,24 @@ class PlanSpec extends SparkSpec {
       j.left.output.exists(_.name == "d_src") ||
         j.right.output.exists(_.name == "d_src"))
     assert(postingsJoin.isDefined, s"no postings-side gh join in:\n$lp")
-    val prefixSide =
+    // r18: the prefix table is checkpointed (it feeds its own bloom build
+    // and the join, so the window no longer shows in this plan); the
+    // prefix-precedes-postings witness is now STRONGER — the postings
+    // stream must be gated by the prefix-derived runtime bloom filter
+    // BELOW the join, so corpus postings outside the batch prefix
+    // vocabulary never reach the exchange at all (guide §3.2).
+    val postingsSide =
       if (postingsJoin.get.left.output.exists(_.name == "d_src"))
-        postingsJoin.get.right
-      else postingsJoin.get.left
-    assert(prefixSide.collect { case w: LWindow => w }.nonEmpty,
-      s"prefix rank filter does not precede the postings join:\n$lp")
+        postingsJoin.get.left
+      else postingsJoin.get.right
+    val bloomGated = postingsSide.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+            .BloomFilterMightContain]) => f
+    }
+    assert(bloomGated.nonEmpty,
+      s"postings stream is not bloom-gated by the prefix filter:\n$lp")
   }
 
   test("r17: containment dedup — no corpus-proportional side is a broadcast build") {
