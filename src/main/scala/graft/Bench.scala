@@ -112,14 +112,22 @@ object Bench {
       loadStart: Double = -1.0, loadEnd: Double = -1.0,
       stealProbe: Double = -1.0, stealRun: Double = -1.0,
       stealTicks: Seq[Double] = Seq.empty,
-      bcastViolations: Seq[String] = Seq.empty): String = {
+      bcastViolations: Seq[String] = Seq.empty,
+      jitMs: Seq[(String, Long)] = Seq.empty): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val ticks = stealTicks.mkString("[", ",", "]")
     val bv = bcastViolations.map(s => "\"" +
       s.replace("\\", "\\\\").replace("\"", "\\\"").take(200) + "\"")
       .mkString("[", ",", "]")
-    s"""{"metric":"per_query","unit":"sec","sf":"$sf","action":"$TimedAction","loadavg":$loadEnd,"loadavg_start":$loadStart,"steal_probe_pct":$stealProbe,"steal_pct":$stealRun,"steal_ticks_10s_pct":$ticks,"bcast_violations":$bv,"queries":$qs}"""
+    // per-key JIT-compiler wall-ms (CompilationMXBean delta across the
+    // timed action — r17/r18 roving-spike adjudication: the spike is C2
+    // compile placement, not plan cost; see OPTIMIZATION_r18.md. A key
+    // whose seconds jump WITH a jit_ms jump is compiler-window noise; one
+    // without is a real plan change.)
+    val jm = jitMs.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    s"""{"metric":"per_query","unit":"sec","sf":"$sf","action":"$TimedAction","loadavg":$loadEnd,"loadavg_start":$loadStart,"steal_probe_pct":$stealProbe,"steal_pct":$stealRun,"steal_ticks_10s_pct":$ticks,"bcast_violations":$bv,"jit_ms":$jm,"queries":$qs}"""
   }
 
   /** 1-minute system load average, rounded to 2 decimals (-1.0 where the
@@ -211,7 +219,14 @@ object Bench {
     // zero timing impact. Hits land in the committed detail artifact.
     val auditor = graft.plans.BroadcastAudit.install(spark)
     val sampler = new Steal.Sampler // 10 s steal ticks across the timed loop
+    // JVM-wide JIT compile-time counter (milliseconds of compiler-thread
+    // work since JVM start); the per-key delta lands in the detail JSON
+    val compiler = java.lang.management.ManagementFactory.getCompilationMXBean
+    val jitSupported = compiler != null &&
+      compiler.isCompilationTimeMonitoringSupported
+    val jitTimes = scala.collection.mutable.ArrayBuffer[(String, Long)]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val jit0 = if (jitSupported) compiler.getTotalCompilationTime else 0L
       val t0 = System.nanoTime()
       // A crashed query reports -1.0, never a normal-looking elapsed time.
       // The timed action is a NOOP WRITE, not count() (round 17): count
@@ -232,6 +247,8 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         catch { case _: Throwable => -1.0 }
+      if (jitSupported)
+        jitTimes += name -> (compiler.getTotalCompilationTime - jit0)
       name -> math.round(sec * 1000) / 1000.0
     }
     val loadEnd = loadAvg() // 1-min window ≈ the run itself at 32 threads
@@ -242,7 +259,7 @@ object Bench {
     }
     bcast.foreach(v => System.err.println(s"[bench] BCAST VIOLATION: $v"))
     val detail = detailJson(results, sfDir, loadStart, loadEnd,
-      probeSteal, stealRun, stealTicks, bcast)
+      probeSteal, stealRun, stealTicks, bcast, jitTimes.toSeq)
     // Detail goes ONLY to files. Printing it (even to stderr) is unsafe:
     // the driver captures stdout+stderr combined, and 3.5 KB of per-query
     // detail eats most of the bounded tail window the summary must fit in.
